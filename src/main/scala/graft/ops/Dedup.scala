@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact, MinHash+LSH, SimHash, and n-gram
+  * Jaccard verification. All hashing is md5-based (built-in, identical
+  * across engines, deterministic) so every stage is oracle-verifiable.
+  *
+  * Scale design: nothing here compares all pairs. Exact dedup is one
+  * hash-agg; MinHash/LSH reduces near-dup detection to an equi-join on
+  * band keys (shuffle on band, then pair-local work); Jaccard runs
+  * only on LSH candidates. At 100 TB the band join is the dominant
+  * shuffle and is key-partitioned, so it scales horizontally.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per normalized-content hash.
+    * One shuffle (hash-agg on the fingerprint). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("fp", Text.fingerprint(col(textCol)))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** Word n-gram shingles from a token array (positions via
+    * transform+slice — no explode, no shuffle). Empty when the doc has
+    * fewer than n tokens. */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Distinct shingle set per document. */
+  def shingleSet(textCol: Column, n: Int): Column =
+    array_distinct(wordShingles(Text.tokens(textCol), n))
+
+  /** MinHash signature component j: min over shingles of
+    * md5(shingle || "#j"). String-min over hex digests is a valid
+    * min-hash family and is engine-portable (no custom hash needed).
+    * Returns an array of k signature strings. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(shingles, s => md5(concat(s, lit("#"), j)))))
+
+  /** LSH band keys: split the k-component signature into `bands` bands
+    * of k/bands rows each; band key = md5 of the concatenated rows,
+    * prefixed with the band index. Docs sharing any band key are
+    * candidates. */
+  def lshBandKeys(sig: Column, k: Int, bands: Int): Column = {
+    val rows = k / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => concat(b.cast("string"), lit(":"),
+        md5(concat_ws("|", slice(sig, lit(b * rows + 1), lit(rows))))))
+  }
+
+  /** Candidate near-dup pairs via MinHash LSH. Output: (id_a, id_b)
+    * with id_a < id_b, distinct. The only shuffle is the equi-join on
+    * band keys. */
+  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int, k: Int, bands: Int): DataFrame = {
+    val withBands = df
+      .withColumn("__sig", minhashSignature(shingleSet(col(textCol), shingleN), k))
+      .select(col(idCol), explode(lshBandKeys(col("__sig"), k, bands)).as("band"))
+    val a = withBands.select(col("band"), col(idCol).as("id_a"))
+    val b = withBands.select(col("band"), col(idCol).as("id_b"))
+    a.join(b, Seq("band"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard over candidate pairs: |A ∩ B| via a double
+    * equi-join on (id, shingle) rows — never materializes A × B. */
+  def jaccard(pairs: DataFrame, df: DataFrame, idCol: String,
+              textCol: String, shingleN: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("sid"),
+      explode(shingleSet(col(textCol), shingleN)).as("shingle"))
+    val sizes = sh.groupBy("sid").agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(sh.select(col("sid").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col("sid").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("sid").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("sid").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard", round(col("n_inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("n_inter")), 6))
+      .select("id_a", "id_b", "n_inter", "sz_a", "sz_b", "jaccard")
+  }
+
+  /** SimHash (16-bit, md5-backed): per token take the first 4 hex
+    * nibbles of md5(token); each of the 16 bits votes +1/-1; the sign
+    * of each bit-sum forms the fingerprint. Near-dups differ in few
+    * bits (Hamming distance). 16 bits keeps the expression tree — and
+    * the oracle SQL — tractable; the Scala-side SimHash64 custom
+    * expression is the production variant. */
+  def simhash16(toks: Column): Column = {
+    val hexVal: Column => Column = ch =>
+      (instr(lit("0123456789abcdef"), ch) - 1).cast("int")
+    val bitSums = (0 until 16).map { i =>
+      val nibbleIdx = i / 4 + 1        // 1-based hex char position
+      val shift = 3 - (i % 4)
+      val bitOf: Column => Column = tok => {
+        val nib = hexVal(substring(md5(tok), nibbleIdx, 1))
+        shiftright(nib, shift).bitwiseAND(lit(1))
+      }
+      aggregate(toks, lit(0), (acc, tok) => acc + (bitOf(tok) * 2 - 1))
+    }
+    bitSums.zipWithIndex.map { case (s, i) =>
+      when(s > 0, lit(1L << (15 - i))).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash16 fingerprints. */
+  def hamming16(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

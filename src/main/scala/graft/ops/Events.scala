@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream (batch-side) operators: time bucketing, gap
+  * sessionization, and a shuffle-lean as-of join. The streaming
+  * equivalents (session_window + watermark) live in graft.streaming.
+  */
+object Events {
+
+  /** Tumbling-window bucket start, exact integer arithmetic on
+    * microseconds (deterministic across engines; avoids struct-typed
+    * `window()` output at the verify boundary). */
+  def bucketStart(ts: Column, seconds: Long): Column = {
+    val us = seconds * 1000000L
+    // integer-only: t - (t mod us); `/` on longs would promote to double
+    timestamp_micros(unix_micros(ts) - pmod(unix_micros(ts), lit(us)))
+  }
+
+  /** Tumbling-window aggregation: one hash-agg, partial+final. */
+  def tumblingCounts(events: DataFrame, ts: String, seconds: Long): DataFrame =
+    events.groupBy(bucketStart(col(ts), seconds).as("bucket_start"))
+      .agg(count(lit(1)).as("n"), Relational.sumExact(col("value")).as("sum_value"))
+
+  /** Gap-based sessionization: a new session starts when the gap to
+    * the previous event of the same key exceeds `gapSeconds`. One
+    * shuffle on the key; session ids are a running sum of boundary
+    * flags (the standard lag+cumsum formulation — scales linearly,
+    * per-key data stays within its partition). */
+  def sessionize(events: DataFrame, key: String, ts: String, gapSeconds: Long): DataFrame = {
+    val wOrd = Window.partitionBy(col(key)).orderBy(col(ts))
+    val gapUs = gapSeconds * 1000000L
+    val prev = lag(unix_micros(col(ts)), 1).over(wOrd)
+    val isNew = when(prev.isNull || (unix_micros(col(ts)) - prev) > gapUs, 1).otherwise(0)
+    val wCum = Window.partitionBy(col(key)).orderBy(col(ts))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("__new_session", isNew)
+      .withColumn("session_id", sum(col("__new_session")).over(wCum))
+      .drop("__new_session")
+  }
+
+  /** Per-session rollup on a sessionized frame. */
+  def sessionStats(sessionized: DataFrame, key: String, ts: String): DataFrame =
+    sessionized.groupBy(col(key), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        unix_micros(min(col(ts))).as("start_us"),
+        (unix_micros(max(col(ts))) - unix_micros(min(col(ts)))).as("duration_us"))
+
+  /** As-of join: for each left row, the latest right row with
+    * rightTs <= leftTs on the same key.
+    *
+    * Implementation is the union + last_value(ignoreNulls) sweep: both
+    * sides shuffle once on the key, a single in-partition sort by
+    * time, and a running `last` carries right-side values forward.
+    * Crucially there is NO range-join explosion and no per-row probe —
+    * cost is O((|L|+|R|) log) per key, which survives a 100x scale-up
+    * where a naive theta-join would not. Right side must be unique per
+    * (key, ts); callers dedupe first (see Queries.q21).
+    */
+  def asofJoin(left: DataFrame, leftKey: String, leftTs: String,
+               right: DataFrame, rightKey: String, rightTs: String,
+               payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__t", col(leftTs))
+      .withColumn("__is_left", lit(1))
+      .withColumn("__k", col(leftKey))
+      .select(Seq(col("__k"), col("__t"), col("__is_left")) ++
+        leftCols.map(col) ++ payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right
+      .withColumn("__t", col(rightTs))
+      .withColumn("__is_left", lit(0))
+      .withColumn("__k", col(rightKey))
+      .select(Seq(col("__k"), col("__t"), col("__is_left")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payloadCols.map(col): _*)
+    // At equal timestamps the right row sorts first (__is_left asc), so
+    // an exactly-simultaneous right row IS visible to the left row —
+    // matching ASOF JOIN ... ON l.ts >= r.ts semantics.
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payloadCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.where(col("__is_left") === 1).drop("__k", "__t", "__is_left")
+  }
+
+  /** JSON property extraction from a string column (events.props). */
+  def jsonInt(c: Column, path: String): Column =
+    get_json_object(c, path).cast("bigint")
+}

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: tokenization,
+  * term statistics, language-ID heuristic, quality scoring, and
+  * fingerprinting. All hot-path expressions are built-in functions
+  * (codegen'd); no UDFs.
+  */
+object Text {
+
+  /** Lowercase, strip non-alphanumerics, collapse whitespace. The
+    * canonical form used by dedup and fingerprinting. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** Whitespace tokens of the normalized text (empty-safe). */
+  def tokens(c: Column): Column =
+    filter(split(normText(c), " "), t => length(t) > 0)
+
+  /** Raw whitespace tokens (lowercased, diacritics preserved) — used
+    * by language-ID where normalization would destroy the evidence. */
+  def rawTokens(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish sub-word token stream: letter runs, digit runs, and single
+    * punctuation marks — the usual pre-tokenizer regex family. */
+  def subwordTokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  /** Per-document token statistics. */
+  def tokenStats(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.withColumn("n_tokens", size(toks).cast("bigint"))
+      .withColumn("n_subword_tokens", size(subwordTokens(col(textCol))).cast("bigint"))
+      .withColumn("avg_token_len",
+        round(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+          greatest(size(toks), lit(1)), 4))
+  }
+
+  /** Corpus term frequencies: explode + hash-agg (map-side partial
+    * aggregation keeps the shuffle small at scale). */
+  def termFrequencies(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+
+  /** Small multilingual stopword inventory for the language-ID
+    * heuristic. Public knowledge (most-frequent function words). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "pas", "pour", "que"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "no", "por", "que"),
+    "vi" -> Seq("và", "là", "của", "có", "không", "một", "người", "trong", "được", "cho"))
+
+  /** Count of tokens that appear in `words`. */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** n-gram-free language-ID heuristic: argmax of per-language
+    * stopword hit counts; null when no evidence. Pure expressions —
+    * stays in whole-stage codegen. */
+  def langIdHeuristic(textCol: Column): Column = {
+    val toks = rawTokens(textCol)
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(stopwordHits(toks, words).as("hits"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang"))
+  }
+
+  /** Heuristic quality features + a composite score in [0, 1]:
+    * length, punctuation/digit ratios, stopword density, repetition.
+    * The standard cheap pre-filter family for LLM training corpora. */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nChars = greatest(length(t), lit(1)).cast("double")
+    val nToks = greatest(size(toks), lit(1)).cast("double")
+    df.withColumn("q_n_tokens", size(toks).cast("bigint"))
+      .withColumn("q_punct_ratio",
+        round(length(regexp_replace(t, "[^.!?,;:]", "")).cast("double") / nChars, 6))
+      .withColumn("q_digit_ratio",
+        round(length(regexp_replace(t, "[^0-9]", "")).cast("double") / nChars, 6))
+      .withColumn("q_stopword_ratio",
+        round(stopwordHits(toks, stopwords("en")).cast("double") / nToks, 6))
+      .withColumn("q_uniq_token_ratio",
+        round(size(array_distinct(toks)).cast("double") / nToks, 6))
+  }
+
+  /** Composite score from qualityFeatures output. */
+  def qualityScore(df: DataFrame): DataFrame =
+    df.withColumn("quality_score", round(
+      least(col("q_n_tokens").cast("double") / 64.0, lit(1.0)) * 0.4 +
+        col("q_uniq_token_ratio") * 0.4 +
+        least(col("q_stopword_ratio") * 5.0, lit(1.0)) * 0.2, 6))
+
+  /** Content fingerprint: md5 of the normalized text — exact-dup key. */
+  def fingerprint(c: Column): Column = md5(normText(c))
+
+  /** Winnowing-style robust fingerprint: the lexicographic minimum of
+    * the hashed word n-gram shingles. Survives local edits that change
+    * only a few shingles; used as a cheap near-dup prefilter. */
+  def minShingleFingerprint(c: Column, n: Int): Column =
+    array_min(transform(Dedup.wordShingles(tokens(c), n), s => md5(s)))
+}

@@ -1,0 +1,49 @@
+package graft.queries
+
+/** Shared DuckDB SQL fragments mirroring graft.ops.Text/Dedup
+  * expression semantics, so oracle queries stay in lockstep with the
+  * Spark implementations. All hashing is md5 (identical across
+  * engines); all float outputs are computed in double and rounded.
+  */
+object DuckSql {
+
+  /** Mirror of Text.normText. */
+  def norm(c: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+  /** Mirror of Text.tokens: non-empty whitespace tokens of norm text. */
+  def toks(c: String): String =
+    s"list_filter(string_split(${norm(c)}, ' '), x -> length(x) > 0)"
+
+  /** Mirror of Dedup.wordShingles(n) on a token-list expression. */
+  def shingles(toksExpr: String, n: Int): String =
+    s"list_transform(generate_series(1, greatest(len($toksExpr) - ${n - 1}, 0)), " +
+      s"i -> array_to_string(($toksExpr)[i:i+${n - 1}], ' '))"
+
+  /** Mirror of Dedup.minhashSignature component j on a shingle list. */
+  def minhashComponent(shinglesExpr: String, j: Int): String =
+    s"list_min(list_transform($shinglesExpr, s -> md5(s || '#$j')))"
+
+  /** Mirror of Similarity.dot for float-list columns (explicit double
+    * math — never rely on engine-native vector functions whose
+    * precision may differ). */
+  def dot(a: String, b: String, dim: Int): String =
+    s"list_sum(list_transform(generate_series(1, $dim), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  def cosine(a: String, b: String, dim: Int): String =
+    s"(${dot(a, b, dim)} / (sqrt(${dot(a, a, dim)}) * sqrt(${dot(b, b, dim)})))"
+
+  /** Mirror of Dedup.simhash16 on a token-list expression: 16 bits
+    * from the first 4 hex nibbles of md5(token), +1/-1 votes, sign. */
+  def simhash16(toksExpr: String): String = {
+    val bitSums = (0 until 16).map { i =>
+      val nibbleIdx = i / 4 + 1
+      val shift = 3 - (i % 4)
+      s"(CASE WHEN coalesce(list_sum(list_transform($toksExpr, tok -> " +
+        s"2 * (((strpos('0123456789abcdef', substr(md5(tok), $nibbleIdx, 1)) - 1) >> $shift) & 1) - 1" +
+        s")), 0) > 0 THEN ${1L << (15 - i)} ELSE 0 END)"
+    }
+    bitSums.mkString("(", " + ", ")")
+  }
+}

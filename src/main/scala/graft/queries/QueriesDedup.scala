@@ -1,0 +1,102 @@
+package graft.queries
+
+import graft.Tables._
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+
+/** Deduplication queries (north-star operators): exact hash dedup,
+  * MinHash signatures, LSH candidate pairs, exact n-gram Jaccard on
+  * candidates, and SimHash fingerprints — every stage oracle-checked
+  * via md5-portable hashing.
+  */
+object QueriesDedup {
+
+  private val ShingleN = 3
+  private val K = 8       // minhash signature length
+  private val Bands = 4   // LSH bands (rows = K / Bands = 2)
+
+  /** DuckDB CTEs: tokens -> shingles -> signature -> band keys. */
+  private def lshCtes: String = {
+    val sig = (0 until K).map(j =>
+      DuckSql.minhashComponent("shingles", j)).mkString("[", ", ", "]")
+    val bands = (0 until Bands).map { b =>
+      val rows = K / Bands
+      val parts = (0 until rows).map(r => s"sig[${b * rows + r + 1}]").mkString(" || '|' || ")
+      s"'$b:' || md5($parts)"
+    }.mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, ${DuckSql.toks("text")} AS toks FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(${DuckSql.shingles("toks", ShingleN)}) AS shingles FROM t),
+       |sig AS (SELECT doc_id, $sig AS sig FROM sh),
+       |bands AS (SELECT doc_id, unnest($bands) AS band FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b USING (band) WHERE a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q40: exact dedup on normalized-content hash ----------------
+    QueryDef("q40_dedup_exact",
+      (s, d) => Dedup.exactDedup(documents(s, d), "doc_id", "text")
+        .orderBy("fp"),
+      Some(s"""SELECT md5(${DuckSql.norm("text")}) AS fp, min(doc_id) AS doc_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- q41: MinHash signatures ------------------------------------
+    QueryDef("q41_minhash_sig",
+      (s, d) => {
+        val sig = Dedup.minhashSignature(
+          Dedup.shingleSet(col("text"), ShingleN), K)
+        documents(s, d)
+          .select(col("doc_id") +:
+            (0 until K).map(j => element_at(sig, j + 1).as(s"sig_$j")): _*)
+          .orderBy("doc_id")
+      },
+      Some {
+        val comps = (0 until K).map(j =>
+          s"${DuckSql.minhashComponent(DuckSql.shingles(DuckSql.toks("text"), ShingleN), j)} AS sig_$j")
+        s"""SELECT doc_id, ${comps.mkString(",\n  ")}
+        |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- q42: LSH candidate pairs -----------------------------------
+    QueryDef("q42_lsh_pairs",
+      (s, d) => Dedup.lshCandidatePairs(documents(s, d), "doc_id", "text",
+          ShingleN, K, Bands)
+        .orderBy("id_a", "id_b"),
+      Some(s"""$lshCtes
+        |SELECT id_a, id_b FROM cand ORDER BY 1, 2""".stripMargin)),
+
+    // ---- q43: exact n-gram Jaccard on LSH candidates ----------------
+    QueryDef("q43_ngram_jaccard",
+      (s, d) => {
+        val docs = documents(s, d)
+        val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", ShingleN, K, Bands)
+          .withColumnRenamed("id_a", "id_a").withColumnRenamed("id_b", "id_b")
+        Dedup.jaccard(
+          pairs.select(col("id_a"), col("id_b")),
+          docs, "doc_id", "text", ShingleN)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""$lshCtes,
+        |shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM shx GROUP BY 1),
+        |inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+        |  FROM cand c JOIN shx a ON a.doc_id = c.id_a
+        |  JOIN shx b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        |  GROUP BY 1, 2)
+        |SELECT i.id_a, i.id_b, i.n_inter, za.sz AS sz_a, zb.sz AS sz_b,
+        |  round(CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter), 6) AS jaccard
+        |FROM inter i JOIN sz za ON za.doc_id = i.id_a
+        |  JOIN sz zb ON zb.doc_id = i.id_b
+        |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- q44: SimHash fingerprints ----------------------------------
+    QueryDef("q44_simhash",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          Dedup.simhash16(graft.ops.Text.tokens(col("text"))).as("simhash"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, CAST(${DuckSql.simhash16(DuckSql.toks("text"))} AS BIGINT) AS simhash
+        |FROM documents ORDER BY doc_id""".stripMargin)))
+}

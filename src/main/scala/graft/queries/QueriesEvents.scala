@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.Tables._
+import graft.ops.{Events, Relational}
+import org.apache.spark.sql.functions._
+
+/** Event-stream batch queries: JSON extraction, tumbling windows,
+  * gap sessionization, and the as-of join (SURVEY §2B streaming/join
+  * rows). Streaming (readStream) equivalents live in graft.streaming.
+  */
+object QueriesEvents {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q21: as-of join (latest order at event time per user) ------
+    // Spark side: union + running-last sweep (Events.asofJoin) — one
+    // key shuffle, no range explosion. Oracle: DuckDB native ASOF.
+    QueryDef("q21_asof_join",
+      (s, d) => {
+        val ev = events(s, d).select("event_id", "user_id", "ts")
+        // right side unique per (key, ts): keep the max-orderkey row
+        val oByDate = {
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+            .orderBy(col("o_orderkey").desc)
+          orders(s, d).select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+            .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+        }
+        Events.asofJoin(ev, "user_id", "ts", oByDate, "o_custkey", "o_orderdate",
+            Seq("o_orderkey", "o_totalprice"))
+          .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+          .orderBy("event_id")
+      },
+      Some("""WITH o AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |      ORDER BY o_orderkey DESC) AS rn FROM orders) WHERE rn = 1)
+        |SELECT event_id, user_id, o_orderkey, o_totalprice
+        |FROM events ASOF LEFT JOIN o
+        |  ON events.user_id = o.o_custkey AND events.ts >= o.o_orderdate
+        |ORDER BY event_id""".stripMargin)),
+
+    // ---- q22: JSON property extraction ------------------------------
+    QueryDef("q22_json_props",
+      (s, d) => events(s, d)
+        .withColumn("k", Events.jsonInt(col("props"), "$.k"))
+        .groupBy(col("event_type"), (col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"),
+          Relational.sumExact(col("value")).as("sum_value"))
+        .orderBy("event_type", "k_mod"),
+      Some("""SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- q23: tumbling time windows (10 min) ------------------------
+    QueryDef("q23_tumbling_window",
+      (s, d) => events(s, d)
+        .groupBy(date_format(Events.bucketStart(col("ts"), 600),
+          "yyyy-MM-dd HH:mm:ss").as("bucket_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          Relational.sumExact(col("value")).as("sum_value"))
+        .orderBy("bucket_start", "event_type"),
+      Some("""SELECT strftime(make_timestamp((epoch_us(ts) // 600000000) * 600000000),
+        |    '%Y-%m-%d %H:%M:%S') AS bucket_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- q24: gap-based sessionization (30 min) ---------------------
+    QueryDef("q24_sessionize",
+      (s, d) => Events.sessionStats(
+          Events.sessionize(events(s, d), "user_id", "ts", 1800), "user_id", "ts")
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("start_us"), col("duration_us"))
+        .orderBy("user_id", "session_id"),
+      Some("""WITH x AS (
+        |  SELECT user_id, ts, epoch_us(ts) AS tus,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (
+        |  SELECT user_id, tus, sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+        |    ROWS UNBOUNDED PRECEDING) AS session_id FROM x)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(tus) AS start_us, max(tus) - min(tus) AS duration_us
+        |FROM y GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- q25: event funnel (conditional aggregation per user) -------
+    QueryDef("q25_funnel",
+      (s, d) => events(s, d)
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("event_type") === "signup", 1).otherwise(0)).as("n_signup"),
+          sum(when(col("event_type") === "click", 1).otherwise(0)).as("n_click"),
+          sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchase"),
+          Relational.sumExact(when(col("event_type") === "purchase", col("value"))
+            .otherwise(lit(0.0))).as("purchase_value"))
+        .where(col("n_purchase") > 0)
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+        |  CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END
+        |    AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value
+        |FROM events GROUP BY 1 HAVING sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+        |ORDER BY 1""".stripMargin)))
+}

@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.ingest.Normalize
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reference-dataflow queries (SURVEY §2A): URL -> video-id
+  * extraction (T9), transcript normalization (T5/T6), sentence
+  * labeling (T13/T14), and the ok/err tally (T11/S3) — run over
+  * committed JSONL fixtures so the semantics are oracle-checkable
+  * offline. Schemas are declared, never inferred (SURVEY §1.3).
+  */
+object QueriesIngest {
+
+  val FixtureDir = "/root/repo/src/test/resources/fixtures"
+
+  private val idCls = "[0-9A-Za-z_-]{11}"
+
+  private def readJson(s: SparkSession, schema: StructType, file: String): DataFrame =
+    s.read.schema(schema).json(s"$FixtureDir/$file")
+
+  private val urlSchema = StructType(Seq(StructField("url", StringType)))
+  private val rawSchema = graft.model.Schema.rawTranscript
+  private val transcriptSchema = StructType(Seq(
+    StructField("tid", LongType), StructField("transcript", StringType)))
+
+  /** DuckDB mirror of Normalize.videoId (reference: inputs/utils.py:11-24). */
+  private def duckVideoId(url: String): String = {
+    val alternates = Normalize.youtubeUrlPatterns.map { p =>
+      s"nullif(regexp_extract(trim($url), '$p', 1), '')"
+    }.mkString(", ")
+    s"(CASE WHEN regexp_full_match(trim($url), '$idCls') THEN trim($url) " +
+      s"ELSE coalesce($alternates) END)"
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q60: T9 URL -> video id ------------------------------------
+    QueryDef("q60_video_id",
+      (s, _) => readJson(s, urlSchema, "urls.jsonl")
+        .select(col("url"), Normalize.videoId(col("url")).as("video_id"))
+        .orderBy("url"),
+      Some(s"""SELECT url, ${duckVideoId("url")} AS video_id
+        |FROM read_json_auto('$FixtureDir/urls.jsonl')
+        |ORDER BY url""".stripMargin)),
+
+    // ---- q61: T5/T6 transcript normalization ------------------------
+    QueryDef("q61_transcript_normalize",
+      (s, _) => {
+        val raw = readJson(s, rawSchema, "raw_transcripts.jsonl")
+        Normalize.segmentsFromRaw(raw)
+          .select(col("video_id"),
+            size(col("segments")).cast("bigint").as("n_segments"),
+            round(aggregate(col("segments"), lit(0d).cast("decimal(18,3)"),
+              (acc, x) => (acc + x("duration").cast("decimal(18,3)")).cast("decimal(18,3)"))
+              .cast("double"), 3).as("total_duration"),
+            Normalize.flattenSegments(col("segments")).as("full_text"))
+          .orderBy("video_id")
+      },
+      Some(s"""SELECT video_id, count(*) AS n_segments,
+        |  round(CAST(sum(CAST(duration AS DECIMAL(18,3))) AS DOUBLE), 3) AS total_duration,
+        |  trim(string_agg(text, chr(10) ORDER BY start, duration, text)) AS full_text
+        |FROM read_json_auto('$FixtureDir/raw_transcripts.jsonl')
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- q62: T13/T14 sentence split + label init -------------------
+    QueryDef("q62_sentence_labels",
+      (s, _) => Normalize.sentenceLabelInit(
+          readJson(s, transcriptSchema, "transcripts.jsonl"), "transcript")
+        .select("tid", "sentence_no", "sentence", "toxic")
+        .orderBy("tid", "sentence_no"),
+      Some(s"""WITH s AS (SELECT tid,
+        |  list_filter(string_split(regexp_replace(transcript, '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1)),
+        |    x -> length(trim(x)) > 0) AS arr
+        |  FROM read_json_auto('$FixtureDir/transcripts.jsonl'))
+        |SELECT tid, unnest(generate_series(1, len(arr))) - 1 AS sentence_no,
+        |  unnest(arr) AS sentence, false AS toxic
+        |FROM s ORDER BY tid, sentence_no""".stripMargin)),
+
+    // ---- q63: T11/S3 ok-err routing tally ---------------------------
+    QueryDef("q63_status_tally",
+      (s, _) => {
+        val urls = readJson(s, urlSchema, "urls.jsonl")
+          .withColumn("video_id", Normalize.videoId(col("url")))
+        Normalize.statusTally(Normalize.tagged(urls, col("video_id").isNotNull))
+          .orderBy("status")
+      },
+      Some(s"""SELECT CASE WHEN ${duckVideoId("url")} IS NOT NULL
+        |    THEN 'ok' ELSE 'err' END AS status, count(*) AS n
+        |FROM read_json_auto('$FixtureDir/urls.jsonl')
+        |GROUP BY 1 ORDER BY 1""".stripMargin)))
+}

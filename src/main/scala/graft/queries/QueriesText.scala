@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.Tables._
+import graft.ops.{Relational, Text}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis queries over the documents table (SURVEY §2B text
+  * rows + the north-star text-analysis operators).
+  */
+object QueriesText {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q30: token statistics per document -------------------------
+    QueryDef("q30_token_stats",
+      (s, d) => Text.tokenStats(documents(s, d), "text")
+        .select("doc_id", "n_tokens", "n_subword_tokens", "avg_token_len")
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+        |  CAST(len(${DuckSql.toks("text")}) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_subword_tokens,
+        |  round(CAST(coalesce(list_sum(list_transform(${DuckSql.toks("text")}, x -> length(x))), 0) AS DOUBLE)
+        |    / greatest(len(${DuckSql.toks("text")}), 1), 4) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- q31: corpus term frequencies (top 100) ---------------------
+    QueryDef("q31_term_freq",
+      (s, d) => Relational.topK(
+        Text.termFrequencies(documents(s, d), "text"),
+        Seq(col("freq").desc, col("term").asc), 100),
+      Some(s"""WITH t AS (SELECT unnest(${DuckSql.toks("text")}) AS term FROM documents)
+        |SELECT term, count(*) AS freq FROM t GROUP BY 1
+        |ORDER BY freq DESC, term LIMIT 100""".stripMargin)),
+
+    // ---- q32: per-language stats ------------------------------------
+    QueryDef("q32_lang_stats",
+      (s, d) => documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          round(sum(col("n_chars")).cast("double") / count(lit(1)), 4).as("avg_chars"))
+        .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- q33: quality features + composite score --------------------
+    QueryDef("q33_quality_score",
+      (s, d) => Text.qualityScore(Text.qualityFeatures(documents(s, d), "text"))
+        .select("doc_id", "q_n_tokens", "q_punct_ratio", "q_digit_ratio",
+          "q_stopword_ratio", "q_uniq_token_ratio", "quality_score")
+        .orderBy("doc_id"),
+      Some {
+        val t = DuckSql.toks("text")
+        val en = Text.stopwords("en").map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH f AS (SELECT doc_id,
+        |  CAST(len($t) AS BIGINT) AS q_n_tokens,
+        |  round(CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+        |    / greatest(length(text), 1), 6) AS q_punct_ratio,
+        |  round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+        |    / greatest(length(text), 1), 6) AS q_digit_ratio,
+        |  round(CAST(len(list_filter($t, x -> list_contains($en, x))) AS DOUBLE)
+        |    / greatest(len($t), 1), 6) AS q_stopword_ratio,
+        |  round(CAST(len(list_distinct($t)) AS DOUBLE)
+        |    / greatest(len($t), 1), 6) AS q_uniq_token_ratio
+        |FROM documents)
+        |SELECT doc_id, q_n_tokens, q_punct_ratio, q_digit_ratio, q_stopword_ratio,
+        |  q_uniq_token_ratio,
+        |  round(least(CAST(q_n_tokens AS DOUBLE) / 64.0, 1.0) * 0.4 +
+        |    q_uniq_token_ratio * 0.4 + least(q_stopword_ratio * 5.0, 1.0) * 0.2, 6) AS quality_score
+        |FROM f ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- q34: content fingerprints (exact + min-shingle) ------------
+    QueryDef("q34_fingerprints",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          Text.fingerprint(col("text")).as("fp"),
+          Text.minShingleFingerprint(col("text"), 3).as("min_shingle_fp"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, md5(${DuckSql.norm("text")}) AS fp,
+        |  list_min(list_transform(${DuckSql.shingles(DuckSql.toks("text"), 3)}, s -> md5(s))) AS min_shingle_fp
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- q35: language-ID heuristic vs labeled lang -----------------
+    QueryDef("q35_lang_id",
+      (s, d) => documents(s, d)
+        .withColumn("lang_pred", Text.langIdHeuristic(col("text")))
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred"),
+      None) // argmax-over-struct oracle SQL is fragile; rows-only check
+  )
+}

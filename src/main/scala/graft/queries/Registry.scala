@@ -1,0 +1,16 @@
+package graft.queries
+
+/** The engine's full verifiable query inventory (SURVEY §2's coverage
+  * checklist). Each batch file groups one capability area.
+  */
+object Registry {
+  def all: Seq[QueryDef] =
+    QueriesRelational.defs ++
+      QueriesEvents.defs ++
+      QueriesText.defs ++
+      QueriesDedup.defs ++
+      QueriesSimilarity.defs ++
+      QueriesIngest.defs
+
+  def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
+}

@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check.py [sfDir] [verifyOutDir]
+
+Reads each <outDir>/<name> parquet (Spark output) and runs the matching
+oracle SQL from <outDir>/oracle_sql.json in DuckDB with views over the
+sfDir tables; compares after sorting columns by name and rows by all
+columns. Exact value equality (mirrors the driver's hash compare).
+"""
+import sys, json, math
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("Int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].apply(lambda v: float(v) if hasattr(v, "as_tuple") else v)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+def compare(name, a, b):
+    if sorted(a.columns) != sorted(b.columns):
+        return f"schema mismatch: spark={sorted(a.columns)} oracle={sorted(b.columns)}"
+    if len(a) != len(b):
+        return f"row count: spark={len(a)} oracle={len(b)}"
+    a, b = normalize(a), normalize(b)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            av = av.astype("float64"); bv = bv.astype("float64")
+            neq = ~((av.isna() & bv.isna()) | (av == bv))
+        else:
+            neq = ~((av.isna() & bv.isna()) | (av.astype(object) == bv.astype(object)))
+        if neq.any():
+            i = int(np.argmax(neq.values))
+            return (f"col '{c}' differs at sorted-row {i}: "
+                    f"spark={a[c].iloc[i]!r} oracle={b[c].iloc[i]!r} "
+                    f"({int(neq.sum())}/{len(a)} rows differ)")
+    return None
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        try:
+            spark_df = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'").df()
+        except Exception as e:
+            print(f"FAIL {name}: no spark output ({str(e)[:90]})"); n_fail += 1; continue
+        try:
+            duck_df = con.sql(oracle[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {str(e)[:200]}"); n_fail += 1; continue
+        err = compare(name, spark_df, duck_df)
+        if err: print(f"FAIL {name}: {err}"); n_fail += 1
+        else: print(f"PASS {name} ({len(spark_df)} rows)"); n_pass += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
