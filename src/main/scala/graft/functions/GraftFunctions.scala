@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.call_function
+
+/** Registration for graft's native expressions.
+  *
+  * Preferred wiring: `spark.sql.extensions=graft.functions.GraftExtensions`
+  * (injectFunction). `register(spark)` is the programmatic equivalent
+  * for sessions created without the conf — idempotent, called by the
+  * ops that use the functions.
+  */
+object GraftFunctions {
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    functions.foreach { case (ident, info, builder) =>
+      if (!registry.functionExists(ident)) {
+        registry.registerFunction(ident, info, builder)
+      }
+    }
+  }
+
+  /** Column-level dot product backed by the codegen'd expression.
+    * Callers must have registered the functions on the session first
+    * (any graft.ops.Similarity entry point does this). */
+  def dotNative(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+}
+
+/** SparkSessionExtensions hook: enables
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach(ext.injectFunction)
+}

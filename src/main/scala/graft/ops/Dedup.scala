@@ -10,8 +10,11 @@ import org.apache.spark.sql.functions._
   * Scale design: nothing here compares all pairs. Exact dedup is one
   * hash-agg; MinHash/LSH reduces near-dup detection to an equi-join on
   * band keys (shuffle on band, then pair-local work); Jaccard runs
-  * only on LSH candidates. At 100 TB the band join is the dominant
-  * shuffle and is key-partitioned, so it scales horizontally.
+  * only on LSH candidates. The signature computation is formulated as
+  * explode + hash-aggregate rather than nested array lambdas: min() of
+  * k hash columns is a codegen'd partial aggregate that combines
+  * map-side, so the shuffle carries one row per (doc, k mins) — at
+  * 100 TB the shuffle volume is O(docs), not O(shingles).
   */
 object Dedup {
 
@@ -35,35 +38,47 @@ object Dedup {
   def shingleSet(textCol: Column, n: Int): Column =
     array_distinct(wordShingles(Text.tokens(textCol), n))
 
-  /** MinHash signature component j: min over shingles of
-    * md5(shingle || "#j"). String-min over hex digests is a valid
-    * min-hash family and is engine-portable (no custom hash needed).
-    * Returns an array of k signature strings. */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(shingles, s => md5(concat(s, lit("#"), j)))))
+  /** One row per (id, distinct shingle) — the exploded formulation the
+    * aggregate stages build on. */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), explode(shingleSet(col(textCol), n)).as("shingle"))
 
-  /** LSH band keys: split the k-component signature into `bands` bands
-    * of k/bands rows each; band key = md5 of the concatenated rows,
-    * prefixed with the band index. Docs sharing any band key are
-    * candidates. */
-  def lshBandKeys(sig: Column, k: Int, bands: Int): Column = {
+  /** MinHash signatures: k columns `sig_0..sig_{k-1}`, where
+    * sig_j = min over shingles of md5(shingle || "#j"). String-min
+    * over hex digests is a valid min-hash family and engine-portable.
+    * Docs with no shingles keep null signatures (left join back). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int): DataFrame = {
+    val aggs = (0 until k).map { j =>
+      min(md5(concat(col("shingle"), lit(s"#$j")))).as(s"sig_$j")
+    }
+    val sigs = shingleRows(df, idCol, textCol, n)
+      .groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+    df.select(col(idCol)).join(sigs, Seq(idCol), "left")
+  }
+
+  /** LSH band keys from signature columns: `bands` keys, each
+    * "<b>:" + md5(sig_{b*r} | ... | sig_{b*r+r-1}). Docs sharing any
+    * band key are candidate near-duplicates. */
+  def bandKeyArray(k: Int, bands: Int): Column = {
     val rows = k / bands
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => concat(b.cast("string"), lit(":"),
-        md5(concat_ws("|", slice(sig, lit(b * rows + 1), lit(rows))))))
+    array((0 until bands).map { b =>
+      val cols = (0 until rows).map(r => col(s"sig_${b * rows + r}"))
+      concat(lit(s"$b:"), md5(concat_ws("|", cols: _*)))
+    }: _*)
   }
 
   /** Candidate near-dup pairs via MinHash LSH. Output: (id_a, id_b)
-    * with id_a < id_b, distinct. The only shuffle is the equi-join on
-    * band keys. */
+    * with id_a < id_b, distinct. The only shuffles are the signature
+    * aggregate and the equi-join on band keys. */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, k: Int, bands: Int): DataFrame = {
-    val withBands = df
-      .withColumn("__sig", minhashSignature(shingleSet(col(textCol), shingleN), k))
-      .select(col(idCol), explode(lshBandKeys(col("__sig"), k, bands)).as("band"))
-    val a = withBands.select(col("band"), col(idCol).as("id_a"))
-    val b = withBands.select(col("band"), col(idCol).as("id_b"))
+    val banded = minhashSignatures(df, idCol, textCol, shingleN, k)
+      .where(col("sig_0").isNotNull)
+      .select(col(idCol), explode(bandKeyArray(k, bands)).as("band"))
+    val a = banded.select(col("band"), col(idCol).as("id_a"))
+    val b = banded.select(col("band"), col(idCol).as("id_b"))
     a.join(b, Seq("band"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
@@ -74,8 +89,8 @@ object Dedup {
     * equi-join on (id, shingle) rows — never materializes A × B. */
   def jaccard(pairs: DataFrame, df: DataFrame, idCol: String,
               textCol: String, shingleN: Int): DataFrame = {
-    val sh = df.select(col(idCol).as("sid"),
-      explode(shingleSet(col(textCol), shingleN)).as("shingle"))
+    val sh = shingleRows(df, idCol, textCol, shingleN)
+      .withColumnRenamed(idCol, "sid")
     val sizes = sh.groupBy("sid").agg(count(lit(1)).as("sz"))
     val inter = pairs
       .join(sh.select(col("sid").as("id_a"), col("shingle")), Seq("id_a"))
@@ -93,8 +108,7 @@ object Dedup {
     * nibbles of md5(token); each of the 16 bits votes +1/-1; the sign
     * of each bit-sum forms the fingerprint. Near-dups differ in few
     * bits (Hamming distance). 16 bits keeps the expression tree — and
-    * the oracle SQL — tractable; the Scala-side SimHash64 custom
-    * expression is the production variant. */
+    * the oracle SQL — tractable. */
   def simhash16(toks: Column): Column = {
     val hexVal: Column => Column = ch =>
       (instr(lit("0123456789abcdef"), ch) - 1).cast("int")

@@ -44,14 +44,9 @@ object QueriesDedup {
 
     // ---- q41: MinHash signatures ------------------------------------
     QueryDef("q41_minhash_sig",
-      (s, d) => {
-        val sig = Dedup.minhashSignature(
-          Dedup.shingleSet(col("text"), ShingleN), K)
-        documents(s, d)
-          .select(col("doc_id") +:
-            (0 until K).map(j => element_at(sig, j + 1).as(s"sig_$j")): _*)
-          .orderBy("doc_id")
-      },
+      (s, d) => Dedup.minhashSignatures(documents(s, d), "doc_id", "text",
+          ShingleN, K)
+        .orderBy("doc_id"),
       Some {
         val comps = (0 until K).map(j =>
           s"${DuckSql.minhashComponent(DuckSql.shingles(DuckSql.toks("text"), ShingleN), j)} AS sig_$j")

@@ -36,16 +36,8 @@ object QueriesSimilarity {
 
     // ---- q51: exact embedding near-dup pairs above threshold --------
     QueryDef("q51_cosine_neardup",
-      (s, d) => {
-        val emb = embeddings(s, d)
-        val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("__va"))
-        val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("__vb"))
-        a.join(b, col("id_a") < col("id_b"))
-          .withColumn("cosine", round(Similarity.cosine(col("__va"), col("__vb")), 4))
-          .where(col("cosine") >= 0.4)
-          .select("id_a", "id_b", "cosine")
-          .orderBy("id_a", "id_b")
-      },
+      (s, d) => Similarity.cosineNearDupPairsExact(embeddings(s, d), 0.4)
+        .orderBy("id_a", "id_b"),
       Some {
         val cos = DuckSql.cosine("a.embedding", "b.embedding", Dim)
         s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cos, 4) AS cosine
@@ -56,14 +48,17 @@ object QueriesSimilarity {
 
     // ---- q52: per-label embedding norm statistics -------------------
     QueryDef("q52_embedding_stats",
-      (s, d) => embeddings(s, d)
-        .withColumn("nrm", Similarity.norm(col("embedding")))
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        embeddings(s, d)
+          .withColumn("nrm", Similarity.normNative(col("embedding")))
         .groupBy(col("label").cast("bigint").as("label"))
         .agg(count(lit(1)).as("n"),
           round(avg(col("nrm")), 4).as("avg_norm"),
           round(min(col("nrm")), 4).as("min_norm"),
           round(max(col("nrm")), 4).as("max_norm"))
-        .orderBy("label"),
+        .orderBy("label")
+      },
       Some {
         val nrm = s"sqrt(${DuckSql.dot("embedding", "embedding", Dim)})"
         s"""SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
