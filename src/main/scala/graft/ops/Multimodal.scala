@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (binary) column operators.
+  *
+  * Model follows the reference's own scale choice (SURVEY §1.1): a
+  * record carries a PATH REFERENCE (`binary_path`) by default; bytes
+  * are inlined as a `binary` column only for small clips via the
+  * `binaryFile` source. At 100 TB the path-reference table shuffles
+  * like any other table while blobs stay put on object storage.
+  *
+  * Real here: the RIFF/WAV header parser (pure JVM byte math), the
+  * binaryFile plumbing, the subprocess pipe operator (exercised with
+  * real processes in tests). Stubbed (deterministic fakes, clearly
+  * marked): the actual media decode — codec libraries are not in this
+  * build environment.
+  */
+object Multimodal {
+
+  /** `binaryFile` scan: (path, modificationTime, length, content).
+    * `pathGlobFilter` prunes at listing time — no bytes read for
+    * filtered-out files. */
+  def readBinaryDir(spark: SparkSession, dir: String, glob: String = "*.wav"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+
+  case class WavMeta(
+      sample_rate: Int, channels: Int, bits_per_sample: Int,
+      n_samples: Long, duration_sec: Double, valid: Boolean)
+
+  /** Parse a RIFF/WAVE header (PCM). Pure byte math — no codec. */
+  def parseWavHeader(bytes: Array[Byte]): WavMeta = {
+    def le32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def tag(o: Int): String = new String(bytes.slice(o, o + 4), "US-ASCII")
+    if (bytes == null || bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE")
+      return WavMeta(0, 0, 0, 0L, 0.0, valid = false)
+    // walk chunks to find fmt and data (fmt is not always at 12)
+    var off = 12
+    var sr = 0; var ch = 0; var bits = 0; var dataLen = 0L
+    while (off + 8 <= bytes.length) {
+      val id = tag(off); val sz = le32(off + 4)
+      if (id == "fmt ") {
+        ch = le16(off + 10); sr = le32(off + 12).toInt; bits = le16(off + 22)
+      } else if (id == "data") {
+        dataLen = sz
+      }
+      off += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    if (sr == 0 || ch == 0 || bits == 0) WavMeta(0, 0, 0, 0L, 0.0, valid = false)
+    else {
+      val n = dataLen / (ch * bits / 8)
+      WavMeta(sr, ch, bits, n, n.toDouble / sr, valid = true)
+    }
+  }
+
+  private val wavMetaUdf = udf(parseWavHeader _)
+
+  /** Typed metadata column from a binary WAV column. */
+  def wavMetadata(content: Column): Column = wavMetaUdf(content)
+
+  /** Synthesize a PCM WAV byte array (s16le). Used by tests and the
+    * stubbed decode path. */
+  def makeWav(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  // -------------------------------------------------------------------
+  // T1 — binary-in/binary-out subprocess pipe (reference
+  // inputs/speech_to_text.py:14-30 ffmpeg resample). One process per
+  // ROW through mapPartitions; the partition iterator streams, so
+  // memory stays bounded. In production `cmd` is e.g.
+  // Seq("ffmpeg","-i","pipe:0","-ac","1","-ar","16000","-f","wav","pipe:1").
+  // -------------------------------------------------------------------
+  def pipeBinary(df: DataFrame, contentCol: String, cmd: Seq[String],
+                 outCol: String = "piped"): DataFrame = {
+    val pipeUdf = udf { (bytes: Array[Byte]) =>
+      if (bytes == null) null
+      else {
+        val p = new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
+        val writer = new Thread(() => {
+          try { p.getOutputStream.write(bytes); p.getOutputStream.close() }
+          catch { case _: java.io.IOException => () }
+        })
+        writer.start()
+        val out = p.getInputStream.readAllBytes()
+        writer.join()
+        p.waitFor()
+        out
+      }
+    }
+    df.withColumn(outCol, pipeUdf(col(contentCol)))
+  }
+
+  /** STUB — media decode (image/audio/video to features). The real
+    * implementation would shell out to a codec (pipeBinary) or use a
+    * JNI decoder; this deterministic fake derives pseudo-features from
+    * byte statistics so downstream plumbing (schema, partitioning,
+    * aggregation) is fully testable offline. */
+  def decodeFeaturesStub(content: Column, nFeatures: Int = 8): Column = {
+    // feature_i = md5-derived byte of the content, scaled to [0, 1)
+    val hex = md5(content)
+    array((0 until nFeatures).map { i =>
+      (conv(substring(hex, i * 2 + 1, 2), 16, 10).cast("double") / 256.0)
+    }: _*)
+  }
+
+  /** Frame-sampling plan for video blobs (every `everySec` seconds up
+    * to `maxFrames`) — the Spark-side scheduling is real; the frame
+    * EXTRACTION is the stubbed step. Output: one row per planned
+    * frame offset. */
+  def planFrameSamples(df: DataFrame, durationCol: String,
+                       everySec: Double, maxFrames: Int): DataFrame =
+    df.withColumn("frame_offset_sec",
+      explode(transform(
+        sequence(lit(0), least(floor(col(durationCol) / everySec), lit(maxFrames - 1))),
+        i => i * everySec)))
+}

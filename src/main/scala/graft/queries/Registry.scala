@@ -10,7 +10,8 @@ object Registry {
       QueriesText.defs ++
       QueriesDedup.defs ++
       QueriesSimilarity.defs ++
-      QueriesIngest.defs
+      QueriesIngest.defs ++
+      QueriesPipeline.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming operators (SURVEY §2A-9, §3.3).
+  *
+  * The reference's streaming shapes map 1:1:
+  *  - Vosk micro-batch chunk loop -> `readStream` micro-batches
+  *  - utterance assembly from word timings -> `session_window` with a
+  *    gap (a new utterance starts after `gap` of silence)
+  *  - append-only JSONL sink -> `writeStream.outputMode("append")`
+  *  - `last_run.json` commit state -> the checkpoint/commit log
+  *  - id-skip idempotence (O1) -> `dropDuplicatesWithinWatermark`
+  *
+  * All functions are plain DataFrame transforms: they apply to both
+  * batch and streaming frames (the streaming tests drive them through
+  * MemoryStream; the same code serves batch backfill).
+  */
+object Sessions {
+
+  /** Utterance assembly: group word/segment events of one source into
+    * session windows separated by >= `gapSec` of silence, emitting one
+    * row per utterance with its text joined in time order.
+    *
+    * Watermark bounds state: windows older than `watermark` close and
+    * emit (append mode), so state size is O(active sources), not
+    * O(history) — the property that keeps this running on an unbounded
+    * 100 TB/day stream. */
+  def assembleUtterances(words: DataFrame, keyCol: String, tsCol: String,
+                         textCol: String, gapSec: Double,
+                         watermark: String = "10 seconds"): DataFrame =
+    words
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), s"$gapSec seconds"))
+      .agg(
+        min(col(tsCol)).as("utterance_start"),
+        max(col(tsCol)).as("utterance_end"),
+        count(lit(1)).as("n_words"),
+        // time-ordered join: collect (ts, text) structs, sort, project
+        array_join(transform(sort_array(collect_list(struct(col(tsCol), col(textCol)))),
+          s => s(textCol)), " ").as("text"))
+      .select(col(keyCol), col("session_window.start").as("window_start"),
+        col("session_window.end").as("window_end"),
+        col("utterance_start"), col("utterance_end"), col("n_words"), col("text"))
+
+  /** Windowed event counts with late-data tolerance — the generic
+    * streaming aggregation (tumbling window + watermark). */
+  def windowedCounts(events: DataFrame, tsCol: String, valueCol: String,
+                     window: String = "10 minutes",
+                     watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("n"), col("sum_value"))
+
+  /** Exactly-once-ish ingest dedup: drop records whose id was already
+    * seen within the watermark horizon (streaming form of the
+    * reference's `overwrites: False` id-skip, O1). State is bounded by
+    * the watermark. */
+  def dedupWithinWatermark(records: DataFrame, idCol: String, tsCol: String,
+                           watermark: String = "1 hour"): DataFrame =
+    records
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
+  /** Silence split column for batch backfill of utterance assembly:
+    * same gap semantics as session_window but expressed with lag over
+    * a window — used to cross-check streaming vs batch results. */
+  def batchUtteranceIds(keyCol: Column, tsCol: Column, gapSec: Double): Column = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(tsCol)
+    val gapUs = (gapSec * 1e6).toLong
+    val prev = lag(unix_micros(tsCol), 1).over(w)
+    val isNew = when(prev.isNull || (unix_micros(tsCol) - prev) >= gapUs, 1).otherwise(0)
+    sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+  }
+}

@@ -1,0 +1,203 @@
+package graft
+
+import graft.ops.{Dedup, Events, Similarity, Text}
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normText strips punctuation, lowercases, collapses whitespace") {
+    val out = Seq("  Hello,   WORLD!!  42 ").toDF("t")
+      .select(Text.normText(col("t"))).as[String].head()
+    assert(out == "hello world 42")
+  }
+
+  test("tokens and subword tokens") {
+    val df = Seq("It's 2024, folks").toDF("t")
+    assert(df.select(Text.tokens(col("t"))).as[Seq[String]].head() ==
+      Seq("it", "s", "2024", "folks"))
+    assert(df.select(Text.subwordTokens(col("t"))).as[Seq[String]].head() ==
+      Seq("it", "'", "s", "2024", ",", "folks"))
+  }
+
+  test("langIdHeuristic identifies stopword-bearing text") {
+    val cases = Seq(
+      "the cat sat on the mat and it is warm" -> "en",
+      "der Hund und die Katze ist nicht hier" -> "de",
+      "le chat est dans la maison et il est content" -> "fr",
+      "el perro y la casa es un lugar" -> "es",
+      "tôi là người và có một con mèo" -> "vi")
+    val out = cases.map(_._1).toDF("t")
+      .select(Text.langIdHeuristic(col("t"))).as[String].collect()
+    assert(out.toSeq == cases.map(_._2))
+  }
+
+  test("langIdHeuristic null when no evidence") {
+    val out = Seq("zzz qqq xxx").toDF("t")
+      .select(Text.langIdHeuristic(col("t"))).as[Option[String]].head()
+    assert(out.isEmpty)
+  }
+
+  test("quality score rises with richer text") {
+    val df = Seq(
+      ("low", "spam spam spam spam"),
+      ("high", "the quick brown fox jumps over the lazy dog and it is fine"))
+      .toDF("k", "t")
+    val scores = Text.qualityScore(Text.qualityFeatures(df, "t"))
+      .select("k", "quality_score").as[(String, Double)].collect().toMap
+    assert(scores("high") > scores("low"))
+  }
+
+  test("fingerprint invariant under case/punctuation noise") {
+    val fps = Seq("Hello, World!", "hello world", "HELLO   WORLD.")
+      .toDF("t").select(Text.fingerprint(col("t"))).as[String].collect()
+    assert(fps.distinct.length == 1)
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "the quick brown fox jumps over the lazy cat tonight"), // near-dup of 1
+    (3L, "completely different content about spark query engines here"),
+    (4L, "The quick brown fox jumps over the lazy dog tonight!")) // exact-dup of 1 (normalized)
+    .toDF("doc_id", "text")
+
+  test("exactDedup groups normalized duplicates") {
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect()
+    assert(out.length == 3)
+    val dupGroup = out.find(_._3 == 2L).get
+    assert(dupGroup._2 == 1L) // keeps min doc_id
+  }
+
+  test("wordShingles builds ordered n-grams; short docs yield empty") {
+    val toks = Seq("a b c d").toDF("t").select(Text.tokens(col("t")).as("toks"))
+    assert(toks.select(Dedup.wordShingles(col("toks"), 2)).as[Seq[String]].head() ==
+      Seq("a b", "b c", "c d"))
+    val short = Seq("a").toDF("t").select(Text.tokens(col("t")).as("toks"))
+    assert(short.select(Dedup.wordShingles(col("toks"), 3)).as[Seq[String]].head().isEmpty)
+  }
+
+  test("minhash signatures equal iff shingle sets equal; LSH finds the near-dup pair") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 8)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getString)).toMap
+    assert(sigs(1L) == sigs(4L)) // identical normalized text
+    assert(sigs(1L) != sigs(3L))
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", 3, 8, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near-dup caught by some band
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("jaccard computes exact overlap on candidate pairs") {
+    val pairs = Seq((1L, 4L)).toDF("id_a", "id_b")
+    val j = Dedup.jaccard(pairs, docs, "doc_id", "text", 3)
+      .select("jaccard").as[Double].head()
+    assert(j == 1.0)
+    val pairs2 = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val j2 = Dedup.jaccard(pairs2, docs, "doc_id", "text", 3)
+      .select("jaccard").as[Double].head()
+    assert(j2 > 0.4 && j2 < 1.0)
+  }
+
+  test("simhash: identical text -> distance 0; near-dup closer than unrelated") {
+    val sh = docs.select(col("doc_id"), Dedup.simhash16(Text.tokens(col("text"))).as("h"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(4L)) == 0)
+    assert(ham(sh(1L), sh(2L)) <= ham(sh(1L), sh(3L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot/cosine: native expression matches HOF reference bit-for-bit") {
+    val df = Tables.embeddings(spark, sf).limit(50)
+      .select(col("embedding").as("a"), col("embedding").as("b"))
+    graft.functions.GraftFunctions.register(spark)
+    val diffs = df.select(
+      (Similarity.dot(col("a"), col("b")) - Similarity.dotNative(col("a"), col("b"))).as("d"))
+      .agg(max(abs(col("d")))).as[Double].head()
+    assert(diffs == 0.0)
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val v = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val c = v.select(Similarity.cosine(col("a"), col("b"))).as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK returns k best neighbors, excludes self") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") === 0), 3)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 3)
+    assert(!out.exists(_._2 == 0L))
+    assert(out.map(_._3).sorted.reverse.toSeq == out.map(_._3).toSeq.sortBy(-_))
+  }
+
+  test("lshTopK neighbors are a subset of brute-force candidates scored identically") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.where(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(emb, q, 50)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val lsh = Similarity.lshTopK(emb, q, 5, nPlanes = 4)
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (qid, nid, cos) =>
+      bf.get((qid, nid)).foreach(bfCos => assert(bfCos == cos))
+    }
+  }
+}
+
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("sessionize splits on gap > threshold") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00")),
+      (1L, ts("2024-01-01 00:10:00")),  // same session (gap 10m < 30m)
+      (1L, ts("2024-01-01 01:00:00")),  // new session (gap 50m)
+      (2L, ts("2024-01-01 00:00:00")))
+      .toDF("user_id", "ts")
+    val out = Events.sessionize(ev, "user_id", "ts", 1800)
+      .select("user_id", "session_id").as[(Long, Long)].collect()
+    assert(out.count(_ == (1L, 1L)) == 2)
+    assert(out.contains((1L, 2L)))
+    assert(out.contains((2L, 1L)))
+  }
+
+  test("asofJoin picks latest right row at-or-before left ts, null before first") {
+    val left = Seq(
+      (10L, 1L, ts("2024-01-05 00:00:00")),
+      (11L, 1L, ts("2024-01-01 00:00:00")),
+      (12L, 1L, ts("2023-12-01 00:00:00")), // before any right row
+      (13L, 2L, ts("2024-01-10 00:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 100L, 5.0),
+      (1L, ts("2024-01-04 00:00:00"), 101L, 7.0),
+      (2L, ts("2024-01-02 00:00:00"), 102L, 9.0))
+      .toDF("k", "rts", "o_orderkey", "o_totalprice")
+    val out = Events.asofJoin(left, "user_id", "ts", right, "k", "rts",
+        Seq("o_orderkey", "o_totalprice"))
+      .select("event_id", "o_orderkey").as[(Long, Option[Long])].collect().toMap
+    assert(out(10L).contains(101L)) // latest <= Jan 5
+    assert(out(11L).contains(100L)) // exactly-equal ts is visible
+    assert(out(12L).isEmpty)        // before first order
+    assert(out(13L).contains(102L))
+  }
+
+  test("bucketStart floors to the window boundary") {
+    val out = Seq(ts("2024-01-01 00:17:31.5")).toDF("ts")
+      .select(Events.bucketStart(col("ts"), 600).cast("string")).as[String].head()
+    assert(out == "2024-01-01 00:10:00")
+  }
+}

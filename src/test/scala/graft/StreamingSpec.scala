@@ -1,0 +1,83 @@
+package graft
+
+import graft.streaming.Sessions
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class Word(source: String, ts: java.sql.Timestamp, word: String)
+case class Rec(id: String, ts: java.sql.Timestamp, payload: String)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("assembleUtterances groups words into gap-separated session windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Word]
+    val q = Sessions.assembleUtterances(in.toDF(), "source", "ts", "word", gapSec = 2.0)
+      .writeStream.format("memory").queryName("utt").outputMode("complete").start()
+    try {
+      in.addData(
+        Word("mic", ts("2024-01-01 00:00:00.0"), "xin"),
+        Word("mic", ts("2024-01-01 00:00:00.8"), "chào"),
+        Word("mic", ts("2024-01-01 00:00:01.5"), "bạn"),
+        Word("mic", ts("2024-01-01 00:00:10.0"), "cảm"),
+        Word("mic", ts("2024-01-01 00:00:11.0"), "ơn"))
+      q.processAllAvailable()
+      val out = spark.table("utt")
+        .select("text", "n_words").as[(String, Long)].collect().sortBy(_._1)
+      assert(out.toSeq == Seq(("cảm ơn", 2L), ("xin chào bạn", 3L)))
+    } finally q.stop()
+  }
+
+  test("streaming utterance assembly agrees with the batch formulation") {
+    val words = Seq(
+      Word("a", ts("2024-01-01 00:00:00"), "w1"),
+      Word("a", ts("2024-01-01 00:00:01"), "w2"),
+      Word("a", ts("2024-01-01 00:00:05"), "w3"),
+      Word("b", ts("2024-01-01 00:00:00"), "w4")).toDF()
+    val batch = words.withColumn("utt",
+        Sessions.batchUtteranceIds(col("source"), col("ts"), 2.0))
+      .groupBy("source", "utt").agg(count(lit(1)).as("n"))
+      .select("source", "n").as[(String, Long)].collect().toSeq.sorted
+    assert(batch == Seq(("a", 1L), ("a", 2L), ("b", 1L)))
+  }
+
+  test("dedupWithinWatermark drops repeated ids (O1 idempotence)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Rec]
+    val q = Sessions.dedupWithinWatermark(in.toDF(), "id", "ts", "1 hour")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      in.addData(
+        Rec("r1", ts("2024-01-01 00:00:00"), "a"),
+        Rec("r1", ts("2024-01-01 00:00:01"), "a-dup"),
+        Rec("r2", ts("2024-01-01 00:00:02"), "b"))
+      q.processAllAvailable()
+      in.addData(Rec("r1", ts("2024-01-01 00:10:00"), "a-dup-2"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("id").as[String].collect().toSeq.sorted
+      assert(ids == Seq("r1", "r2"))
+    } finally q.stop()
+  }
+
+  test("windowedCounts aggregates per tumbling window under watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Rec]
+    val q = Sessions.windowedCounts(
+        in.toDF().withColumn("value", length(col("payload")).cast("double")),
+        "ts", "value", "10 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    try {
+      in.addData(
+        Rec("a", ts("2024-01-01 00:01:00"), "xx"),
+        Rec("b", ts("2024-01-01 00:05:00"), "yyy"),
+        Rec("c", ts("2024-01-01 00:12:00"), "z"))
+      q.processAllAvailable()
+      val out = spark.table("wc").select("n", "sum_value")
+        .as[(Long, Double)].collect().toSet
+      assert(out == Set((2L, 5.0), (1L, 1.0)))
+    } finally q.stop()
+  }
+}

@@ -58,6 +58,18 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # rows-only check for non-oracle queries (mirrors the driver)
+    import glob, os
+    for path in sorted(glob.glob(f"{out}/*")):
+        name = os.path.basename(path)
+        if not os.path.isdir(path) or name in oracle:
+            continue
+        try:
+            n = len(con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'").df())
+            if n > 0: print(f"PASS {name} (rows-only, {n} rows)"); n_pass += 1
+            else: print(f"FAIL {name}: rows-only check, 0 rows"); n_fail += 1
+        except Exception as e:
+            print(f"FAIL {name}: unreadable output ({str(e)[:90]})"); n_fail += 1
     for name in sorted(oracle):
         try:
             spark_df = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'").df()
