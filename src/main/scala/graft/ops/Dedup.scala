@@ -39,9 +39,21 @@ object Dedup {
     array_distinct(wordShingles(Text.tokens(textCol), n))
 
   /** One row per (id, distinct shingle) — the exploded formulation the
-    * aggregate stages build on. */
-  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol), explode(shingleSet(col(textCol), n)).as("shingle"))
+    * aggregate stages build on.
+    *
+    * The token array is materialized behind a repartition barrier
+    * before shingling. Without it, Catalyst's CollapseProject inlines
+    * the tokenization into every lambda position, so `slice(tokens, i,
+    * n)` re-runs the full regexp+split per shingle index (measured
+    * ~60x per doc); the exchange also spreads per-doc work across
+    * cores when the source is a single small file. */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = df
+      .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+      .repartition(col(idCol))
+    toks.select(col(idCol),
+      explode(array_distinct(wordShingles(col("__toks"), n))).as("shingle"))
+  }
 
   /** MinHash signatures: k columns `sig_0..sig_{k-1}`, where
     * sig_j = min over shingles of md5(shingle || "#j"). String-min
@@ -129,4 +141,30 @@ object Dedup {
   /** Hamming distance between two simhash16 fingerprints. */
   def hamming16(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** SimHash as a DataFrame aggregate: explode tokens, compute the 16
+    * ±1 bit votes per token in one codegen'd projection (md5 evaluated
+    * once per token via subexpression elimination), sum per doc, take
+    * signs. Same math as simhash16 but scales: the only shuffle is the
+    * repartition/groupBy on the id. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokenRows = df
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("token"))
+      .repartition(col(idCol))
+    val hex = md5(col("token"))
+    val votes = (0 until 16).map { i =>
+      val nib = (instr(lit("0123456789abcdef"), substring(hex, i / 4 + 1, 1)) - 1).cast("int")
+      (shiftright(nib, 3 - (i % 4)).bitwiseAND(lit(1)) * 2 - 1).as(s"__b$i")
+    }
+    val sums = tokenRows.select(col(idCol) +: votes: _*)
+      .groupBy(col(idCol))
+      .agg(sum(col("__b0")).as("__s0"),
+        (1 until 16).map(i => sum(col(s"__b$i")).as(s"__s$i")): _*)
+    val fingerprint = (0 until 16).map { i =>
+      when(col(s"__s$i") > 0, lit(1L << (15 - i))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    // keep docs with no tokens (null sums -> all-zero fingerprint)
+    df.select(col(idCol)).join(sums, Seq(idCol), "left")
+      .select(col(idCol), fingerprint.as("simhash"))
+  }
 }

@@ -88,9 +88,7 @@ object QueriesDedup {
 
     // ---- q44: SimHash fingerprints ----------------------------------
     QueryDef("q44_simhash",
-      (s, d) => documents(s, d)
-        .select(col("doc_id"),
-          Dedup.simhash16(graft.ops.Text.tokens(col("text"))).as("simhash"))
+      (s, d) => Dedup.simhash(documents(s, d), "doc_id", "text")
         .orderBy("doc_id"),
       Some(s"""SELECT doc_id, CAST(${DuckSql.simhash16(DuckSql.toks("text"))} AS BIGINT) AS simhash
         |FROM documents ORDER BY doc_id""".stripMargin)))
