@@ -1,0 +1,100 @@
+package graft.queries
+
+import graft.Tables
+import graft.Tables._
+import graft.ops.Relational._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType}
+
+/** Second relational batch: the SQL string interface, multiset set
+  * ops, JSON/map/array functions, date parts, and scalar math — each
+  * oracle-checked.
+  */
+object QueriesRelationalExt {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q26: SQL interface (spark.sql over registered views) -------
+    // TPC-H Q4 flavor; the ORACLE IS THE SAME TEXT — one SQL dialect
+    // parsed by both engines.
+    QueryDef("q26_sql_interface", {
+      val sql = """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_quantity > 40)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+      (s, d) => {
+        Seq("orders", "lineitem").foreach(t =>
+          Tables.table(s, d, t).createOrReplaceTempView(t))
+        s.sql(sql)
+      }
+    },
+      Some("""SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_quantity > 40)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- q27: multiset set operations (ALL variants) ----------------
+    QueryDef("q27_set_ops_all",
+      (s, d) => {
+        val o = orders(s, d)
+        val f = o.where(col("o_orderstatus") === "F").select("o_custkey")
+        val p = o.where(col("o_orderstatus") === "P").select("o_custkey")
+        f.exceptAll(p).orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY o_custkey""".stripMargin)),
+
+    // ---- q28: JSON -> map -> array function chain -------------------
+    QueryDef("q28_json_map_keys",
+      (s, d) => events(s, d)
+        .select(array_join(array_sort(map_keys(
+          from_json(col("props"), MapType(StringType, StringType)))), ",").as("prop_keys"))
+        .groupBy("prop_keys")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("prop_keys"),
+      Some("""SELECT array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- q29: date parts ---------------------------------------------
+    QueryDef("q29_date_parts",
+      (s, d) => orders(s, d)
+        .groupBy(year(col("o_orderdate")).cast("bigint").as("yr"),
+          quarter(col("o_orderdate")).cast("bigint").as("qtr"))
+        .agg(count(lit(1)).as("n_orders"),
+          sumExact(col("o_totalprice")).as("revenue"))
+        .orderBy("yr", "qtr"),
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- q29b: scalar math functions --------------------------------
+    QueryDef("q29b_math_funcs",
+      (s, d) => lineitem(s, d)
+        .where(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber").cast("bigint").as("l_linenumber"),
+          floor(col("l_extendedprice")).as("price_floor"),
+          ceil(col("l_extendedprice")).as("price_ceil"),
+          round(sqrt(col("l_quantity")), 6).as("qty_sqrt"),
+          round(abs(col("l_tax") - col("l_discount")), 6).as("tax_disc_gap"),
+          signum(col("l_discount") - 0.05).as("disc_sign"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        |  round(sqrt(l_quantity), 6) AS qty_sqrt,
+        |  round(abs(l_tax - l_discount), 6) AS tax_disc_gap,
+        |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
+        |FROM lineitem WHERE l_orderkey % 100 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)))
+}

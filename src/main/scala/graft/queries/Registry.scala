@@ -6,6 +6,7 @@ package graft.queries
 object Registry {
   def all: Seq[QueryDef] =
     QueriesRelational.defs ++
+      QueriesRelationalExt.defs ++
       QueriesEvents.defs ++
       QueriesText.defs ++
       QueriesDedup.defs ++

@@ -1,0 +1,63 @@
+package graft
+
+import graft.queries.Registry
+
+/** Physical-plan assertions: the properties that make these queries
+  * scale (pushdown, pruning, broadcast, top-k operator, map-side
+  * partial aggregation) are pinned here so a regression in plan shape
+  * fails CI even while results stay correct.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    Registry.byName(name).fn(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02: filters are pushed into the parquet scan; columns pruned") {
+    val p = planOf("q02_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    // scan reads only the 5 referenced columns, not all 11
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_tax"), readSchema)
+  }
+
+  test("q04: dimension joins broadcast (no shuffle of the fact side)") {
+    val p = planOf("q04_region_customers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q10: global top-k plans TakeOrderedAndProject, not a full sort") {
+    val p = planOf("q10_topk_lineitems")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q01: aggregation is partial (map-side combine) then final") {
+    val p = planOf("q01_pricing_summary")
+    assert(p.contains("partial_"), p) // HashAggregate(partial_sum, ...)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q06/q07: semi and anti joins plan as join types, not filters over subqueries") {
+    assert(planOf("q06_semi_join").contains("LeftSemi"), "semi")
+    assert(planOf("q07_anti_join").contains("LeftAnti"), "anti")
+  }
+
+  test("q21: as-of join is a single-shuffle window sweep (no range join explosion)") {
+    val p = planOf("q21_asof_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q50: query set broadcasts; corpus is not shuffled for scoring") {
+    val p = planOf("q50_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("graft_dot"), p) // native expression in the plan
+  }
+
+  test("q42: LSH candidate generation is an equi-join on band keys") {
+    val p = planOf("q42_lsh_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}
