@@ -7,6 +7,7 @@ object Registry {
   def all: Seq[QueryDef] =
     QueriesRelational.defs ++
       QueriesRelationalExt.defs ++
+      QueriesStats.defs ++
       QueriesEvents.defs ++
       QueriesText.defs ++
       QueriesDedup.defs ++

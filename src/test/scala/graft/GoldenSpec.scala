@@ -1,0 +1,78 @@
+package graft
+
+import graft.model.{IngestRecord, Schema, Segment}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType}
+
+/** Golden-record tests: the engine reads/writes the reference's exact
+  * record shape (reference out/audio.jsonl:1, committed here as
+  * fixtures/golden_audio.jsonl with the documented int-in-meta ->
+  * string normalization, SURVEY §1.2). */
+class GoldenSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val goldenPath =
+    "/root/repo/src/test/resources/fixtures/golden_audio.jsonl"
+
+  test("golden record loads through the declared schema with full fidelity") {
+    val rec = spark.read.schema(Schema.ingest).json(goldenPath)
+      .as[IngestRecord].head()
+    assert(rec.id == "aud_0412a1de4616")
+    assert(rec.source_type == Schema.SourceSystemAudio)
+    assert(rec.text.exists(_.startsWith("trung bình cứ giả xinh đẹp")))
+    assert(rec.segments.exists(s => s.length == 1 && s.head.start == 1.35 &&
+      s.head.duration == 6.630000000000001))
+    assert(rec.binary_path.contains("out/audio/aud_0412a1de4616.wav"))
+    assert(rec.meta("engine") == "vosk" && rec.meta("sr") == "16000" &&
+      rec.meta("created_at") == "2025-10-03T10:07:03Z")
+  }
+
+  test("JSONL sink round-trips the golden record (unicode, nested, nulls)") {
+    val rec = spark.read.schema(Schema.ingest).json(goldenPath)
+      .as[IngestRecord].head()
+    val dir = java.nio.file.Files.createTempDirectory("golden").toString
+    // K1 sink shape: append-mode JSON lines (reference inputs/schema.py:31-35)
+    Seq(rec).toDS().coalesce(1).write.mode("append").json(dir)
+    val back = spark.read.schema(Schema.ingest).json(dir).as[IngestRecord].head()
+    assert(back == rec)
+    // written line must carry the unicode verbatim (ensure_ascii=False parity)
+    val line = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .filter(_.toString.endsWith(".json")).findFirst.get
+    val text = new String(java.nio.file.Files.readAllBytes(line), "UTF-8")
+    assert(text.contains("trung bình cứ giả xinh đẹp"))
+    assert(!text.contains("\\u")) // not ascii-escaped
+  }
+
+  test("to_json with ignoreNullFields=false emits explicit nulls like the reference") {
+    val rec = IngestRecord("x1", "youtube", None, None, Some("a.wav"), Map("k" -> "v"))
+    val json = Seq(rec).toDS()
+      .select(to_json(struct(col("*")), Map("ignoreNullFields" -> "false")))
+      .as[String].head()
+    assert(json.contains(""""text":null""") && json.contains(""""segments":null"""))
+  }
+
+  test("normalization pipeline reproduces the golden record's derived fields") {
+    // segments -> text flatten (T6) applied to the golden segments
+    // yields exactly the stored text
+    val df = spark.read.schema(Schema.ingest).json(goldenPath)
+    val flat = df.select(
+      graft.ingest.Normalize.flattenSegments(col("segments")).as("flat"),
+      col("text"))
+    val row = flat.head()
+    assert(row.getString(0) == row.getString(1))
+  }
+}
+
+class StatsSpec extends SparkSpec {
+  test("approx_count_distinct within 5% of exact (q74 accuracy bound)") {
+    val rows = queries.Registry.byName("q74_approx_distinct").fn(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"approx=$approx exact=$exact")
+    }
+  }
+}
