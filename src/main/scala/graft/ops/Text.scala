@@ -45,6 +45,21 @@ object Text {
     df.select(explode(tokens(col(textCol))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("freq"))
 
+  /** TF-IDF per (doc, term): tf * (ln((N+1)/(df+1)) + 1) — the
+    * smoothed-idf variant. Two hash-aggs + one equi-join on the term;
+    * `nDocs` is supplied by the caller (a count the caller usually
+    * already has) so the operator itself stays a pure transform. */
+  def tfidf(df: DataFrame, idCol: String, textCol: String, nDocs: Long): DataFrame = {
+    val termRows = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = termRows.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = termRows.select(col(idCol), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, Seq("term"))
+      .withColumn("tfidf", round(col("tf") *
+        (log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
   /** Small multilingual stopword inventory for the language-ID
     * heuristic. Public knowledge (most-frequent function words). */
   val stopwords: Map[String, Seq[String]] = Map(

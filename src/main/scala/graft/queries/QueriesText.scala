@@ -82,6 +82,23 @@ object QueriesText {
         |  list_min(list_transform(${DuckSql.shingles(DuckSql.toks("text"), 3)}, s -> md5(s))) AS min_shingle_fp
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- q36: TF-IDF (top 100 doc-term scores) ----------------------
+    QueryDef("q36_tfidf",
+      (s, d) => {
+        val docs = documents(s, d)
+        val n = docs.count()
+        Relational.topK(Text.tfidf(docs, "doc_id", "text", n),
+          Seq(col("tfidf").desc, col("doc_id").asc, col("term").asc), 100)
+      },
+      Some(s"""WITH tr AS (SELECT doc_id, unnest(${DuckSql.toks("text")}) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tr GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tr) GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, term, tf, df,
+        |  round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+        |FROM tf JOIN dfq USING (term) CROSS JOIN n
+        |ORDER BY tfidf DESC, doc_id, term LIMIT 100""".stripMargin)),
+
     // ---- q35: language-ID heuristic vs labeled lang -----------------
     QueryDef("q35_lang_id",
       (s, d) => documents(s, d)
