@@ -158,4 +158,20 @@ object Normalize {
   /** ok/fail tally (reference: inputs/transcript_collector.py:54-68). */
   def statusTally(df: DataFrame): DataFrame =
     df.groupBy("status").agg(count(lit(1)).as("n"))
+
+  // -------------------------------------------------------------------
+  // T10 validation — the Pydantic-style "reject malformed records"
+  // semantics (inputs/schema.py:12-18): schema is enforced on read
+  // (declared StructType), and content constraints fail the job with a
+  // clear message via raise_error — executed inside the plan, no
+  // driver-side collect.
+  // -------------------------------------------------------------------
+  def requireValid(df: DataFrame, constraint: Column, message: String): DataFrame = {
+    // expressed as a filter so the optimizer cannot dead-code-eliminate
+    // the check; the branch is always true unless it raises
+    val guard = when(constraint, lit(true))
+      .otherwise(raise_error(concat(lit(s"$message; offending row: "),
+        to_json(struct(df.columns.map(col): _*)))).cast("boolean"))
+    df.where(guard)
+  }
 }

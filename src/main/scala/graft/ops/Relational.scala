@@ -57,4 +57,25 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn(as, sum(value).over(w))
   }
+
+  /** Two-phase (salted) aggregation for skewed keys: phase 1 groups by
+    * (key, salt) so one hot key spreads over `saltBuckets` reducers;
+    * phase 2 merges the partials. Use for algebraic aggregates when a
+    * single key dominates (AQE splits skewed JOINS but not skewed
+    * aggregation reducers). The salt is derived from stable row
+    * content, not rand(), so results are reproducible.
+    *
+    * `partials` aggregate raw rows per (key, salt); `finals` merge the
+    * partial columns per key — e.g. partial sum+count, final
+    * sum(sum)/sum(count) for an average.
+    */
+  def saltedAggregate(df: DataFrame, keys: Seq[String], saltFrom: Column,
+                      saltBuckets: Int)(
+                      partials: Seq[Column], finals: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(hash(saltFrom), lit(saltBuckets)))
+    val phase1 = salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(partials.head, partials.tail: _*)
+    phase1.groupBy(keys.map(col): _*).agg(finals.head, finals.tail: _*)
+  }
 }

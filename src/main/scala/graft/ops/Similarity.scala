@@ -101,6 +101,74 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine")
   }
 
+  /** IVF (inverted-file) approximate top-k — the other classic ANN
+    * scale path. The corpus is partitioned into `nCells` Voronoi cells
+    * around centroids (deterministic seed pick + one Lloyd refinement,
+    * both as DataFrame ops); each query probes only its `nProbe`
+    * nearest cells, so scoring cost drops by ~nCells/nProbe and the
+    * candidate join is an equi-join on the cell id. Centroids are
+    * driver-collected — they are O(nCells * dim), the same size class
+    * as a broadcast dim table. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+
+    def cellScores(vec: Column, cents: Array[(Int, Array[Float])]): Column =
+      array(cents.map { case (cid, c) =>
+        val cLit = array(c.map(lit): _*)
+        struct((dotNative(vec, cLit) / (normNative(vec) * normNative(cLit))).as("cos"),
+          lit(cid).as("cell"))
+      }: _*)
+    def nearestCell(vec: Column, cents: Array[(Int, Array[Float])]): Column =
+      array_max(cellScores(vec, cents)).getField("cell")
+
+    // seed centroids: deterministic spread by id rank
+    val n = corpus.count()
+    val step = math.max(n / nCells, 1L)
+    val w = Window.orderBy(col(idCol))
+    val seeds = corpus
+      .withColumn("__rk", row_number().over(w))
+      .where((col("__rk") - 1) % step === 0 && col("__rk") <= step * nCells)
+      .select(((col("__rk") - 1) / step).cast("int").as("__cell"), col(vecCol))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+
+    // one Lloyd step: assign, then per-cell mean via posexplode
+    val assigned = corpus.select(col(vecCol),
+      nearestCell(col(vecCol), seeds).as("__cell"))
+    val refined = assigned
+      .select(col("__cell"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+      .groupBy("__cell", "__pos").agg(avg(col("__v")).as("__m"))
+      .groupBy("__cell")
+      .agg(transform(sort_array(collect_list(struct(col("__pos"), col("__m")))),
+        s => s("__m").cast("float")).as("__centroid"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      normNative(col(vecCol)).as("__cn"),
+      nearestCell(col(vecCol), refined).as("__cell"))
+    // queries probe their nProbe closest cells
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        normNative(col(vecCol)).as("__qn"),
+        slice(reverse(array_sort(cellScores(col(vecCol), refined))), 1, nProbe)
+          .as("__probes"))
+      .select(col("query_id"), col("__qv"), col("__qn"),
+        explode(col("__probes")).as("__probe"))
+      .select(col("query_id"), col("__qv"), col("__qn"),
+        col("__probe.cell").as("__cell"))
+    val scored = c.join(broadcast(q), Seq("__cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(dotNative(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 4))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(wq))
+      .where(col("__rn") <= k)
+      .select("query_id", "neighbor_id", "cosine")
+  }
+
   /** Exact embedding near-duplicate pairs: all pairs above a cosine
     * threshold. Norms precomputed per side; each pair costs one dot.
     * (At scale prefer cosineNearDupPairsLsh.) */

@@ -77,5 +77,15 @@ object QueriesSimilarity {
         Similarity.lshTopK(emb, emb.where(col("vec_id") < 20), k = 5, nPlanes = 4)
           .orderBy("query_id", "neighbor_id")
       },
+      None),
+
+    // ---- q54: IVF approximate top-k (rows-only; recall vs q50 is
+    // asserted in SimilaritySpec) -------------------------------------
+    QueryDef("q54_ivf_topk",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        Similarity.ivfTopK(emb, emb.where(col("vec_id") < 20), k = 5)
+          .orderBy("query_id", "neighbor_id")
+      },
       None))
 }

@@ -77,6 +77,18 @@ class NormalizeSpec extends SparkSpec {
     assert(Normalize.latestBy(fresh, "mtime").select("name").as[String].head() == "c.wav")
   }
 
+  test("T10 requireValid passes clean data, raises with row context on violation") {
+    val ok = Seq(("a", 1.0), ("b", 2.0)).toDF("id", "v")
+    assert(Normalize.requireValid(ok, col("v") > 0, "v must be positive").count() == 2)
+    val bad = Seq(("a", 1.0), ("b", -5.0)).toDF("id", "v")
+    val e = intercept[Exception] {
+      Normalize.requireValid(bad, col("v") > 0, "v must be positive").count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("v must be positive") && m.contains("-5")))
+  }
+
   test("T7 contentId is deterministic, T8 toIso formats UTC") {
     val df = Seq("v1").toDF("vid")
     val id1 = df.select(Normalize.contentId("yt", col("vid"))).as[String].head()

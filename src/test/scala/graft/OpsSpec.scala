@@ -141,6 +141,40 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_._3).sorted.reverse.toSeq == out.map(_._3).toSeq.sortBy(-_))
   }
 
+  test("ivfTopK: scores match brute-force; recall reasonable at nProbe=4/16") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.where(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(emb, q, 5)
+      .as[(Long, Long, Double)].collect()
+    val bfMap = bf.map(r => (r._1, r._2) -> r._3).toMap
+    val ivf = Similarity.ivfTopK(emb, q, 5)
+      .as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    // any (query, neighbor) IVF returns must carry the exact brute-force score
+    val bfAll = Similarity.bruteForceTopK(emb, q, 500)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    ivf.foreach { case (qid, nid, cos) =>
+      assert(bfAll((qid, nid)) == cos, s"score mismatch for ($qid,$nid)")
+    }
+    // recall@5 over the probed cells should recover most true neighbors
+    val hit = bf.count(r => ivf.exists(i => i._1 == r._1 && i._2 == r._2))
+    assert(hit.toDouble / bf.length >= 0.5, s"recall ${hit}/${bf.length}")
+  }
+
+  test("saltedAggregate equals direct aggregation (skew-safe two-phase)") {
+    val li = Tables.lineitem(spark, sf)
+    val direct = li.groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("s"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val salted = graft.ops.Relational.saltedAggregate(
+      li, Seq("l_returnflag"), col("l_orderkey"), 8)(
+      Seq(sum(col("l_quantity").cast("decimal(18,2)")).as("ps"), count(lit(1)).as("pn")),
+      Seq(sum(col("ps")).cast("double").as("s"), sum(col("pn")).as("n")))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(salted == direct)
+  }
+
   test("lshTopK neighbors are a subset of brute-force candidates scored identically") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.where(col("vec_id") < 5)
