@@ -107,6 +107,25 @@ object Multimodal {
     df.withColumn(outCol, pipeUdf(col(contentCol)))
   }
 
+  /** K3 — binary sink: write each row's byte payload as one file named
+    * by the id column (reference inputs/system_audio_collector.py:77-80
+    * writes out/audio/{id}.wav). foreachPartition so each task writes
+    * its own partition's files — no driver collect, no shuffle. */
+  def writeBinaryFiles(df: DataFrame, idCol: String, contentCol: String,
+                       dir: String, ext: String = ".wav"): Unit = {
+    val path = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(path)
+    df.select(col(idCol).cast("string"), col(contentCol))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          val id = r.getString(0)
+          require(!id.contains('/') && !id.contains(".."), s"unsafe id: $id")
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, id + ext), r.getAs[Array[Byte]](1))
+        }
+      }
+  }
+
   /** STUB — media decode (image/audio/video to features). The real
     * implementation would shell out to a codec (pipeBinary) or use a
     * JNI decoder; this deterministic fake derives pseudo-features from

@@ -78,4 +78,18 @@ object Relational {
       .agg(partials.head, partials.tail: _*)
     phase1.groupBy(keys.map(col): _*).agg(finals.head, finals.tail: _*)
   }
+
+  /** Salted skew join: the big (skewed) side gets a content-derived
+    * salt in [0, saltFactor); the small side is replicated saltFactor
+    * times; the join runs on (key, salt), spreading each hot key over
+    * saltFactor reducers. Use when a handful of known-hot keys would
+    * overwhelm one task and AQE's skew split is unavailable (e.g.
+    * non-sort-merge paths). Results are identical to the direct join. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 saltFactor: Int, saltFrom: Column): DataFrame = {
+    val saltedBig = big.withColumn("__salt", pmod(hash(saltFrom), lit(saltFactor)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -90,5 +90,21 @@ object QueriesWindowExt {
         |  CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
         |    AS days_since_epoch_start,
         |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date
-        |FROM orders WHERE o_custkey < 30 ORDER BY o_orderkey""".stripMargin)))
+        |FROM orders WHERE o_custkey < 30 ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- q79: salted skew join (results are salt-transparent, so the
+    // oracle is the plain join) ---------------------------------------
+    QueryDef("q79_salted_join",
+      (s, d) => graft.ops.Relational.saltedJoin(
+          lineitem(s, d).select("l_orderkey", "l_quantity"),
+          orders(s, d).select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus")),
+          "l_orderkey", 4, col("l_quantity"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          graft.ops.Relational.sumExact(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)))
 }
