@@ -86,9 +86,14 @@ object Dedup {
     * aggregate and the equi-join on band keys. */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, k: Int, bands: Int): DataFrame = {
+    // persisted: both sides of the self-join consume this frame and
+    // exchange reuse does not fire across the differently-aliased
+    // branches. The frame is O(docs * bands) short rows — the dedup
+    // working set — and spills to disk if it outgrows memory.
     val banded = minhashSignatures(df, idCol, textCol, shingleN, k)
       .where(col("sig_0").isNotNull)
       .select(col(idCol), explode(bandKeyArray(k, bands)).as("band"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col("band"), col(idCol).as("id_a"))
     val b = banded.select(col("band"), col(idCol).as("id_b"))
     a.join(b, Seq("band"))
@@ -101,8 +106,10 @@ object Dedup {
     * equi-join on (id, shingle) rows — never materializes A × B. */
   def jaccard(pairs: DataFrame, df: DataFrame, idCol: String,
               textCol: String, shingleN: Int): DataFrame = {
+    // consumed three times (two intersection joins + sizes) — persist
     val sh = shingleRows(df, idCol, textCol, shingleN)
       .withColumnRenamed(idCol, "sid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("sid").agg(count(lit(1)).as("sz"))
     val inter = pairs
       .join(sh.select(col("sid").as("id_a"), col("shingle")), Seq("id_a"))

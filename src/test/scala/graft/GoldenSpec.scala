@@ -51,6 +51,28 @@ class GoldenSpec extends SparkSpec {
     assert(json.contains(""""text":null""") && json.contains(""""segments":null"""))
   }
 
+  test("malformed JSONL lines route to _corrupt_record, never fail the read") {
+    val dir = java.nio.file.Files.createTempDirectory("corrupt")
+    java.nio.file.Files.write(dir.resolve("mixed.jsonl"),
+      Seq(
+        """{"id": "ok1", "source_type": "youtube", "text": "fine"}""",
+        """{"id": "broken", "source_type": }""",
+        """not json at all""",
+        """{"id": "ok2", "source_type": "system_audio"}""")
+        .mkString("\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(
+      Schema.ingest.fields :+ org.apache.spark.sql.types.StructField(
+        "_corrupt_record", org.apache.spark.sql.types.StringType, nullable = true))
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir.toString)
+      .cache() // corrupt-record column requires full-row materialization
+    assert(df.where(col("_corrupt_record").isNull).count() == 2)
+    assert(df.where(col("_corrupt_record").isNotNull).count() == 2)
+    assert(df.where(col("id") === "ok1").select("text").as[String].head() == "fine")
+  }
+
   test("normalization pipeline reproduces the golden record's derived fields") {
     // segments -> text flatten (T6) applied to the golden segments
     // yields exactly the stored text
