@@ -41,6 +41,35 @@ object Relational {
   def topK(df: DataFrame, orderCols: Seq[Column], k: Int): DataFrame =
     df.orderBy(orderCols: _*).limit(k)
 
+  /** Top-k per group with MAP-SIDE pruning for large inputs: the
+    * window formulation (topKPerGroup) shuffles every row; this
+    * variant first sorts within each input partition and keeps at most
+    * k rows per (group, partition), so the shuffle carries at most
+    * k * partitions rows per group — the difference between shuffling
+    * 100 TB and shuffling k rows per group. The final window pass then
+    * picks the exact global top-k. Results are identical to
+    * topKPerGroup (ties must be fully broken by orderCols). */
+  def topKPerGroupLarge(df: DataFrame, partitionCols: Seq[String],
+                        orderCols: Seq[Column], k: Int): DataFrame = {
+    val schema = df.schema
+    val keyIdx = partitionCols.map(schema.fieldIndex)
+    val sortCols = partitionCols.map(col) ++ orderCols
+    val pruned = df.sortWithinPartitions(sortCols: _*)
+      .mapPartitions { rows =>
+        // rows arrive grouped by key within the partition; keep first k
+        // of each run — O(1) state, streaming
+        var currentKey: Seq[Any] = null
+        var kept = 0
+        rows.filter { r =>
+          val key = keyIdx.map(r.get)
+          if (key != currentKey) { currentKey = key; kept = 0 }
+          kept += 1
+          kept <= k
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+    topKPerGroup(pruned, partitionCols.map(col), orderCols, k)
+  }
+
   /** Keys present in `in` (semi) — e.g. customers that have orders. */
   def semiJoin(df: DataFrame, in: DataFrame, keys: Seq[String]): DataFrame =
     df.join(in, keys, "left_semi")

@@ -14,7 +14,10 @@ object QueriesWindowExt {
     // ---- q75: rank family + distribution functions ------------------
     QueryDef("q75_rank_family",
       (s, d) => {
-        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc)
+        // o_orderkey tie-break: ntile splits tied rows by position, so
+        // the order must be total for engine-portable results
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         orders(s, d)
           .where(col("o_custkey") < 20)
           .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
@@ -30,7 +33,7 @@ object QueriesWindowExt {
         |  round(percent_rank() OVER w, 6) AS prnk,
         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
         |FROM orders WHERE o_custkey < 20
-        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
     // ---- q76: first/last/lead over explicit frames ------------------

@@ -161,6 +161,18 @@ class SimilaritySpec extends SparkSpec {
     assert(hit.toDouble / bf.length >= 0.5, s"recall ${hit}/${bf.length}")
   }
 
+  test("topKPerGroupLarge equals window top-k (map-side pruned)") {
+    import graft.ops.Relational
+    val orders = Tables.orders(spark, sf).repartition(7) // force multi-partition runs
+    val viaWindow = Relational.topKPerGroup(orders, Seq(col("o_custkey")),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+      .select("o_custkey", "o_orderkey").as[(Long, Long)].collect().toSet
+    val viaPruned = Relational.topKPerGroupLarge(orders, Seq("o_custkey"),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+      .select("o_custkey", "o_orderkey").as[(Long, Long)].collect().toSet
+    assert(viaPruned == viaWindow && viaPruned.nonEmpty)
+  }
+
   test("saltedAggregate equals direct aggregation (skew-safe two-phase)") {
     val li = Tables.lineitem(spark, sf)
     val direct = li.groupBy("l_returnflag")
