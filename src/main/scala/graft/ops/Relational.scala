@@ -48,11 +48,25 @@ object Relational {
     * k * partitions rows per group — the difference between shuffling
     * 100 TB and shuffling k rows per group. The final window pass then
     * picks the exact global top-k. Results are identical to
-    * topKPerGroup (ties must be fully broken by orderCols). */
+    * topKPerGroup (ties must be fully broken by orderCols).
+    *
+    * Caveat (exception to this module's all-declarative rule): the
+    * prune stage is a mapPartitions, which blocks predicate/projection
+    * pushdown through it and leaves codegen for that stage — apply
+    * filters and select only the needed columns BEFORE calling. */
   def topKPerGroupLarge(df: DataFrame, partitionCols: Seq[String],
                         orderCols: Seq[Column], k: Int): DataFrame = {
     val schema = df.schema
-    val keyIdx = partitionCols.map(schema.fieldIndex)
+    // resolve names like the rest of the DataFrame API: respecting
+    // spark.sql.caseSensitive (default false)
+    val caseSensitive = df.sparkSession.conf
+      .get("spark.sql.caseSensitive", "false").toBoolean
+    val keyIdx = partitionCols.map { name =>
+      val idx = schema.fieldNames.indexWhere(f =>
+        if (caseSensitive) f == name else f.equalsIgnoreCase(name))
+      require(idx >= 0, s"Column '$name' not found in ${schema.fieldNames.mkString(", ")}")
+      idx
+    }
     val sortCols = partitionCols.map(col) ++ orderCols
     val pruned = df.sortWithinPartitions(sortCols: _*)
       .mapPartitions { rows =>

@@ -14,9 +14,13 @@ object QueriesWindowExt {
     // ---- q75: rank family + distribution functions ------------------
     QueryDef("q75_rank_family",
       (s, d) => {
-        // o_orderkey tie-break: ntile splits tied rows by position, so
-        // the order must be total for engine-portable results
+        // rank/dense_rank/percent_rank give tied rows equal values in
+        // both engines, so they keep the bare price order (and still
+        // exercise tie semantics); ntile splits tied rows by position,
+        // so only IT takes the o_orderkey tie-break for a total order.
         val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc)
+        val wTotal = Window.partitionBy(col("o_custkey"))
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         orders(s, d)
           .where(col("o_custkey") < 20)
@@ -24,16 +28,17 @@ object QueriesWindowExt {
             rank().over(w).cast("bigint").as("rnk"),
             dense_rank().over(w).cast("bigint").as("drnk"),
             round(percent_rank().over(w), 6).as("prnk"),
-            ntile(4).over(w).cast("bigint").as("quartile"))
+            ntile(4).over(wTotal).cast("bigint").as("quartile"))
           .orderBy("o_custkey", "o_orderkey")
       },
       Some("""SELECT o_custkey, o_orderkey, o_totalprice,
         |  CAST(rank() OVER w AS BIGINT) AS rnk,
         |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
         |  round(percent_rank() OVER w, 6) AS prnk,
-        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |  CAST(ntile(4) OVER wt AS BIGINT) AS quartile
         |FROM orders WHERE o_custkey < 20
-        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC),
+        |  wt AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
     // ---- q76: first/last/lead over explicit frames ------------------
