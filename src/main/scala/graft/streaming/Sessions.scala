@@ -1,7 +1,18 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A word/segment event flowing into utterance assembly. */
+case class WordEvent(source: String, ts: java.sql.Timestamp, word: String)
+
+/** Accumulated per-source state: the in-progress utterance. */
+case class UtteranceState(startUs: Long, endUs: Long, words: Seq[String])
+
+/** One assembled utterance. */
+case class Utterance(source: String, start_us: Long, end_us: Long,
+                     n_words: Long, text: String)
 
 /** Structured Streaming operators (SURVEY §2A-9, §3.3).
   *
@@ -65,6 +76,62 @@ object Sessions {
     records
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCol)
+
+  /** Utterance assembly with EXPLICIT state — the
+    * `flatMapGroupsWithState` formulation for when session logic
+    * outgrows `session_window` (SURVEY §2B streaming row): here the
+    * state is the in-progress utterance per source; a gap closes and
+    * emits it, and an event-time timeout flushes it when the watermark
+    * passes its horizon (so state stays bounded and silent sources
+    * still emit). */
+  def assembleUtterancesStateful(words: Dataset[WordEvent], gapSec: Double,
+                                 watermark: String = "2 seconds"): Dataset[Utterance] = {
+    import words.sparkSession.implicits._
+    val gapUs = (gapSec * 1e6).toLong
+
+    def finish(source: String, st: UtteranceState): Utterance =
+      Utterance(source, st.startUs, st.endUs, st.words.length,
+        st.words.mkString(" "))
+
+    def update(source: String, events: Iterator[WordEvent],
+               state: GroupState[UtteranceState]): Iterator[Utterance] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(finish(source, _)).toSeq
+        state.remove()
+        out.iterator
+      } else {
+        val incoming = events.toSeq.sortBy(w => (w.ts.getTime, w.word))
+        var pending = state.getOption
+        val emitted = Seq.newBuilder[Utterance]
+        incoming.foreach { w =>
+          val tUs = w.ts.getTime * 1000L
+          pending match {
+            case Some(st) if tUs - st.endUs <= gapUs =>
+              pending = Some(UtteranceState(st.startUs, math.max(st.endUs, tUs),
+                st.words :+ w.word))
+            case Some(st) =>
+              emitted += finish(source, st)
+              pending = Some(UtteranceState(tUs, tUs, Seq(w.word)))
+            case None =>
+              pending = Some(UtteranceState(tUs, tUs, Seq(w.word)))
+          }
+        }
+        pending match {
+          case Some(st) =>
+            state.update(st)
+            // flush when the watermark passes the utterance gap horizon
+            state.setTimeoutTimestamp(st.endUs / 1000L + (gapUs / 1000L).max(1L))
+          case None => ()
+        }
+        emitted.result().iterator
+      }
+    }
+
+    words
+      .withWatermark("ts", watermark)
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
 
   /** Silence split column for batch backfill of utterance assembly:
     * same gap semantics as session_window but expressed with lag over

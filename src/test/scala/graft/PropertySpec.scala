@@ -1,0 +1,115 @@
+package graft
+
+import graft.ingest.Normalize
+import graft.model.{IngestRecord, Schema, Segment}
+import graft.ops.{Dedup, Text}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+
+/** Property-style tests (SURVEY §5.3): scalacheck generators drive
+  * randomized inputs; each property is evaluated over one batched
+  * DataFrame (a Spark job per *property*, not per sample). Generation
+  * is seeded, so failures reproduce.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long = 42L): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default,
+      rng.Seed(seed + i)))
+
+  private val unicodeText: Gen[String] = for {
+    words <- Gen.listOfN(8, Gen.oneOf(
+      "hello", "WORLD", "xin", "chào", "bạn", "42", "état", "größe",
+      "data!", "spark?", "x.y", "", "  ", "a,b;c", "日本語", "emoji🙂"))
+  } yield words.mkString(" ")
+
+  private val segmentGen: Gen[Segment] = for {
+    start <- Gen.chooseNum(0.0, 100.0)
+    dur <- Gen.chooseNum(0.01, 10.0)
+    text <- unicodeText
+  } yield Segment(math.floor(start * 1000) / 1000, math.floor(dur * 1000) / 1000, text)
+
+  private val recordGen: Gen[IngestRecord] = for {
+    id <- Gen.identifier.map(_.take(16))
+    st <- Gen.oneOf(Schema.SourceYoutubeTranscript, Schema.SourceYoutubeStt,
+      Schema.SourceSystemAudio)
+    text <- Gen.option(unicodeText)
+    segs <- Gen.option(Gen.listOfN(3, segmentGen).map(_.toSeq))
+    bp <- Gen.option(Gen.identifier.map(p => s"out/audio/$p.wav"))
+    metaKeys <- Gen.listOfN(3, Gen.identifier.map(_.take(8)))
+    metaVals <- Gen.listOfN(3, unicodeText)
+  } yield IngestRecord(id, st, text, segs, bp, metaKeys.zip(metaVals).toMap)
+
+  test("property: IngestRecord survives parquet and JSONL round-trips") {
+    val recs = samples(recordGen, 200).zipWithIndex
+      .map { case (r, i) => r.copy(id = s"${r.id}_$i") } // unique ids
+    val ds = recs.toDS()
+    val pq = java.nio.file.Files.createTempDirectory("prop-pq").toString
+    ds.write.mode("overwrite").parquet(pq)
+    val backPq = spark.read.parquet(pq).as[IngestRecord].collect()
+    assert(backPq.sortBy(_.id).toSeq == recs.sortBy(_.id))
+    val js = java.nio.file.Files.createTempDirectory("prop-js").toString
+    ds.write.mode("overwrite").json(js)
+    val backJs = spark.read.schema(Schema.ingest).json(js).as[IngestRecord].collect()
+    // JSON cannot distinguish None from Some(empty map/array is kept);
+    // normalize the one lossy case: meta None vs empty never generated
+    assert(backJs.sortBy(_.id).toSeq == recs.sortBy(_.id))
+  }
+
+  test("property: sentences preserve normalized content and drop no words") {
+    val texts = samples(unicodeText, 300).filter(_.nonEmpty)
+    val df = texts.toDF("t")
+    val out = df.select(col("t"),
+      concat_ws(" ", Normalize.sentences(col("t"))).as("joined"))
+      .select(Text.normText(col("t")), Text.normText(col("joined")))
+      .as[(String, String)].collect()
+    out.foreach { case (orig, joined) => assert(orig == joined) }
+  }
+
+  test("property: videoId is identity on well-formed ids, null-safe on noise") {
+    val idGen = Gen.listOfN(11, Gen.oneOf(
+      ('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++ Seq('_', '-'))).map(_.mkString)
+    val ids = samples(idGen, 200)
+    val out = ids.toDF("url")
+      .select(Normalize.videoId(col("url"))).as[String].collect()
+    assert(out.toSeq == ids)
+    val urls = ids.map(i => s"https://www.youtube.com/watch?v=$i")
+    val out2 = urls.toDF("url")
+      .select(Normalize.videoId(col("url"))).as[String].collect()
+    assert(out2.toSeq == ids)
+  }
+
+  test("property: shingle count equals max(0, tokens - n + 1)") {
+    val texts = samples(unicodeText, 300)
+    val df = texts.toDF("t")
+    for (n <- Seq(2, 3, 5)) {
+      val rows = df.select(
+        size(Text.tokens(col("t"))).as("nt"),
+        size(Dedup.wordShingles(Text.tokens(col("t")), n)).as("ns"))
+        .as[(Int, Int)].collect()
+      rows.foreach { case (nt, ns) =>
+        assert(ns == math.max(0, nt - n + 1), s"n=$n tokens=$nt shingles=$ns")
+      }
+    }
+  }
+
+  test("property: SegmentMerge preserves word mass and time span") {
+    val segs = samples(segmentGen, 100).zipWithIndex
+      .map { case (s, i) => ("k" + (i % 5), s) }
+    val merged = spark.createDataset(segs).repartition(4)
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(graft.ops.SegmentMerge.merged(gapSec = 1.0))
+      .collect().toMap
+    segs.groupBy(_._1).foreach { case (k, ss) =>
+      val out = merged(k)
+      // utterance count within bounds; span covered; ordering correct
+      assert(out.nonEmpty && out.length <= ss.length)
+      assert(out.map(_.start) == out.map(_.start).sorted)
+      val inMin = ss.map(_._2.start).min
+      val inMax = ss.map(s => s._2.start + s._2.duration).max
+      assert(out.head.start == inMin)
+      assert(math.abs((out.last.start + out.last.duration) - inMax) < 1e-9)
+    }
+  }
+}

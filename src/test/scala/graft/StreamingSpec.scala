@@ -31,6 +31,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful utterance assembly: gap emits, watermark timeout flushes") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{Utterance, WordEvent}
+    val in = MemoryStream[WordEvent]
+    val q = Sessions.assembleUtterancesStateful(in.toDS(), gapSec = 2.0)
+      .writeStream.format("memory").queryName("sutt").outputMode("append").start()
+    try {
+      // two utterances in one batch: the first closes when the second starts
+      in.addData(
+        WordEvent("mic", ts("2024-01-01 00:00:00.0"), "xin"),
+        WordEvent("mic", ts("2024-01-01 00:00:01.0"), "chào"),
+        WordEvent("mic", ts("2024-01-01 00:00:10.0"), "cảm"),
+        WordEvent("mic", ts("2024-01-01 00:00:11.0"), "ơn"))
+      q.processAllAvailable()
+      val first = spark.table("sutt").as[Utterance].collect()
+      assert(first.map(_.text).toSeq == Seq("xin chào"))
+      // a far-future word advances the watermark past the pending
+      // utterance's horizon; the timeout flushes it on the next batch
+      in.addData(WordEvent("mic", ts("2024-01-01 01:00:00.0"), "later"))
+      q.processAllAvailable()
+      in.addData(WordEvent("mic", ts("2024-01-01 02:00:00.0"), "more"))
+      q.processAllAvailable()
+      val texts = spark.table("sutt").as[Utterance].collect().map(_.text).toSet
+      assert(texts.contains("cảm ơn"), s"timeout flush missing: $texts")
+      val utt = spark.table("sutt").as[Utterance].collect()
+        .find(_.text == "cảm ơn").get
+      assert(utt.n_words == 2 && utt.end_us - utt.start_us == 1000000L)
+    } finally q.stop()
+  }
+
   test("streaming utterance assembly agrees with the batch formulation") {
     val words = Seq(
       Word("a", ts("2024-01-01 00:00:00"), "w1"),
