@@ -65,29 +65,41 @@ object Events {
                right: DataFrame, rightKey: String, rightTs: String,
                payloadCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // Payload travels as ONE struct: right rows always carry a non-null
+    // struct (even when individual payload fields are null), left rows
+    // carry a null struct. last(ignoreNulls) over the struct therefore
+    // (a) never skips a legitimately-null payload VALUE from the
+    // latest right row, and (b) can never stitch together fields from
+    // different right rows.
+    val payloadStruct = struct(payloadCols.map(col): _*)
+    val structType = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType, nullable = true)))
     val l = left
       .withColumn("__t", col(leftTs))
       .withColumn("__is_left", lit(1))
       .withColumn("__k", col(leftKey))
       .select(Seq(col("__k"), col("__t"), col("__is_left")) ++
-        leftCols.map(col) ++ payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        leftCols.map(col) :+ lit(null).cast(structType).as("__p"): _*)
     val r = right
       .withColumn("__t", col(rightTs))
       .withColumn("__is_left", lit(0))
       .withColumn("__k", col(rightKey))
       .select(Seq(col("__k"), col("__t"), col("__is_left")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payloadCols.map(col): _*)
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        payloadStruct.as("__p"): _*)
     // At equal timestamps the right row sorts first (__is_left asc), so
     // an exactly-simultaneous right row IS visible to the left row —
     // matching ASOF JOIN ... ON l.ts >= r.ts semantics.
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t").asc, col("__is_left").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payloadCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    val carried = l.unionByName(r)
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+    val unpacked = payloadCols.foldLeft(carried) { (df, c) =>
+      df.withColumn(c, col("__p").getField(c))
     }
-    carried.where(col("__is_left") === 1).drop("__k", "__t", "__is_left")
+    unpacked.where(col("__is_left") === 1).drop("__k", "__t", "__is_left", "__p")
   }
 
   /** JSON property extraction from a string column (events.props). */

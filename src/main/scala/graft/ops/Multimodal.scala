@@ -40,19 +40,28 @@ object Multimodal {
     def tag(o: Int): String = new String(bytes.slice(o, o + 4), "US-ASCII")
     if (bytes == null || bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE")
       return WavMeta(0, 0, 0, 0L, 0.0, valid = false)
-    // walk chunks to find fmt and data (fmt is not always at 12)
-    var off = 12
+    // walk chunks to find fmt and data (fmt is not always at 12).
+    // Corrupt input is data, not an exception (errors-as-data): sizes
+    // are validated so hostile chunk lengths can't loop or index OOB.
+    var off = 12L
     var sr = 0; var ch = 0; var bits = 0; var dataLen = 0L
-    while (off + 8 <= bytes.length) {
-      val id = tag(off); val sz = le32(off + 4)
-      if (id == "fmt ") {
-        ch = le16(off + 10); sr = le32(off + 12).toInt; bits = le16(off + 22)
-      } else if (id == "data") {
-        dataLen = sz
+    var ok = true
+    while (ok && off + 8 <= bytes.length) {
+      val id = tag(off.toInt); val sz = le32(off.toInt + 4)
+      if (sz < 0 || off + 8 + sz > Int.MaxValue.toLong) ok = false
+      else {
+        if (id == "fmt ") {
+          if (off + 24 <= bytes.length) {
+            ch = le16(off.toInt + 10); sr = le32(off.toInt + 12).toInt
+            bits = le16(off.toInt + 22)
+          } else ok = false
+        } else if (id == "data") {
+          dataLen = sz
+        }
+        off += 8 + sz + (sz & 1)
       }
-      off += 8 + sz.toInt + (sz.toInt & 1)
     }
-    if (sr == 0 || ch == 0 || bits == 0) WavMeta(0, 0, 0, 0L, 0.0, valid = false)
+    if (sr <= 0 || ch <= 0 || bits <= 0) WavMeta(0, 0, 0, 0L, 0.0, valid = false)
     else {
       val n = dataLen / (ch * bits / 8)
       WavMeta(sr, ch, bits, n, n.toDouble / sr, valid = true)
@@ -97,11 +106,20 @@ object Multimodal {
           try { p.getOutputStream.write(bytes); p.getOutputStream.close() }
           catch { case _: java.io.IOException => () }
         })
-        writer.start()
+        // stderr MUST be drained concurrently: ffmpeg-style tools write
+        // progress there, and an undrained pipe deadlocks the child
+        // once the OS buffer fills
+        val errBuf = new java.io.ByteArrayOutputStream()
+        val errReader = new Thread(() => {
+          try p.getErrorStream.transferTo(errBuf)
+          catch { case _: java.io.IOException => () }
+        })
+        writer.start(); errReader.start()
         val out = p.getInputStream.readAllBytes()
-        writer.join()
-        p.waitFor()
-        out
+        writer.join(); errReader.join()
+        val exit = p.waitFor()
+        // errors-as-data: failed commands yield null, not a task failure
+        if (exit != 0) null else out
       }
     }
     df.withColumn(outCol, pipeUdf(col(contentCol)))
@@ -110,16 +128,21 @@ object Multimodal {
   /** K3 — binary sink: write each row's byte payload as one file named
     * by the id column (reference inputs/system_audio_collector.py:77-80
     * writes out/audio/{id}.wav). foreachPartition so each task writes
-    * its own partition's files — no driver collect, no shuffle. */
+    * its own partition's files — no driver collect, no shuffle.
+    *
+    * `dir` must be visible to every executor (local mode, a shared
+    * mount, or fuse-mounted object storage) — the directory is created
+    * executor-side so tasks work on whichever host they land. For
+    * HDFS/S3 sinks, switch the writes to the Hadoop FileSystem API. */
   def writeBinaryFiles(df: DataFrame, idCol: String, contentCol: String,
                        dir: String, ext: String = ".wav"): Unit = {
-    val path = java.nio.file.Paths.get(dir)
-    java.nio.file.Files.createDirectories(path)
     df.select(col(idCol).cast("string"), col(contentCol))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
         rows.foreach { r =>
           val id = r.getString(0)
-          require(!id.contains('/') && !id.contains(".."), s"unsafe id: $id")
+          require(!id.contains('/') && !id.contains('\\') && !id.contains(".."),
+            s"unsafe id: $id")
           java.nio.file.Files.write(
             java.nio.file.Paths.get(dir, id + ext), r.getAs[Array[Byte]](1))
         }

@@ -81,10 +81,11 @@ object Similarity {
     * on bucket id, no cross join). Recall grows with fewer planes /
     * multiple tables; this single-table variant is the scale skeleton. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nPlanes: Int = 8, seed: Long = 42,
+              nPlanes: Int = 8, seed: Long = 42, dim: Int = 64,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    val dim = 64
+    require(dim > 0, "dim must match the embedding dimension — hyperplanes " +
+      "shorter than the vectors silently ignore the remaining components")
     val planes = hyperplanes(nPlanes, dim, seed)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       normNative(col(vecCol)).as("__cn"), srpBucket(col(vecCol), planes).as("__bucket"))
@@ -113,6 +114,10 @@ object Similarity {
               nCells: Int = 16, nProbe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
+    // consumed by count, seed pick, Lloyd step and final assignment —
+    // persist once instead of recomputing the scan lineage each time
+    val corp = corpus.select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     def cellScores(vec: Column, cents: Array[(Int, Array[Float])]): Column =
       array(cents.map { case (cid, c) =>
@@ -123,19 +128,23 @@ object Similarity {
     def nearestCell(vec: Column, cents: Array[(Int, Array[Float])]): Column =
       array_max(cellScores(vec, cents)).getField("cell")
 
-    // seed centroids: deterministic spread by id rank
-    val n = corpus.count()
+    // seed centroids: deterministic hash-spread pick — a scan + limit,
+    // never a global row_number window (which would funnel the whole
+    // corpus through one task). Seed quality only affects the Lloyd
+    // step's starting point.
+    val n = corp.count()
     val step = math.max(n / nCells, 1L)
-    val w = Window.orderBy(col(idCol))
-    val seeds = corpus
-      .withColumn("__rk", row_number().over(w))
-      .where((col("__rk") - 1) % step === 0 && col("__rk") <= step * nCells)
-      .select(((col("__rk") - 1) / step).cast("int").as("__cell"), col(vecCol))
+    val seeds = corp
+      .where(pmod(hash(col(idCol)), lit(step)) === 0)
+      .orderBy(col(idCol))
+      .limit(nCells)
       .collect()
-      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+      .zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Float](1).toArray }
+    require(seeds.nonEmpty, "corpus produced no IVF seed centroids")
 
     // one Lloyd step: assign, then per-cell mean via posexplode
-    val assigned = corpus.select(col(vecCol),
+    val assigned = corp.select(col(vecCol),
       nearestCell(col(vecCol), seeds).as("__cell"))
     val refined = assigned
       .select(col("__cell"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
@@ -146,7 +155,7 @@ object Similarity {
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
 
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+    val c = corp.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       normNative(col(vecCol)).as("__cn"),
       nearestCell(col(vecCol), refined).as("__cell"))
     // queries probe their nProbe closest cells
@@ -191,10 +200,10 @@ object Similarity {
     * shuffle, no cross join). Approximate: pairs split by a hyperplane
     * are missed; use multiple tables (seeds) to raise recall. */
   def cosineNearDupPairs(df: DataFrame, threshold: Double,
-                         nPlanes: Int = 6, seed: Long = 42,
+                         nPlanes: Int = 6, seed: Long = 42, dim: Int = 64,
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val planes = hyperplanes(nPlanes, 64, seed)
+    val planes = hyperplanes(nPlanes, dim, seed)
     val h = df.select(col(idCol), col(vecCol),
       normNative(col(vecCol)).as("__n"), srpBucket(col(vecCol), planes).as("__bucket"))
     val a = h.select(col("__bucket"), col(idCol).as("id_a"), col(vecCol).as("__va"), col("__n").as("__na"))

@@ -14,6 +14,19 @@ import org.apache.spark.sql.functions._
   */
 object QueriesRelational {
 
+  /** Analysis happens eagerly at Dataset construction, so the advisory
+    * DetectAmbiguousSelfJoin check (false positive on rollup/cube over
+    * joins) only needs disabling while the frame is BUILT; restore it
+    * immediately so the shared session keeps the check for every other
+    * query. */
+  private def withoutAmbiguousSelfJoinCheck[A](
+      s: org.apache.spark.sql.SparkSession)(build: => A): A = {
+    val key = "spark.sql.analyzer.failAmbiguousSelfJoin"
+    val prev = s.conf.get(key, "true")
+    s.conf.set(key, "false")
+    try build finally s.conf.set(key, prev)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q01: TPC-H Q1-style pricing summary (wide hash-agg) --------
@@ -239,7 +252,7 @@ object QueriesRelational {
         |  upper(substring(p_name, 1, 8)) AS name_prefix,
         |  CAST(length(p_name) AS BIGINT) AS name_len,
         |  concat_ws('|', p_brand, p_type) AS brand_type,
-        |  CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS BIGINT) AS brand_num,
+        |  CAST(nullif(regexp_extract(p_brand, 'Brand#([0-9]+)', 1), '') AS BIGINT) AS brand_num,
         |  regexp_replace(lower(p_type), '[aeiou]', '', 'g') AS type_novowel
         |FROM part ORDER BY p_partkey""".stripMargin)),
 
@@ -260,8 +273,7 @@ object QueriesRelational {
     // and trips DetectAmbiguousSelfJoin's false positive (no self join
     // here); the check is advisory, not a correctness rule.
     QueryDef("q16_rollup",
-      (s, d) => {
-        s.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
+      (s, d) => withoutAmbiguousSelfJoinCheck(s) {
         customer(s, d)
         .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
@@ -283,8 +295,7 @@ object QueriesRelational {
 
     // ---- q17: CUBE --------------------------------------------------
     QueryDef("q17_cube",
-      (s, d) => {
-        s.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
+      (s, d) => withoutAmbiguousSelfJoinCheck(s) {
         orders(s, d)
         .join(customer(s, d), col("o_custkey") === col("c_custkey"))
         .select(col("c_mktsegment"), col("o_orderstatus"), col("o_totalprice"))

@@ -54,7 +54,10 @@ object QueriesSimilarity {
           .withColumn("nrm", Similarity.normNative(col("embedding")))
         .groupBy(col("label").cast("bigint").as("label"))
         .agg(count(lit(1)).as("n"),
-          round(avg(col("nrm")), 4).as("avg_norm"),
+          // order-insensitive: snap each norm to decimal(18,6) before the
+          // sum so partial-agg merge order can't move the 4th decimal
+          round(sum(col("nrm").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 4).as("avg_norm"),
           round(min(col("nrm")), 4).as("min_norm"),
           round(max(col("nrm")), 4).as("max_norm"))
         .orderBy("label")
@@ -62,7 +65,7 @@ object QueriesSimilarity {
       Some {
         val nrm = s"sqrt(${DuckSql.dot("embedding", "embedding", Dim)})"
         s"""SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
-        |  round(avg($nrm), 4) AS avg_norm,
+        |  round(CAST(sum(CAST($nrm AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_norm,
         |  round(min($nrm), 4) AS min_norm,
         |  round(max($nrm), 4) AS max_norm
         |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin

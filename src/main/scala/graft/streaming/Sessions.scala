@@ -106,7 +106,9 @@ object Sessions {
         incoming.foreach { w =>
           val tUs = w.ts.getTime * 1000L
           pending match {
-            case Some(st) if tUs - st.endUs <= gapUs =>
+            // strict <: a word at exactly gapSec starts a NEW utterance,
+            // matching session_window's exclusive end and batchUtteranceIds
+            case Some(st) if tUs - st.endUs < gapUs =>
               pending = Some(UtteranceState(st.startUs, math.max(st.endUs, tUs),
                 st.words :+ w.word))
             case Some(st) =>

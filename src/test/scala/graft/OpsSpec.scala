@@ -241,6 +241,21 @@ class EventsSpec extends SparkSpec {
     assert(out(13L).contains(102L))
   }
 
+  test("asofJoin honors null payload VALUES in the latest right row (no stale carry)") {
+    val left = Seq((1L, 1L, ts("2024-01-05 00:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 00:00:00"), Some(100L), Some(5.0)),
+      (1L, ts("2024-01-04 00:00:00"), None: Option[Long], Some(7.0)))
+      .toDF("k", "rts", "o_orderkey", "o_totalprice")
+    val out = Events.asofJoin(left, "user_id", "ts", right, "k", "rts",
+        Seq("o_orderkey", "o_totalprice"))
+      .select("o_orderkey", "o_totalprice")
+      .as[(Option[Long], Option[Double])].head()
+    // the latest right row has a NULL orderkey: it must surface as null,
+    // never the stale 100 from the earlier row (and never mix rows)
+    assert(out == (None, Some(7.0)))
+  }
+
   test("bucketStart floors to the window boundary") {
     val out = Seq(ts("2024-01-01 00:17:31.5")).toDF("ts")
       .select(Events.bucketStart(col("ts"), 600).cast("string")).as[String].head()
