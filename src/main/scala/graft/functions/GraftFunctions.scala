@@ -17,7 +17,11 @@ object GraftFunctions {
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    (FunctionIdentifier("graft_rolling_hash"),
+      new ExpressionInfo(classOf[RollingHashShingles].getName, "graft_rolling_hash"),
+      (args: Seq[Expression]) => RollingHashShingles(args(0),
+        args(1).eval().asInstanceOf[Number].intValue())))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

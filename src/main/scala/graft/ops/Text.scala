@@ -119,4 +119,20 @@ object Text {
     * only a few shingles; used as a cheap near-dup prefilter. */
   def minShingleFingerprint(c: Column, n: Int): Column =
     array_min(transform(Dedup.wordShingles(tokens(c), n), s => md5(s)))
+
+  /** Rolling-hash (Karp-Rabin) shingle hashes: one 64-bit hash per
+    * word n-gram in O(tokens) via the graft_rolling_hash expression.
+    * Callers must have registered graft functions on the session. */
+  def rollingShingleHashes(toks: Column, n: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_rolling_hash",
+      toks, org.apache.spark.sql.functions.lit(n))
+
+  /** Rolling-hash document fingerprint: min shingle hash (winnowing
+    * pick) — the linear-time counterpart of minShingleFingerprint. */
+  def rollingFingerprint(df: org.apache.spark.sql.DataFrame, idCol: String,
+                         textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol),
+      array_min(rollingShingleHashes(tokens(col(textCol)), n)).as("rolling_fp"))
+  }
 }

@@ -99,6 +99,13 @@ object QueriesText {
         |FROM tf JOIN dfq USING (term) CROSS JOIN n
         |ORDER BY tfidf DESC, doc_id, term LIMIT 100""".stripMargin)),
 
+    // ---- q37: rolling-hash fingerprints (rows-only; the Karp-Rabin
+    // expression's semantics are pinned by TextSpec) -------------------
+    QueryDef("q37_rolling_fingerprint",
+      (s, d) => Text.rollingFingerprint(documents(s, d), "doc_id", "text", 3)
+        .orderBy("doc_id"),
+      None),
+
     // ---- q35: language-ID heuristic vs labeled lang -----------------
     QueryDef("q35_lang_id",
       (s, d) => documents(s, d)

@@ -48,6 +48,30 @@ class TextSpec extends SparkSpec {
     assert(scores("high") > scores("low"))
   }
 
+  test("rolling-hash shingles equal brute-force recomputation; fingerprint shifts locally") {
+    graft.functions.GraftFunctions.register(spark)
+    val txt = "one two three four five six seven"
+    val toksSeq = txt.split(" ").toSeq
+    val B = 1000003L
+    def brute(n: Int): Seq[Long] = toksSeq.sliding(n).map(
+      _.foldLeft(0L)((acc, t) => acc * B + t.hashCode.toLong)).toSeq
+    for (n <- Seq(1, 2, 3, 5)) {
+      val got = Seq(txt).toDF("t")
+        .select(Text.rollingShingleHashes(Text.tokens(col("t")), n))
+        .as[Seq[Long]].head()
+      assert(got == brute(n), s"n=$n")
+    }
+    // short doc -> empty; local edit changes only overlapping shingles
+    assert(Seq("one").toDF("t")
+      .select(Text.rollingShingleHashes(Text.tokens(col("t")), 3))
+      .as[Seq[Long]].head().isEmpty)
+    val edited = "one two three four X six seven"
+    val a = Seq(txt).toDF("t").select(Text.rollingShingleHashes(Text.tokens(col("t")), 3)).as[Seq[Long]].head()
+    val b = Seq(edited).toDF("t").select(Text.rollingShingleHashes(Text.tokens(col("t")), 3)).as[Seq[Long]].head()
+    assert(a.take(2) == b.take(2)) // shingles before the edit unchanged
+    assert(a.drop(2).zip(b.drop(2)).take(3).forall(p => p._1 != p._2))
+  }
+
   test("fingerprint invariant under case/punctuation noise") {
     val fps = Seq("Hello, World!", "hello world", "HELLO   WORLD.")
       .toDF("t").select(Text.fingerprint(col("t"))).as[String].collect()
