@@ -21,7 +21,12 @@ object GraftFunctions {
     (FunctionIdentifier("graft_rolling_hash"),
       new ExpressionInfo(classOf[RollingHashShingles].getName, "graft_rolling_hash"),
       (args: Seq[Expression]) => RollingHashShingles(args(0),
-        args(1).eval().asInstanceOf[Number].intValue())))
+        args(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("graft_kmv_distinct"),
+      new ExpressionInfo(classOf[KmvDistinct].getName, "graft_kmv_distinct"),
+      (args: Seq[Expression]) => KmvDistinct(args.head,
+        if (args.length > 1) args(1).eval().asInstanceOf[Number].intValue() else 256)
+        .toAggregateExpression()))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -86,6 +86,30 @@ class GoldenSpec extends SparkSpec {
 }
 
 class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("KMV sketch: exact below k, within 15% above k, merges across partitions") {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.lineitem(spark, sf).repartition(8).createOrReplaceTempView("li_kmv")
+    val r = spark.sql(
+      """SELECT l_returnflag,
+        |  graft_kmv_distinct(l_partkey, 64) AS est,
+        |  count(DISTINCT l_partkey) AS exact
+        |FROM li_kmv GROUP BY 1""".stripMargin)
+      .as[(String, Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (flag, est, exact) =>
+      if (exact < 64) assert(est == exact, s"$flag exact-mode")
+      else assert(math.abs(est - exact).toDouble / exact <= 0.15,
+        s"$flag est=$est exact=$exact")
+    }
+    // tiny input: fully exact
+    val small = spark.sql(
+      "SELECT graft_kmv_distinct(x, 64) FROM (SELECT explode(sequence(1, 40)) AS x)")
+      .as[Long].head()
+    assert(small == 40L)
+  }
+
   test("approx_count_distinct within 5% of exact (q74 accuracy bound)") {
     val rows = queries.Registry.byName("q74_approx_distinct").fn(spark, sf)
       .collect()
