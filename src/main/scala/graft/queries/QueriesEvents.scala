@@ -81,8 +81,8 @@ object QueriesEvents {
         |      THEN 1 ELSE 0 END AS new_s
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |y AS (
-        |  SELECT user_id, tus, sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
-        |    ROWS UNBOUNDED PRECEDING) AS session_id FROM x)
+        |  SELECT user_id, tus, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM x)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(tus) AS start_us, max(tus) - min(tus) AS duration_us
         |FROM y GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
@@ -100,9 +100,9 @@ object QueriesEvents {
         .where(col("n_purchase") > 0)
         .orderBy("user_id"),
       Some("""SELECT user_id,
-        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
         |  CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END
         |    AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value
         |FROM events GROUP BY 1 HAVING sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0

@@ -69,7 +69,8 @@ object QueriesIngest {
     QueryDef("q62_sentence_labels",
       (s, _) => Normalize.sentenceLabelInit(
           readJson(s, transcriptSchema, "transcripts.jsonl"), "transcript")
-        .select("tid", "sentence_no", "sentence", "toxic")
+        .select(col("tid"), col("sentence_no").cast("bigint").as("sentence_no"),
+          col("sentence"), col("toxic"))
         .orderBy("tid", "sentence_no"),
       Some(s"""WITH s AS (SELECT tid,
         |  list_filter(string_split(regexp_replace(transcript, '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1)),

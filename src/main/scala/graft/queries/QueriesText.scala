@@ -40,7 +40,7 @@ object QueriesText {
           sum(col("n_chars")).as("sum_chars"),
           round(sum(col("n_chars")).cast("double") / count(lit(1)), 4).as("avg_chars"))
         .orderBy("lang"),
-      Some("""SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+      Some("""SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 

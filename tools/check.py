@@ -38,7 +38,13 @@ def compare(name, a, b):
     a, b = normalize(a), normalize(b)
     for c in a.columns:
         av, bv = a[c], b[c]
-        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+        # dtype-strict: an int column on one side vs float on the other
+        # would hash differently in the driver even when values match
+        fa, fb = pd.api.types.is_float_dtype(av), pd.api.types.is_float_dtype(bv)
+        ia, ib = pd.api.types.is_integer_dtype(av), pd.api.types.is_integer_dtype(bv)
+        if (fa and ib) or (ia and fb):
+            return f"col '{c}' dtype kind mismatch: spark={av.dtype} oracle={bv.dtype}"
+        if fa or fb:
             av = av.astype("float64"); bv = bv.astype("float64")
             neq = ~((av.isna() & bv.isna()) | (av == bv))
         else:
