@@ -80,6 +80,54 @@ object QueriesIngest {
         |  unnest(arr) AS sentence, false AS toxic
         |FROM s ORDER BY tid, sentence_no""".stripMargin)),
 
+    // ---- q67: typed SegmentMerge aggregator (utterance assembly) ----
+    // The Aggregator's gap-merge semantics expressed as running-max
+    // window SQL for the oracle; empty-text segments are filtered on
+    // both sides so the text join is a plain ordered string_agg.
+    QueryDef("q67_segment_merge", {
+      val gap = 0.5
+      (s, _) => {
+        import s.implicits._
+        val raw = readJson(s, rawSchema, "raw_transcripts.jsonl")
+          .where(length(trim(col("text"))) > 0)
+          .as[(String, Double, Double, String)]
+          .map { case (vid, st, dur, tx) => (vid, graft.model.Segment(st, dur, tx)) }
+        raw.groupByKey(_._1).mapValues(_._2)
+          .agg(graft.ops.SegmentMerge.merged(gap))
+          .toDF("video_id", "utterances")
+          .select(col("video_id"),
+            posexplode(col("utterances")).as(Seq("utt_no", "u")))
+          .select(col("video_id"), col("utt_no").cast("bigint").as("utt_no"),
+            round(col("u.start"), 3).as("utt_start"),
+            round(col("u.duration"), 3).as("utt_duration"),
+            col("u.text").as("text"))
+          .orderBy("video_id", "utt_no")
+      }
+    },
+      Some(s"""WITH seg AS (
+        |  SELECT video_id, start, duration, text
+        |  FROM read_json_auto('$FixtureDir/raw_transcripts.jsonl')
+        |  WHERE length(trim(text)) > 0),
+        |flags AS (
+        |  SELECT *, CASE WHEN max(start + duration) OVER (
+        |      PARTITION BY video_id ORDER BY start, duration, text
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |    OR start - max(start + duration) OVER (
+        |      PARTITION BY video_id ORDER BY start, duration, text
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > 0.5
+        |    THEN 1 ELSE 0 END AS new_u
+        |  FROM seg),
+        |u AS (
+        |  SELECT *, CAST(sum(new_u) OVER (PARTITION BY video_id
+        |    ORDER BY start, duration, text ROWS UNBOUNDED PRECEDING) AS BIGINT) AS utt
+        |  FROM flags)
+        |SELECT video_id, utt - 1 AS utt_no,
+        |  round(min(start), 3) AS utt_start,
+        |  round(max(start + duration) - min(start), 3) AS utt_duration,
+        |  string_agg(text, ' ' ORDER BY start, duration, text) AS text
+        |FROM u GROUP BY video_id, utt
+        |ORDER BY video_id, utt_no""".stripMargin)),
+
     // ---- q63: T11/S3 ok-err routing tally ---------------------------
     QueryDef("q63_status_tally",
       (s, _) => {

@@ -114,5 +114,18 @@ object QueriesWindowExt {
       Some("""SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin)))
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- q80: map-side-pruned top-k per group (oracle = window SQL,
+    // results identical to the un-pruned formulation) -----------------
+    QueryDef("q80_topk_per_group_pruned",
+      (s, d) => graft.ops.Relational.topKPerGroupLarge(
+          orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice"),
+          Seq("o_custkey"),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+        .orderBy("o_custkey", "o_orderkey"),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (
+        |    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""".stripMargin)))
 }
