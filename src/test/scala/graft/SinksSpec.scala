@@ -50,6 +50,22 @@ class SinksSpec extends SparkSpec {
     assert(back == Map("aud_1" -> 16000, "aud_2" -> 8000))
   }
 
+  test("partitioned writes prune: only the filtered partition's files are scanned") {
+    val dir = java.nio.file.Files.createTempDirectory("partby").toString
+    val orders = Tables.orders(spark, sf)
+      .withColumn("order_year", year(col("o_orderdate")))
+    orders.write.partitionBy("order_year").mode("overwrite").parquet(dir)
+    val filtered = spark.read.parquet(dir).where(col("order_year") === 1997)
+    filtered.collect()
+    val plan = filtered.queryExecution.executedPlan.toString
+    // the year filter must be a PARTITION filter (directory pruning at
+    // listing time), not a data filter evaluated per row
+    assert(plan.contains("PartitionFilters: [isnotnull(order_year") ||
+      plan.contains("PartitionFilters: [(order_year"), plan)
+    val expected = orders.where(col("order_year") === 1997).count()
+    assert(filtered.count() == expected && expected > 0)
+  }
+
   test("saltedJoin equals the direct join (skew spread over salt buckets)") {
     val big = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val small = Tables.orders(spark, sf)
