@@ -24,6 +24,9 @@ case class KmvDistinct(
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
 
+  require(k >= 2, s"graft_kmv_distinct needs k >= 2 (got $k): " +
+    "the estimator is (k-1)/r_k and k below 2 degenerates")
+
   type Buffer = java.util.TreeSet[java.lang.Long]
 
   override def createAggregationBuffer(): Buffer = new java.util.TreeSet[java.lang.Long]()

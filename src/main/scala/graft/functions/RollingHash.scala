@@ -42,7 +42,11 @@ case class RollingHashShingles(child: Expression, n: Int)
     if (len < n) return new GenericArrayData(Array.empty[Long])
     val h = new Array[Long](len)
     var i = 0
-    while (i < len) { h(i) = arr.getUTF8String(i).toString.hashCode.toLong; i += 1 }
+    while (i < len) {
+      val s = arr.getUTF8String(i) // null array elements hash as 0
+      h(i) = if (s == null) 0L else s.toString.hashCode.toLong
+      i += 1
+    }
     var bPow = 1L // B^(n-1)
     i = 1
     while (i < n) { bPow *= B; i += 1 }

@@ -88,8 +88,12 @@ object QueriesIngest {
       val gap = 0.5
       (s, _) => {
         import s.implicits._
+        // texts trimmed on BOTH sides: the aggregator trims its running
+        // concatenation, string_agg does not — pre-trimmed inputs make
+        // the two joins byte-identical
         val raw = readJson(s, rawSchema, "raw_transcripts.jsonl")
           .where(length(trim(col("text"))) > 0)
+          .withColumn("text", trim(col("text")))
           .as[(String, Double, Double, String)]
           .map { case (vid, st, dur, tx) => (vid, graft.model.Segment(st, dur, tx)) }
         raw.groupByKey(_._1).mapValues(_._2)
@@ -105,7 +109,7 @@ object QueriesIngest {
       }
     },
       Some(s"""WITH seg AS (
-        |  SELECT video_id, start, duration, text
+        |  SELECT video_id, start, duration, trim(text) AS text
         |  FROM read_json_auto('$FixtureDir/raw_transcripts.jsonl')
         |  WHERE length(trim(text)) > 0),
         |flags AS (

@@ -57,7 +57,8 @@ class StubTranscriptScanBuilder(full: StructType, options: CaseInsensitiveString
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan = {
-    val ids = Option(options.get("ids")).map(_.split(',').toSeq.filter(_.nonEmpty))
+    val ids = Option(options.get("ids"))
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(Seq.empty)
     val parts = math.max(1, Option(options.get("numPartitions"))
       .map(_.toInt).getOrElse(1))
@@ -101,20 +102,22 @@ class StubTranscriptReader(required: StructType, ids: Array[String])
     }
   private var current: (String, Double, Double, String) = _
 
+  // projection resolved ONCE per reader, not per row (scan hot path)
+  private val extractors: Array[((String, Double, Double, String)) => Any] =
+    required.fieldNames.map {
+      case "video_id" => (r: (String, Double, Double, String)) => UTF8String.fromString(r._1)
+      case "start" => (r: (String, Double, Double, String)) => r._2
+      case "duration" => (r: (String, Double, Double, String)) => r._3
+      case "text" => (r: (String, Double, Double, String)) => UTF8String.fromString(r._4)
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    }
+
   override def next(): Boolean = {
     if (rows.hasNext) { current = rows.next(); true } else false
   }
 
-  override def get(): InternalRow = {
-    val values = required.fieldNames.map {
-      case "video_id" => UTF8String.fromString(current._1)
-      case "start" => current._2
-      case "duration" => current._3
-      case "text" => UTF8String.fromString(current._4)
-      case other => throw new IllegalArgumentException(s"unknown column $other")
-    }
-    InternalRow.fromSeq(values.toIndexedSeq)
-  }
+  override def get(): InternalRow =
+    InternalRow.fromSeq(extractors.map(_.apply(current)).toIndexedSeq)
 
   override def close(): Unit = ()
 }

@@ -7,8 +7,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** A word/segment event flowing into utterance assembly. */
 case class WordEvent(source: String, ts: java.sql.Timestamp, word: String)
 
-/** Accumulated per-source state: the in-progress utterance. */
-case class UtteranceState(startUs: Long, endUs: Long, words: Seq[String])
+/** Accumulated per-source state: the in-progress utterance's words
+  * with their timestamps (kept so late-but-in-watermark words can
+  * slot into time order before splits are decided). */
+case class UtteranceState(words: Seq[(Long, String)])
 
 /** One assembled utterance. */
 case class Utterance(source: String, start_us: Long, end_us: Long,
@@ -88,44 +90,57 @@ object Sessions {
                                  watermark: String = "2 seconds"): Dataset[Utterance] = {
     import words.sparkSession.implicits._
     val gapUs = (gapSec * 1e6).toLong
+    val isStreaming = words.isStreaming
 
-    def finish(source: String, st: UtteranceState): Utterance =
-      Utterance(source, st.startUs, st.endUs, st.words.length,
-        st.words.mkString(" "))
+    // full microsecond precision: getTime truncates to ms, the
+    // sub-ms part lives in getNanos
+    def micros(ts: java.sql.Timestamp): Long =
+      (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+
+    def finish(source: String, ws: Seq[(Long, String)]): Utterance =
+      Utterance(source, ws.head._1, ws.last._1, ws.length,
+        ws.map(_._2).mkString(" "))
+
+    /** Split a time-sorted word list on gaps: (closed groups, pending). */
+    def split(ws: Seq[(Long, String)]): (Seq[Seq[(Long, String)]], Seq[(Long, String)]) = {
+      val groups = ws.foldLeft(Vector.empty[Vector[(Long, String)]]) { (acc, w) =>
+        acc.lastOption match {
+          // strict <: a word at exactly gapSec starts a NEW utterance,
+          // matching session_window's exclusive end and batchUtteranceIds
+          case Some(g) if w._1 - g.last._1 < gapUs => acc.init :+ (g :+ w)
+          case _ => acc :+ Vector(w)
+        }
+      }
+      (groups.init, groups.lastOption.getOrElse(Vector.empty))
+    }
 
     def update(source: String, events: Iterator[WordEvent],
                state: GroupState[UtteranceState]): Iterator[Utterance] = {
       if (state.hasTimedOut) {
-        val out = state.getOption.map(finish(source, _)).toSeq
+        val out = state.getOption.filter(_.words.nonEmpty)
+          .map(st => finish(source, st.words)).toSeq
         state.remove()
         out.iterator
       } else {
-        val incoming = events.toSeq.sortBy(w => (w.ts.getTime, w.word))
-        var pending = state.getOption
-        val emitted = Seq.newBuilder[Utterance]
-        incoming.foreach { w =>
-          val tUs = w.ts.getTime * 1000L
-          pending match {
-            // strict <: a word at exactly gapSec starts a NEW utterance,
-            // matching session_window's exclusive end and batchUtteranceIds
-            case Some(st) if tUs - st.endUs < gapUs =>
-              pending = Some(UtteranceState(st.startUs, math.max(st.endUs, tUs),
-                st.words :+ w.word))
-            case Some(st) =>
-              emitted += finish(source, st)
-              pending = Some(UtteranceState(tUs, tUs, Seq(w.word)))
-            case None =>
-              pending = Some(UtteranceState(tUs, tUs, Seq(w.word)))
+        // merge pending + incoming and sort — late words inside the
+        // watermark slot into time order before splits are decided
+        val all = (state.getOption.map(_.words).getOrElse(Seq.empty) ++
+          events.map(w => micros(w.ts) -> w.word))
+          .sortBy(identity)
+        val (closed, pending) = split(all)
+        val emitted = closed.map(finish(source, _))
+        if (pending.nonEmpty) {
+          if (isStreaming) {
+            state.update(UtteranceState(pending))
+            // flush when the watermark passes the utterance gap horizon
+            state.setTimeoutTimestamp(pending.last._1 / 1000L + (gapUs / 1000L).max(1L))
+          } else {
+            // batch backfill: timeouts never fire, emit the tail now
+            state.remove()
+            return (emitted :+ finish(source, pending)).iterator
           }
         }
-        pending match {
-          case Some(st) =>
-            state.update(st)
-            // flush when the watermark passes the utterance gap horizon
-            state.setTimeoutTimestamp(st.endUs / 1000L + (gapUs / 1000L).max(1L))
-          case None => ()
-        }
-        emitted.result().iterator
+        emitted.iterator
       }
     }
 
