@@ -123,6 +123,42 @@ object Dedup {
       .select("id_a", "id_b", "n_inter", "sz_a", "sz_b", "jaccard")
   }
 
+  /** Duplicate GROUPS from candidate pairs via iterative label
+    * propagation (connected components): every id starts as its own
+    * label; each round, a node adopts the minimum label among itself
+    * and its neighbors; converged when no label changes. Each round is
+    * two equi-joins + a hash-agg — the standard scale formulation (no
+    * driver-side union-find, no graph library). Diameter of near-dup
+    * clusters is small in practice, so `maxIter` rounds suffice; the
+    * loop exits early on convergence. */
+  def duplicateGroups(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("id_b"), col("label")), Seq("id_b"))
+        .groupBy(col("id_a").as("id"))
+        .agg(min(col("label")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label")))
+          .as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      converged = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
+        .where(col("label") =!= col("prev")).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    labels.withColumnRenamed("label", "group_id")
+  }
+
   /** SimHash (16-bit, md5-backed): per token take the first 4 hex
     * nibbles of md5(token); each of the 16 bits votes +1/-1; the sign
     * of each bit-sum forms the fingerprint. Near-dups differ in few

@@ -73,13 +73,41 @@ object Text {
   def stopwordHits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit): _*)))
 
-  /** n-gram-free language-ID heuristic: argmax of per-language
+  /** Word-unigram language-ID heuristic: argmax of per-language
     * stopword hit counts; null when no evidence. Pure expressions —
     * stays in whole-stage codegen. */
   def langIdHeuristic(textCol: Column): Column = {
     val toks = rawTokens(textCol)
     val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct(stopwordHits(toks, words).as("hits"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang"))
+  }
+
+  /** Characteristic character trigrams per language (public knowledge:
+    * high-frequency function-word fragments, diacritic-bearing for
+    * vi). Space-padded trigrams capture word boundaries. */
+  val charTrigramProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "he ", " th", "ing", "and", " of", "of ", "ion", " is", "is "),
+    "de" -> Seq("der", "ein", "ich", "sch", "und", " de", "die", "cht", "en ", "nde"),
+    "fr" -> Seq(" le", "les", "des", "ent", "que", " qu", "est", "une", " un", "ais"),
+    "es" -> Seq(" el", "el ", " la", "los", " es", "es ", "ión", "ado", " un", "una"),
+    "vi" -> Seq("ng ", " ng", "nh ", " ch", " th", "ười", "ông", "iệ", "ậ", "ờ"))
+
+  /** Character n-gram language ID: per language, the fraction of the
+    * text's char trigrams found in that language's profile; argmax
+    * with the same null-on-no-evidence contract as langIdHeuristic.
+    * More robust than word matching on unsegmented or OCR-ish text. */
+  def langIdCharNgram(textCol: Column): Column = {
+    val padded = concat(lit(" "), lower(textCol), lit(" "))
+    val grams = transform(sequence(lit(1), greatest(length(padded) - 2, lit(0))),
+      i => padded.substr(i, lit(3)))
+    val scored = charTrigramProfiles.toSeq.sortBy(_._1).map { case (lang, profile) =>
+      // substring profiles (vi diacritics) need contains, not equality
+      val hits = size(filter(grams, g =>
+        profile.map(p => g.contains(p)).reduce(_ || _)))
+      struct(hits.as("hits"), lit(lang).as("lang"))
     }
     val best = array_max(array(scored: _*))
     when(best.getField("hits") > 0, best.getField("lang"))

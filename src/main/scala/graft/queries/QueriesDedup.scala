@@ -86,6 +86,22 @@ object QueriesDedup {
         |  JOIN sz zb ON zb.doc_id = i.id_b
         |ORDER BY 1, 2""".stripMargin)),
 
+    // ---- q45: duplicate groups (connected components over LSH pairs)
+    QueryDef("q45_duplicate_groups",
+      (s, d) => Dedup.duplicateGroups(
+          Dedup.lshCandidatePairs(documents(s, d), "doc_id", "text", ShingleN, K, Bands),
+          maxIter = 20)
+        .orderBy("id"),
+      Some(s"""${lshCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |edges AS (SELECT id_a AS a, id_b AS b FROM cand
+        |  UNION SELECT id_b, id_a FROM cand),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS id, least(a, min(b)) AS group_id
+        |FROM reach GROUP BY a ORDER BY id""".stripMargin)),
+
     // ---- q44: SimHash fingerprints ----------------------------------
     QueryDef("q44_simhash",
       (s, d) => Dedup.simhash(documents(s, d), "doc_id", "text")

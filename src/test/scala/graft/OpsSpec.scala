@@ -32,6 +32,42 @@ class TextSpec extends SparkSpec {
     assert(out.toSeq == cases.map(_._2))
   }
 
+  test("langIdCharNgram identifies languages from character trigrams") {
+    val cases = Seq(
+      "the weather is changing and the wind is strong" -> "en",
+      "die Kinder und der Hund sind schnell nach Hause" -> "de",
+      "les enfants que nous avons est une question" -> "fr",
+      "los perros y el gato están en una casa" -> "es",
+      "người Việt thường ăn cơm chung với gia đình" -> "vi")
+    val out = cases.map(_._1).toDF("t")
+      .select(Text.langIdCharNgram(col("t"))).as[String].collect()
+    assert(out.toSeq == cases.map(_._2))
+    val none = Seq("zz qq xx").toDF("t")
+      .select(Text.langIdCharNgram(col("t"))).as[Option[String]].head()
+    assert(none.isEmpty)
+  }
+
+  test("duplicateGroups finds connected components from candidate pairs") {
+    import graft.ops.Dedup
+    // components: {1,2,3,4} (chain), {10,11}, singletons never in pairs absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val groups = Dedup.duplicateGroups(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(groups(1L) == 1L && groups(2L) == 1L && groups(3L) == 1L && groups(4L) == 1L)
+    assert(groups(10L) == 10L && groups(11L) == 10L)
+    // end-to-end: exact-dup docs land in one group
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta!"),
+      (4L, "completely different text about engines here"))
+      .toDF("doc_id", "text")
+    val cand = Dedup.lshCandidatePairs(docs, "doc_id", "text", 3, 8, 4)
+    val g = Dedup.duplicateGroups(cand).as[(Long, Long)].collect().toMap
+    assert(g(1L) == 1L && g(2L) == 1L && g(3L) == 1L)
+    assert(!g.contains(4L)) // never a candidate -> not in any group
+  }
+
   test("langIdHeuristic null when no evidence") {
     val out = Seq("zzz qqq xxx").toDF("t")
       .select(Text.langIdHeuristic(col("t"))).as[Option[String]].head()
