@@ -159,6 +159,14 @@ object Dedup {
     labels.withColumnRenamed("label", "group_id")
   }
 
+  /** Near-dup survivor selection: drop every group member except the
+    * representative (min id). Docs that were never candidates survive
+    * untouched — one anti-join against the non-representative set. */
+  def dedupSurvivors(df: DataFrame, idCol: String, groups: DataFrame): DataFrame = {
+    val losers = groups.where(col("id") =!= col("group_id")).select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** SimHash (16-bit, md5-backed): per token take the first 4 hex
     * nibbles of md5(token); each of the 16 bits votes +1/-1; the sign
     * of each bit-sum forms the fingerprint. Near-dups differ in few

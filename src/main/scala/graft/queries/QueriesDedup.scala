@@ -102,6 +102,29 @@ object QueriesDedup {
         |SELECT a AS id, least(a, min(b)) AS group_id
         |FROM reach GROUP BY a ORDER BY id""".stripMargin)),
 
+    // ---- q46: the end-to-end near-dedup operator: survivors only ----
+    QueryDef("q46_dedup_survivors",
+      (s, d) => {
+        val docs = documents(s, d)
+        val groups = Dedup.duplicateGroups(
+          Dedup.lshCandidatePairs(docs, "doc_id", "text", ShingleN, K, Bands),
+          maxIter = 20)
+        Dedup.dedupSurvivors(docs, "doc_id", groups)
+          .select("doc_id", "lang", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some(s"""${lshCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |edges AS (SELECT id_a AS a, id_b AS b FROM cand
+        |  UNION SELECT id_b, id_a FROM cand),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |grp AS (SELECT a AS id, least(a, min(b)) AS group_id FROM reach GROUP BY a)
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM grp WHERE id != group_id)
+        |ORDER BY doc_id""".stripMargin)),
+
     // ---- q44: SimHash fingerprints ----------------------------------
     QueryDef("q44_simhash",
       (s, d) => Dedup.simhash(documents(s, d), "doc_id", "text")
