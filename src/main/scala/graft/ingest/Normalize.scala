@@ -160,6 +160,20 @@ object Normalize {
     df.groupBy("status").agg(count(lit(1)).as("n"))
 
   // -------------------------------------------------------------------
+  // K2 — run-state sink: a single summary row overwritten per run
+  // (reference main.py:19-22 writes last_run.json). Batch form of the
+  // streaming checkpoint; `coalesce(1)` because state is one row by
+  // contract, not a data partition.
+  // -------------------------------------------------------------------
+  def writeRunState(state: DataFrame, path: String): Unit =
+    state.coalesce(1).write.mode("overwrite").json(path)
+
+  def readRunState(spark: org.apache.spark.sql.SparkSession,
+                   schema: org.apache.spark.sql.types.StructType,
+                   path: String): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  // -------------------------------------------------------------------
   // T10 validation — the Pydantic-style "reject malformed records"
   // semantics (inputs/schema.py:12-18): schema is enforced on read
   // (declared StructType), and content constraints fail the job with a

@@ -139,6 +139,10 @@ object Dedup {
     var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // labels only ever decrease, so an unchanged sum(label) proves a
+    // fixpoint — one cheap agg action per round instead of a
+    // self-join + isEmpty
+    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -150,12 +154,14 @@ object Dedup {
         .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label")))
           .as("label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      converged = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
-        .where(col("label") =!= col("prev")).isEmpty
+      val nextSum = next.agg(sum(col("label"))).head.getLong(0)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels.unpersist()
       labels = next
       iter += 1
     }
+    edges.unpersist()
     labels.withColumnRenamed("label", "group_id")
   }
 

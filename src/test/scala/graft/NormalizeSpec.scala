@@ -77,6 +77,20 @@ class NormalizeSpec extends SparkSpec {
     assert(Normalize.latestBy(fresh, "mtime").select("name").as[String].head() == "c.wav")
   }
 
+  test("K2 run-state sink overwrites; latest write wins") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("runstate").toString
+    val schema = StructType(Seq(
+      StructField("timestamp", StringType), StructField("record_id", StringType)))
+    Normalize.writeRunState(
+      Seq(("2025-10-03T10:07:03Z", "r1")).toDF("timestamp", "record_id"), dir)
+    Normalize.writeRunState(
+      Seq(("2025-10-03T11:00:00Z", "r2")).toDF("timestamp", "record_id"), dir)
+    val state = Normalize.readRunState(spark, schema, dir)
+      .as[(String, String)].collect()
+    assert(state.toSeq == Seq(("2025-10-03T11:00:00Z", "r2"))) // overwritten, one row
+  }
+
   test("T10 requireValid passes clean data, raises with row context on violation") {
     val ok = Seq(("a", 1.0), ("b", 2.0)).toDF("id", "v")
     assert(Normalize.requireValid(ok, col("v") > 0, "v must be positive").count() == 2)
