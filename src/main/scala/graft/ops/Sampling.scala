@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting / packing operators for
+  * training-data pipelines. The reference pins reproducibility via
+  * id-skip idempotence (inputs/youtube_audio_extractor.py:47); at
+  * engine scale the same property — "membership is a pure function of
+  * the record, never of the run" — is what makes splits stable across
+  * reruns, incremental loads, and cluster sizes.
+  *
+  * All randomness is md5-hash-derived (engine-portable, oracle-
+  * verifiable): the first 8 hex chars of md5(id) interpreted as a
+  * 32-bit integer give a uniform bucket. No RNG, no seed plumbing, no
+  * driver state — each operator is a pure narrow map (plus at most one
+  * broadcast join), so it scales embarrassingly.
+  */
+object Sampling {
+
+  /** Uniform 32-bit hash of a column: first 8 hex chars of
+    * md5(string(c)) as a long in [0, 2^32). */
+  def hashLong(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Deterministic uniform bucket in [0, n). */
+  def hashBucket(c: Column, n: Int): Column = hashLong(c) % n
+
+  /** Train/val/test split: adds a `split` column. Percentages are out
+    * of 100; the remainder is `test`. Membership depends only on the
+    * id value, so adding rows never reshuffles existing assignments. */
+  def hashSplit(df: DataFrame, idCol: String, trainPct: Int, valPct: Int): DataFrame = {
+    val b = hashBucket(col(idCol), 100)
+    df.withColumn("split",
+      when(b < trainPct, lit("train"))
+        .when(b < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  /** Balanced stratified downsample: keep ~`target` rows per stratum,
+    * deterministically. The per-stratum keep-fraction is derived from
+    * observed counts (one hash-agg), broadcast back (strata are few by
+    * definition), and applied as a pure filter — no sort, no shuffle
+    * of the data itself. Thresholds are integers out of 10000 so the
+    * boundary is exact and portable. */
+  def balancedSample(df: DataFrame, stratumCol: String, idCol: String,
+                     target: Long): DataFrame = {
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("__cnt"))
+    val thresh = least(lit(10000L),
+      floor(lit(10000.0) * target / col("__cnt")).cast("long"))
+    df.join(broadcast(counts), Seq(stratumCol))
+      .where(hashBucket(col(idCol), 10000) < thresh)
+      .drop("__cnt")
+  }
+
+  /** Weighted source mixing: keep each row with its stratum's rate
+    * (default for unlisted strata). The training-mixture op — "100% of
+    * wiki, 25% of crawl" — as a stateless filter. Rates are fixed at
+    * plan time, so this composes with incremental ingestion: the same
+    * row always makes the same choice. */
+  def weightedMix(df: DataFrame, stratumCol: String, idCol: String,
+                  rates: Map[String, Double], default: Double): DataFrame = {
+    val thresh = rates.foldLeft(lit((default * 10000).toLong)) {
+      case (acc, (k, v)) =>
+        when(col(stratumCol) === k, lit((v * 10000).toLong)).otherwise(acc)
+    }
+    df.where(hashBucket(col(idCol), 10000) < thresh)
+  }
+
+  /** Concat-and-chunk sequence packing: lay documents end-to-end (in
+    * id order) and cut every `budget` cost units — the standard LLM
+    * pretraining packing. Emits each doc's byte/token offset, first
+    * sequence index, and how many sequences it spans.
+    *
+    * Packing is computed independently within `nShards` hash-shards:
+    * a single global running sum would serialize on one task, while
+    * per-shard windows scale linearly with the cluster (each shard is
+    * one partition of the window shuffle). Shard membership is
+    * hash-of-id, so packing is reproducible run-to-run. */
+  def packSequences(df: DataFrame, idCol: String, costCol: String,
+                    budget: Long, nShards: Int): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), col(costCol).cast("long").as("cost"),
+        hashBucket(col(idCol), nShards).as("shard"))
+      .withColumn("offset", coalesce(sum(col("cost")).over(w), lit(0L)))
+      .withColumn("seq_first", expr(s"offset div ${budget}L"))
+      .withColumn("n_seqs",
+        expr(s"(offset + greatest(cost, 1L) - 1L) div ${budget}L") -
+          col("seq_first") + lit(1L))
+  }
+}

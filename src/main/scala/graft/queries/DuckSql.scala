@@ -34,6 +34,13 @@ object DuckSql {
   def cosine(a: String, b: String, dim: Int): String =
     s"(${dot(a, b, dim)} / (sqrt(${dot(a, a, dim)}) * sqrt(${dot(b, b, dim)})))"
 
+  /** Mirror of Sampling.hashLong: first 8 hex chars of md5(CAST(c AS
+    * VARCHAR)) as a BIGINT (DuckDB 1.0 has no conv(); sum nibbles). */
+  def hashLong(c: String): String =
+    (0 until 8).map { i =>
+      s"(strpos('0123456789abcdef', substr(md5(CAST($c AS VARCHAR)), ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}"
+    }.mkString("(", " + ", ")")
+
   /** Mirror of Dedup.simhash16 on a token-list expression: 16 bits
     * from the first 4 hex nibbles of md5(token), +1/-1 votes, sign. */
   def simhash16(toksExpr: String): String = {

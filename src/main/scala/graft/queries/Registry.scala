@@ -14,7 +14,8 @@ object Registry {
       QueriesDedup.defs ++
       QueriesSimilarity.defs ++
       QueriesIngest.defs ++
-      QueriesPipeline.defs
+      QueriesPipeline.defs ++
+      QueriesSampling.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
