@@ -132,13 +132,24 @@ object Dedup {
     * clusters is small in practice, so `maxIter` rounds suffice; the
     * loop exits early on convergence. */
   def duplicateGroups(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    val edges = pairs.select(col("id_a"), col("id_b"))
-      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (not persist): an iterative plan over cached
+    // frames still nests each round's InMemoryRelation inside the
+    // next, so analysis cost grows quadratically with iterations;
+    // checkpointing truncates the lineage to the materialized
+    // partitions each round. Eager, so `pairs` is computed exactly
+    // once (the symmetric-closure union below consumes it twice).
+    // Memory held: ≤ maxIter label tables, each O(docs inside dup
+    // clusters) — tiny relative to the corpus.
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    // id_a < id_b on input, so the two closure branches are disjoint
+    // and duplicate-free — no distinct (and min() over an edge list
+    // is duplicate-insensitive anyway)
+    val edges = p
+      .union(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint(true)
     var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // labels only ever decrease, so an unchanged sum(label) proves a
     // fixpoint — one cheap agg action per round instead of a
     // self-join + isEmpty
@@ -153,15 +164,13 @@ object Dedup {
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label")))
           .as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val nextSum = next.agg(sum(col("label"))).head.getLong(0)
       converged = nextSum == prevSum
       prevSum = nextSum
-      labels.unpersist()
       labels = next
       iter += 1
     }
-    edges.unpersist()
     labels.withColumnRenamed("label", "group_id")
   }
 

@@ -184,15 +184,24 @@ object Similarity {
   def cosineNearDupPairsExact(df: DataFrame, threshold: Double,
                               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
-      normNative(col(vecCol)).as("__na"))
+    // repartition the streamed side: the nested-loop join inherits the
+    // scan's partitioning, and a single-file parquet table scans as
+    // ONE partition — the whole O(n²) dot-product loop would run on
+    // one core. The broadcast (b) side needs no spread.
+    val a = df.repartition(col(idCol))
+      .select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+        normNative(col(vecCol)).as("__na"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
       normNative(col(vecCol)).as("__nb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine",
-        round(dotNative(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 4))
-      .where(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine")
+    // the full predicate lives in the join condition, cheap conjunct
+    // first: And short-circuits, so the 64-dim dot runs only for the
+    // id_a < id_b half of the n² pairs (a post-join .where() gets
+    // merged into the condition with the expensive conjunct first).
+    // Survivors are few, so re-projecting cosine afterwards is free.
+    val cosine =
+      round(dotNative(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 4)
+    a.join(b, col("id_a") < col("id_b") && cosine >= threshold)
+      .select(col("id_a"), col("id_b"), cosine.as("cosine"))
   }
 
   /** Embedding-cosine near-duplicate pairs, SRP-bucketed: the
