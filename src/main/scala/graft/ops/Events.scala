@@ -105,4 +105,72 @@ object Events {
   /** JSON property extraction from a string column (events.props). */
   def jsonInt(c: Column, path: String): Column =
     get_json_object(c, path).cast("bigint")
+
+  /** Ordered (sequential) funnel: users who performed steps(0), then
+    * steps(1) at-or-after it, then steps(2) after that, … Returns one
+    * row per step with the surviving-user count.
+    *
+    * One conditional-min aggregation per step, each a key-partitioned
+    * shuffle joined back to the (small, per-user) reached set — never
+    * an event-to-event self-join, so cost stays O(steps × |events|)
+    * at any scale. */
+  def sequentialFunnel(events: DataFrame, key: String, ts: String,
+                       typeCol: String, steps: Seq[String]): DataFrame = {
+    var reached = events.where(col(typeCol) === steps.head)
+      .groupBy(col(key)).agg(min(col(ts)).as("__t"))
+    var out = reached.groupBy()
+      .agg(count(lit(1)).as("n_users"))
+      .select(lit(1L).as("step"), lit(steps.head).as("event_type"), col("n_users"))
+    steps.tail.zipWithIndex.foreach { case (stepName, i) =>
+      reached = events.where(col(typeCol) === stepName)
+        .join(reached.select(col(key), col("__t").as("__prev")), Seq(key))
+        .where(col(ts) >= col("__prev"))
+        .groupBy(col(key)).agg(min(col(ts)).as("__t"))
+      out = out.unionByName(reached.groupBy()
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 2L).as("step"), lit(stepName).as("event_type"), col("n_users")))
+    }
+    out
+  }
+
+  /** Resample to fixed `seconds` buckets per key over each key's
+    * observed span, materializing empty buckets (count 0) and carrying
+    * the last observed aggregate forward (LOCF).
+    *
+    * The grid is generated from the per-key [first, last] bucket via
+    * sequence+explode — O(keys × span/bucket) rows, never a global
+    * calendar cross-join. The bucket aggregate is checkpointed once:
+    * the span scan and the grid join both consume it, and without the
+    * barrier each branch would re-aggregate the raw events. */
+  def resampleLocf(events: DataFrame, key: String, ts: String,
+                   valueCol: String, seconds: Long): DataFrame = {
+    val aggs = events
+      .groupBy(col(key), bucketStart(col(ts), seconds).as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        Relational.sumExact(col(valueCol)).as("sum_value"))
+      .localCheckpoint(true)
+    val spans = aggs.groupBy(col(key))
+      .agg(min("bucket").as("__lo"), max("bucket").as("__hi"))
+    val grid = spans.select(col(key),
+      explode(expr(s"sequence(__lo, __hi, interval $seconds second)")).as("bucket"))
+    val w = Window.partitionBy(col(key)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(aggs, Seq(key, "bucket"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("locf_value", last(col("sum_value"), ignoreNulls = true).over(w))
+  }
+
+  /** Cohort retention: users grouped by the ISO week of their first
+    * event; for each (cohort week, week offset) the count of distinct
+    * active users. Two shuffles: the first-event agg and the final
+    * group-by; the join back is a plain equi-join on the key. */
+  def cohortRetention(events: DataFrame, key: String, ts: String): DataFrame = {
+    val firsts = events.groupBy(col(key))
+      .agg(date_trunc("week", min(col(ts))).cast("date").as("cohort_week"))
+    events.join(firsts, Seq(key))
+      .groupBy(col("cohort_week"),
+        (datediff(date_trunc("week", col(ts)).cast("date"), col("cohort_week")) / 7)
+          .cast("bigint").as("week_offset"))
+      .agg(count_distinct(col(key)).as("n_users"))
+  }
 }

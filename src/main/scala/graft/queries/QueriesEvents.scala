@@ -106,5 +106,58 @@ object QueriesEvents {
         |  CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END
         |    AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value
         |FROM events GROUP BY 1 HAVING sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
-        |ORDER BY 1""".stripMargin)))
+        |ORDER BY 1""".stripMargin)),
+
+    // ---- q87: ordered funnel (signup -> click -> purchase, in time
+    // order — unlike q25's order-free conditional counts) -------------
+    QueryDef("q87_sequential_funnel",
+      (s, d) => Events.sequentialFunnel(events(s, d), "user_id", "ts",
+          "event_type", Seq("signup", "click", "purchase"))
+        .orderBy("step"),
+      Some("""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND ts >= t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts >= t2 GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type, count(*) AS n_users FROM s1
+        |UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+        |ORDER BY step""".stripMargin)),
+
+    // ---- q88: resample to 6h buckets + gap fill + LOCF ---------------
+    QueryDef("q88_resample_locf",
+      (s, d) => Events.resampleLocf(events(s, d), "user_id", "ts", "value", 21600)
+        .select(col("user_id"),
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+          col("n_events"), col("sum_value"), col("locf_value"))
+        .orderBy("user_id", "bucket"),
+      Some("""WITH b AS (SELECT user_id,
+        |    make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS bucket,
+        |    count(*) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY 1),
+        |g AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 21600 SECOND)) AS bucket FROM s),
+        |j AS (SELECT g.user_id, g.bucket,
+        |    CAST(coalesce(b.n_events, 0) AS BIGINT) AS n_events, b.sum_value,
+        |    count(b.sum_value) OVER (PARTITION BY g.user_id ORDER BY g.bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM g LEFT JOIN b ON b.user_id = g.user_id AND b.bucket = g.bucket)
+        |SELECT user_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, n_events, sum_value,
+        |  max(sum_value) OVER (PARTITION BY user_id, grp) AS locf_value
+        |FROM j ORDER BY user_id, bucket""".stripMargin)),
+
+    // ---- q89: weekly cohort retention --------------------------------
+    QueryDef("q89_cohort_retention",
+      (s, d) => Events.cohortRetention(events(s, d), "user_id", "ts")
+        .orderBy("cohort_week", "week_offset"),
+      Some("""WITH f AS (SELECT user_id,
+        |  CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |  FROM events GROUP BY 1)
+        |SELECT cohort_week,
+        |  date_diff('day', cohort_week, CAST(date_trunc('week', ts) AS DATE)) // 7 AS week_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
 }
