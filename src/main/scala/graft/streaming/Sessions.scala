@@ -150,6 +150,46 @@ object Sessions {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Stream-stream interval join: match each left event to right
+    * events of the same key whose timestamp lies in
+    * [leftTs - lowerSec, leftTs + upperSec]. Both sides carry
+    * watermarks, and the time-range conjuncts bound the join state:
+    * Spark can discard buffered rows once the watermark passes the
+    * interval, so state is O(rate × interval), not O(stream). Without
+    * the range bounds a stream-stream join would buffer forever. */
+  def joinWithinInterval(left: DataFrame, right: DataFrame, keyCol: String,
+                         leftTs: String, rightTs: String,
+                         lowerSec: Long, upperSec: Long,
+                         watermark: String = "30 seconds"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(keyCol) === r(keyCol) &&
+        r(rightTs) >= l(leftTs) - expr(s"interval $lowerSec seconds") &&
+        r(rightTs) <= l(leftTs) + expr(s"interval $upperSec seconds"))
+      .drop(r(keyCol))
+  }
+
+  /** foreachBatch idempotent key-append sink: each micro-batch is
+    * anti-joined against the keys already in the target before
+    * appending, so a replayed batch (failure/restart re-delivery)
+    * inserts nothing twice — the sink-side form of the reference's
+    * `overwrites: False` id-skip (O1). The target stays append-only
+    * parquet; no transactional store is required for at-least-once
+    * upstream to become effectively-once downstream. */
+  def foreachBatchDedupSink(stream: DataFrame, idCol: String,
+                            targetDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val fresh =
+        if (new java.io.File(targetDir).exists()) {
+          val existing = spark.read.parquet(targetDir).select(idCol)
+          batch.join(existing, Seq(idCol), "left_anti")
+        } else batch
+      fresh.write.mode("append").parquet(targetDir)
+      ()
+    }
+
   /** Silence split column for batch backfill of utterance assembly:
     * same gap semantics as session_window but expressed with lag over
     * a window — used to cross-check streaming vs batch results. */

@@ -110,4 +110,51 @@ class StreamingSpec extends SparkSpec {
       assert(out == Set((2L, 5.0), (1L, 1.0)))
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches within the time bound only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Rec]
+    val views = MemoryStream[Rec]
+    val joined = Sessions.joinWithinInterval(
+      clicks.toDF().withColumnRenamed("payload", "click_p"),
+      views.toDF().withColumnRenamed("payload", "view_p")
+        .withColumnRenamed("ts", "vts"),
+      "id", "ts", "vts", lowerSec = 600, upperSec = 0)
+    val q = joined.select("id", "click_p", "view_p")
+      .writeStream.format("memory").queryName("ij").outputMode("append").start()
+    try {
+      views.addData(
+        Rec("u1", ts("2024-01-01 00:00:00"), "v-early"),
+        Rec("u1", ts("2024-01-01 00:20:00"), "v-late"),
+        Rec("u2", ts("2024-01-01 00:00:00"), "v-other"))
+      clicks.addData(
+        Rec("u1", ts("2024-01-01 00:05:00"), "c1"),   // within 10 min of v-early
+        Rec("u1", ts("2024-01-01 00:25:00"), "c2"))   // within 10 min of v-late only
+      q.processAllAvailable()
+      val out = spark.table("ij").as[(String, String, String)].collect().toSet
+      assert(out == Set(("u1", "c1", "v-early"), ("u1", "c2", "v-late")))
+    } finally q.stop()
+  }
+
+  test("foreachBatch dedup sink is idempotent across replayed keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("dedupsink").toString + "/out"
+    val in = MemoryStream[Rec]
+    val q = Sessions.foreachBatchDedupSink(in.toDF(), "id", dir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck").toString)
+      .start()
+    try {
+      in.addData(Rec("a", ts("2024-01-01 00:00:00"), "p1"),
+        Rec("b", ts("2024-01-01 00:01:00"), "p2"))
+      q.processAllAvailable()
+      // second delivery of "a" (simulated replay) plus a new key
+      in.addData(Rec("a", ts("2024-01-01 00:02:00"), "p1-dup"),
+        Rec("c", ts("2024-01-01 00:03:00"), "p3"))
+      q.processAllAvailable()
+      val out = spark.read.parquet(dir).select("id", "payload")
+        .as[(String, String)].collect().toMap
+      assert(out == Map("a" -> "p1", "b" -> "p2", "c" -> "p3"))
+    } finally q.stop()
+  }
 }
