@@ -7,9 +7,19 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the session before timing: whole-stage codegen compilation,
+    // shuffle machinery, and the parquet reader all JIT on first use
+    // (~4-5 s) and would otherwise be billed to whichever query runs
+    // first
+    try {
+      val w = spark.range(1000).selectExpr("id", "id % 7 AS k")
+      w.join(w.groupBy("k").count(), "k").count()
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
