@@ -82,18 +82,37 @@ object Dedup {
   }
 
   /** Candidate near-dup pairs via MinHash LSH. Output: (id_a, id_b)
-    * with id_a < id_b, distinct. The only shuffles are the signature
-    * aggregate and the equi-join on band keys. */
+    * with id_a < id_b, distinct.
+    *
+    * `maxBucket` guards the self-join blowup: a band key shared by m
+    * docs yields m² candidate pairs, and at corpus scale a few
+    * degenerate buckets (boilerplate, empty-ish docs hashing alike)
+    * can dominate the whole job. Buckets above the cap are dropped
+    * entirely — the standard production trade (docs in a >maxBucket
+    * bucket are near-certainly caught by one of their other bands, or
+    * are exact dupes that exact-dedup already handles). Disabled when
+    * maxBucket <= 0. */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int, k: Int, bands: Int): DataFrame = {
+                        shingleN: Int, k: Int, bands: Int,
+                        maxBucket: Int = 100000): DataFrame = {
     // persisted: both sides of the self-join consume this frame and
     // exchange reuse does not fire across the differently-aliased
     // branches. The frame is O(docs * bands) short rows — the dedup
     // working set — and spills to disk if it outgrows memory.
-    val banded = minhashSignatures(df, idCol, textCol, shingleN, k)
+    val bandedAll = minhashSignatures(df, idCol, textCol, shingleN, k)
       .where(col("sig_0").isNotNull)
       .select(col(idCol), explode(bandKeyArray(k, bands)).as("band"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded =
+      if (maxBucket <= 0) bandedAll
+      else {
+        // one extra hash-agg over the (id, band) rows; the join that
+        // follows is the expensive part being protected
+        val small = bandedAll.groupBy("band")
+          .agg(count(lit(1)).as("__m")).where(col("__m") <= maxBucket)
+          .select("band")
+        bandedAll.join(small, Seq("band"))
+      }
     val a = banded.select(col("band"), col(idCol).as("id_a"))
     val b = banded.select(col("band"), col(idCol).as("id_b"))
     a.join(b, Seq("band"))

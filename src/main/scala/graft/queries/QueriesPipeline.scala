@@ -63,5 +63,15 @@ object QueriesPipeline {
         .select(col("user_id"), col("n_words"),
           unix_micros(col("utterance_start")).as("start_us"))
         .orderBy("user_id", "start_us"),
-      None))
+      // session_window boundary is exclusive: an event at exactly
+      // prev_ts + gap starts a NEW session, hence >= in the oracle
+      Some("""WITH x AS (SELECT user_id, epoch_us(ts) AS tus,
+        |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (SELECT user_id, tus, CAST(sum(new_s) OVER (PARTITION BY user_id
+        |  ORDER BY tus ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM x)
+        |SELECT user_id, count(*) AS n_words, min(tus) AS start_us
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin)))
 }

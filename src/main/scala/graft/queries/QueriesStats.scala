@@ -88,5 +88,19 @@ object QueriesStats {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
         .orderBy("l_returnflag"),
+      None),
+
+    // ---- q90: approximate percentiles (single-pass quantile sketch —
+    // the 100 TB path where exact percentile's full sort/collect is
+    // off the table; rows-only, error bound asserted in StatsSpec) ----
+    QueryDef("q90_approx_percentile",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap50"),
+          expr("approx_percentile(l_extendedprice, array(0.25, 0.75), 1000)")
+            .getItem(0).as("ap25"),
+          expr("percentile(l_extendedprice, 0.5)").as("exact50"))
+        .orderBy("l_returnflag"),
       None))
 }

@@ -121,4 +121,18 @@ class StatsSpec extends SparkSpec {
         s"approx=$approx exact=$exact")
     }
   }
+
+  test("approx_percentile within 2% of exact median (q90 accuracy bound)") {
+    val rows = queries.Registry.byName("q90_approx_percentile").fn(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ap50 = r.getDouble(1)
+      val ap25 = r.getDouble(2)
+      val exact50 = r.getDouble(3)
+      assert(math.abs(ap50 - exact50) / exact50 <= 0.02,
+        s"ap50=$ap50 exact=$exact50")
+      assert(ap25 <= ap50, "quantiles must be monotone")
+    }
+  }
 }

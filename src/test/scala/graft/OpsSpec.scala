@@ -153,6 +153,23 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("lsh maxBucket drops degenerate buckets, keeps normal pairs") {
+    // docs 1 and 4 share all bands (identical text) — a tiny "bucket"
+    // of size 2; capping at 1 removes every pair, capping at 2+ keeps
+    // them, and the default leaves results identical to uncapped
+    val capped1 = Dedup.lshCandidatePairs(docs, "doc_id", "text", 3, 8, 4,
+      maxBucket = 1).count()
+    assert(capped1 == 0)
+    val capped2 = Dedup.lshCandidatePairs(docs, "doc_id", "text", 3, 8, 4,
+      maxBucket = 2).as[(Long, Long)].collect().toSet
+    assert(capped2.contains((1L, 4L)))
+    val uncapped = Dedup.lshCandidatePairs(docs, "doc_id", "text", 3, 8, 4,
+      maxBucket = 0).as[(Long, Long)].collect().toSet
+    val default = Dedup.lshCandidatePairs(docs, "doc_id", "text", 3, 8, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(default == uncapped)
+  }
+
   test("jaccard computes exact overlap on candidate pairs") {
     val pairs = Seq((1L, 4L)).toDF("id_a", "id_b")
     val j = Dedup.jaccard(pairs, docs, "doc_id", "text", 3)
