@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables._
-import graft.ops.Dedup
+import graft.ops.{Dedup, Sampling, Text}
 import org.apache.spark.sql.functions._
 
 /** Deduplication queries (north-star operators): exact hash dedup,
@@ -15,8 +15,9 @@ object QueriesDedup {
   private val K = 8       // minhash signature length
   private val Bands = 4   // LSH bands (rows = K / Bands = 2)
 
-  /** DuckDB CTEs: tokens -> shingles -> signature -> band keys. */
-  private def lshCtes: String = {
+  /** DuckDB CTEs: tokens -> shingles -> signature -> band keys,
+    * over `src` (a table or prior CTE name). */
+  private def lshCtes(src: String = "documents"): String = {
     val sig = (0 until K).map(j =>
       DuckSql.minhashComponent("shingles", j)).mkString("[", ", ", "]")
     val bands = (0 until Bands).map { b =>
@@ -24,7 +25,7 @@ object QueriesDedup {
       val parts = (0 until rows).map(r => s"sig[${b * rows + r + 1}]").mkString(" || '|' || ")
       s"'$b:' || md5($parts)"
     }.mkString("[", ", ", "]")
-    s"""WITH t AS (SELECT doc_id, ${DuckSql.toks("text")} AS toks FROM documents),
+    s"""WITH t AS (SELECT doc_id, ${DuckSql.toks("text")} AS toks FROM $src),
        |sh AS (SELECT doc_id, list_distinct(${DuckSql.shingles("toks", ShingleN)}) AS shingles FROM t),
        |sig AS (SELECT doc_id, $sig AS sig FROM sh),
        |bands AS (SELECT doc_id, unnest($bands) AS band FROM sig),
@@ -59,7 +60,7 @@ object QueriesDedup {
       (s, d) => Dedup.lshCandidatePairs(documents(s, d), "doc_id", "text",
           ShingleN, K, Bands)
         .orderBy("id_a", "id_b"),
-      Some(s"""$lshCtes
+      Some(s"""${lshCtes()}
         |SELECT id_a, id_b FROM cand ORDER BY 1, 2""".stripMargin)),
 
     // ---- q43: exact n-gram Jaccard on LSH candidates ----------------
@@ -73,7 +74,7 @@ object QueriesDedup {
           docs, "doc_id", "text", ShingleN)
           .orderBy("id_a", "id_b")
       },
-      Some(s"""$lshCtes,
+      Some(s"""${lshCtes()},
         |shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
         |sz AS (SELECT doc_id, count(*) AS sz FROM shx GROUP BY 1),
         |inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
@@ -92,7 +93,7 @@ object QueriesDedup {
           Dedup.lshCandidatePairs(documents(s, d), "doc_id", "text", ShingleN, K, Bands),
           maxIter = 20)
         .orderBy("id"),
-      Some(s"""${lshCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      Some(s"""${lshCtes().replaceFirst("WITH ", "WITH RECURSIVE ")},
         |edges AS (SELECT id_a AS a, id_b AS b FROM cand
         |  UNION SELECT id_b, id_a FROM cand),
         |reach AS (
@@ -113,7 +114,7 @@ object QueriesDedup {
           .select("doc_id", "lang", "n_chars")
           .orderBy("doc_id")
       },
-      Some(s"""${lshCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      Some(s"""${lshCtes().replaceFirst("WITH ", "WITH RECURSIVE ")},
         |edges AS (SELECT id_a AS a, id_b AS b FROM cand
         |  UNION SELECT id_b, id_a FROM cand),
         |reach AS (
@@ -130,5 +131,43 @@ object QueriesDedup {
       (s, d) => Dedup.simhash(documents(s, d), "doc_id", "text")
         .orderBy("doc_id"),
       Some(s"""SELECT doc_id, CAST(${DuckSql.simhash16(DuckSql.toks("text"))} AS BIGINT) AS simhash
-        |FROM documents ORDER BY doc_id""".stripMargin)))
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- q91: the end-to-end training-data prep pipeline -------------
+    // language gate -> min-length gate -> LSH near-dedup (survivors)
+    // -> deterministic train/val/test split. Every stage is an
+    // already-verified operator; this pins their composition.
+    QueryDef("q91_training_prep",
+      (s, d) => {
+        val base = documents(s, d)
+          .where(col("lang").isin("en", "de") &&
+            size(Text.tokens(col("text"))) >= 20)
+        val groups = Dedup.duplicateGroups(
+          Dedup.lshCandidatePairs(base, "doc_id", "text", ShingleN, K, Bands),
+          maxIter = 20)
+        Sampling.hashSplit(Dedup.dedupSurvivors(base, "doc_id", groups),
+            "doc_id", 80, 10)
+          .select("doc_id", "lang", "split")
+          .orderBy("doc_id")
+      },
+      Some {
+        val body = lshCtes("base").replaceFirst("WITH ", "")
+        s"""WITH RECURSIVE base AS (SELECT * FROM documents
+        |  WHERE lang IN ('en', 'de') AND len(${DuckSql.toks("text")}) >= 20),
+        |$body,
+        |edges AS (SELECT id_a AS a, id_b AS b FROM cand
+        |  UNION SELECT id_b, id_a FROM cand),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |grp AS (SELECT a AS id, least(a, min(b)) AS group_id FROM reach GROUP BY a)
+        |SELECT doc_id, lang,
+        |  CASE WHEN ${DuckSql.hashLong("doc_id")} % 100 < 80 THEN 'train'
+        |       WHEN ${DuckSql.hashLong("doc_id")} % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM base
+        |WHERE doc_id NOT IN (SELECT id FROM grp WHERE id != group_id)
+        |ORDER BY doc_id""".stripMargin
+      }))
 }
