@@ -60,10 +60,17 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane matrix: `nPlanes` x `dim`,
-    * components in [-1, 1), seeded — reproducible across runs/engines. */
+    * components in [-1, 1). md5-derived (component (i,j) comes from the
+    * first 32 bits of md5("seed:i:j")) rather than a PRNG stream, so
+    * ANY engine can recompute the exact planes from the seed — that is
+    * what makes the SRP bucketing oracle-verifiable in SQL. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(nPlanes, dim)(rnd.nextDouble() * 2 - 1)
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes, dim) { (i, j) =>
+      val hex = mdig.digest(s"$seed:$i:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) / 4294967296.0) * 2 - 1
+    }
   }
 
   /** Sign-random-projection bucket id: one bit per hyperplane.

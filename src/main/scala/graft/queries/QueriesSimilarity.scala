@@ -13,6 +13,27 @@ object QueriesSimilarity {
 
   private val Dim = 64
 
+  /** Mirror of Similarity.hyperplanes component (i, j-1) for a SQL
+    * lambda variable `j` (1-based): first 32 bits of md5("seed:i:j-1")
+    * scaled to [-1, 1), snapped to FLOAT exactly as the Spark side's
+    * plane literals are. */
+  private def srpPlaneW(seed: Long, i: Int): String = {
+    val h = DuckSql.hashLong(s"'$seed:$i:' || (j - 1)")
+    s"CAST(CAST((($h / 4294967296.0) * 2 - 1) AS FLOAT) AS DOUBLE)"
+  }
+
+  /** Projection of `vec` onto plane i — sequential double accumulation,
+    * same order as graft_dot, so the >= 0 sign test is bit-identical. */
+  private def srpProj(vec: String, seed: Long, i: Int): String =
+    s"list_sum(list_transform(generate_series(1, $Dim), " +
+      s"j -> CAST($vec[j] AS DOUBLE) * ${srpPlaneW(seed, i)}))"
+
+  /** Mirror of Similarity.srpBucket. */
+  private def srpBucketSql(vec: String, seed: Long, nPlanes: Int): String =
+    (0 until nPlanes).map { i =>
+      s"(CASE WHEN ${srpProj(vec, seed, i)} >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q50: brute-force cosine top-k for a bounded query set ------
@@ -72,15 +93,29 @@ object QueriesSimilarity {
       }),
 
     // ---- q53: SRP-LSH approximate top-k (the 100 TB scale path) -----
-    // Bucketed equi-join instead of a cross join; rows-only check (the
-    // hyperplane literals are impractical to mirror in oracle SQL).
+    // Bucketed equi-join instead of a cross join. The hyperplanes are
+    // md5-derived from the seed, so the oracle recomputes the exact
+    // bucketing — the approximate path is verified end to end.
     QueryDef("q53_lsh_topk",
       (s, d) => {
         val emb = embeddings(s, d)
         Similarity.lshTopK(emb, emb.where(col("vec_id") < 20), k = 5, nPlanes = 4)
           .orderBy("query_id", "neighbor_id")
       },
-      None),
+      Some {
+        val cos = s"round(${DuckSql.dot("q.embedding", "c.embedding", Dim)} / (q.nrm * c.nrm), 4)"
+        s"""WITH bk AS (SELECT vec_id, embedding,
+        |    sqrt(${DuckSql.dot("embedding", "embedding", Dim)}) AS nrm,
+        |    ${srpBucketSql("embedding", 42L, 4)} AS bucket
+        |  FROM embeddings)
+        |SELECT query_id, neighbor_id, cosine FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cos AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY $cos DESC, c.vec_id) AS rn
+        |  FROM bk q JOIN bk c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+        |  WHERE q.vec_id < 20)
+        |WHERE rn <= 5 ORDER BY query_id, neighbor_id""".stripMargin
+      }),
 
     // ---- q54: IVF approximate top-k (rows-only; recall vs q50 is
     // asserted in SimilaritySpec) -------------------------------------
