@@ -60,4 +60,29 @@ class PlanSpec extends SparkSpec {
     val p = planOf("q42_lsh_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q53: SRP bucketing replaces the cross join with an equi-join") {
+    val p = planOf("q53_lsh_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("q82: per-stratum thresholds broadcast; corpus is filtered, not shuffled") {
+    val p = planOf("q82_balanced_sample")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q84: packing windows partition by shard (no global single-task sort)") {
+    val p = planOf("q84_pack_sequences")
+    val windowLine = p.linesIterator.find(_.contains("Window")).getOrElse("")
+    assert(windowLine.contains("shard"), windowLine)
+  }
+
+  test("q81/q83: deterministic sampling is a pure scan-side filter (no join, no shuffle)") {
+    val p = planOf("q83_weighted_mix")
+    assert(!p.contains("Join"), p)
+    // the only exchange is the final aggregation's
+    assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 2, p)
+  }
 }
