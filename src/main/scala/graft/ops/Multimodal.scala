@@ -172,4 +172,24 @@ object Multimodal {
       explode(transform(
         sequence(lit(0), least(floor(col(durationCol) / everySec), lit(maxFrames - 1))),
         i => i * everySec)))
+
+  /** STUB — image resize. The real implementation pipes bytes through
+    * a codec (`pipeBinary` with e.g. ImageMagick/ffmpeg); this
+    * deterministic fake keeps the Spark-side contract real: binary in,
+    * (resized binary, typed metadata struct) out, computed row-local
+    * with no shuffle. The fake "resized" payload is a truncated,
+    * size-proportional slice so downstream size accounting is
+    * testable. */
+  def resizeStub(content: Column, targetW: Int, targetH: Int): Column = {
+    // fake output size scales with target area; capped by the input
+    val outLen = least(length(content), lit(targetW * targetH / 8 + 16))
+    struct(
+      substring(content, 1, targetW * targetH / 8 + 16).as("resized"),
+      struct(
+        lit(targetW).as("width"),
+        lit(targetH).as("height"),
+        length(content).cast("bigint").as("orig_bytes"),
+        outLen.cast("bigint").as("out_bytes"),
+        md5(content).as("source_fp")).as("meta"))
+  }
 }

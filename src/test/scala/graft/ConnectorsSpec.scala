@@ -109,4 +109,18 @@ class MultimodalSpec extends SparkSpec {
       .select("frame_offset_sec").as[Double].collect().toSeq
     assert(offs == Seq(0.0, 2.0, 4.0, 6.0))
   }
+
+  test("resizeStub: typed metadata, deterministic payload, size accounting") {
+    val big = Array.tabulate[Byte](4096)(_.toByte)
+    val df = Seq(("a", big), ("b", Array[Byte](1, 2, 3))).toDF("id", "content")
+    val out = df.select(col("id"),
+        Multimodal.resizeStub(col("content"), 32, 32).as("r"))
+      .select(col("id"), col("r.meta.width"), col("r.meta.orig_bytes"),
+        col("r.meta.out_bytes"), length(col("r.resized")).cast("bigint"))
+      .as[(String, Int, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    // 32*32/8 + 16 = 144-byte cap; small inputs pass through whole
+    assert(out("a") == ((32, 4096L, 144L, 144L)))
+    assert(out("b") == ((32, 3L, 3L, 3L)))
+  }
 }

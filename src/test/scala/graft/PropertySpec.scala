@@ -94,6 +94,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: hash split partitions every id into exactly one bucket") {
+    val ids = samples(Gen.chooseNum(Long.MinValue, Long.MaxValue), 400).distinct
+    val df = ids.toDF("id")
+    for ((tr, va) <- Seq((80, 10), (50, 25), (0, 0), (100, 0))) {
+      val out = graft.ops.Sampling.hashSplit(df, "id", tr, va)
+        .groupBy("split").count().as[(String, Long)].collect().toMap
+      assert(out.values.sum == ids.length, s"($tr,$va) loses rows")
+      if (tr == 0 && va == 0) assert(out.keySet == Set("test"))
+      if (tr == 100) assert(out.keySet == Set("train"))
+    }
+  }
+
+  test("property: weightedMix keep-rate is monotone in the configured rate") {
+    val ids = samples(Gen.chooseNum(0L, Long.MaxValue), 400).distinct
+    val df = ids.map(i => (i, "s" + (i % 3))).toDF("id", "src")
+    val counts = Seq(0.0, 0.25, 0.5, 0.75, 1.0).map { r =>
+      graft.ops.Sampling.weightedMix(df, "src", "id", Map.empty, r).count()
+    }
+    assert(counts == counts.sorted, counts.toString)
+    assert(counts.head == 0L && counts.last == ids.length)
+  }
+
+  test("property: packSequences conserves cost mass per shard") {
+    val rows = samples(Gen.zip(Gen.chooseNum(0L, 100000L),
+      Gen.chooseNum(1L, 5000L)), 300).distinctBy(_._1)
+    val df = rows.toDF("id", "cost")
+    val out = graft.ops.Sampling.packSequences(df, "id", "cost", 4096L, 4)
+      .groupBy("shard")
+      .agg(max(col("offset") + col("cost")).as("hi"), sum("cost").as("mass"))
+      .as[(Long, Long, Long)].collect()
+    // contiguous layout: the highest end-offset equals the shard's mass
+    out.foreach { case (shard, hi, mass) => assert(hi == mass, s"shard $shard") }
+  }
+
   test("property: SegmentMerge preserves word mass and time span") {
     val segs = samples(segmentGen, 100).zipWithIndex
       .map { case (s, i) => ("k" + (i % 5), s) }
