@@ -135,4 +135,34 @@ object Relational {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Changelog (CDC) apply: fold a stream of upserts/deletes into a
+    * base snapshot. `changes` carries the key, an op column
+    * ('upsert' | 'delete'), an ordering column (sequence/ts), and the
+    * new payload; the LATEST change per key wins, an 'upsert' replaces
+    * the base row, a 'delete' removes it, untouched base rows pass
+    * through.
+    *
+    * Shape: one window shuffle over the (small) changelog to pick each
+    * key's latest change, then one equi-join against the base — the
+    * base is never windowed or re-sorted, so applying a day's changes
+    * to a 100 TB snapshot costs one join, and the changelog side is
+    * broadcast when it fits. */
+  def applyChangelog(base: DataFrame, changes: DataFrame, keyCol: String,
+                     opCol: String, seqCol: String): DataFrame = {
+    val dataCols = base.columns.filter(_ != keyCol)
+    val latest = {
+      val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
+      changes.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col(keyCol) +: col(opCol).as("__op") +:
+          dataCols.map(c => col(c).as(s"__new_$c")): _*)
+    }
+    base.join(latest, Seq(keyCol), "full_outer")
+      .where(col("__op").isNull || col("__op") =!= "delete")
+      .select(col(keyCol) +: dataCols.map { c =>
+        when(col("__op") === "upsert", col(s"__new_$c"))
+          .otherwise(col(c)).as(c)
+      }: _*)
+  }
 }

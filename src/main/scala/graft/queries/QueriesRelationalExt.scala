@@ -96,5 +96,50 @@ object QueriesRelationalExt {
         |  round(abs(l_tax - l_discount), 6) AS tax_disc_gap,
         |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
         |FROM lineitem WHERE l_orderkey % 100 = 0
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin)))
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---- q92: changelog (CDC) apply ---------------------------------
+    // Fold deterministic upsert/delete changes into the customer
+    // snapshot: deletes (key%10=0), balance upserts (key%10=1), a
+    // LATER upsert that overrides a delete (key%20=0, seq 2), and
+    // brand-new keys (key%10=2, shifted by 1e6). Latest change per key
+    // wins; untouched rows pass through.
+    QueryDef("q92_apply_changelog",
+      (s, d) => {
+        val base = customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+        val k = col("c_custkey")
+        val changes = base.where(k % 10 === 0)
+          .select(k, lit("delete").as("op"), lit(1L).as("seq"),
+            col("c_name"), col("c_acctbal"))
+          .unionAll(base.where(k % 10 === 1)
+            .select(k, lit("upsert").as("op"), lit(1L).as("seq"),
+              col("c_name"), (col("c_acctbal") + 100).as("c_acctbal")))
+          .unionAll(base.where(k % 20 === 0)
+            .select(k, lit("upsert").as("op"), lit(2L).as("seq"),
+              concat(col("c_name"), lit("_r")).as("c_name"), col("c_acctbal")))
+          .unionAll(base.where(k % 10 === 2)
+            .select((k + 1000000).as("c_custkey"), lit("upsert").as("op"),
+              lit(1L).as("seq"), col("c_name"), col("c_acctbal")))
+        graft.ops.Relational.applyChangelog(base, changes,
+            "c_custkey", "op", "seq")
+          .orderBy("c_custkey")
+      },
+      Some("""WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |ch AS (
+        |  SELECT c_custkey, 'delete' AS op, 1 AS seq, c_name, c_acctbal
+        |    FROM base WHERE c_custkey % 10 = 0
+        |  UNION ALL SELECT c_custkey, 'upsert', 1, c_name, c_acctbal + 100
+        |    FROM base WHERE c_custkey % 10 = 1
+        |  UNION ALL SELECT c_custkey, 'upsert', 2, c_name || '_r', c_acctbal
+        |    FROM base WHERE c_custkey % 20 = 0
+        |  UNION ALL SELECT c_custkey + 1000000, 'upsert', 1, c_name, c_acctbal
+        |    FROM base WHERE c_custkey % 10 = 2),
+        |latest AS (SELECT * FROM (SELECT ch.*, row_number() OVER
+        |  (PARTITION BY c_custkey ORDER BY seq DESC) AS rn FROM ch) WHERE rn = 1)
+        |SELECT c_custkey,
+        |  CASE WHEN l.op = 'upsert' THEN l.c_name ELSE b.c_name END AS c_name,
+        |  CASE WHEN l.op = 'upsert' THEN l.c_acctbal ELSE b.c_acctbal END AS c_acctbal
+        |FROM base b FULL OUTER JOIN latest l USING (c_custkey)
+        |WHERE l.op IS NULL OR l.op != 'delete'
+        |ORDER BY c_custkey""".stripMargin)))
 }

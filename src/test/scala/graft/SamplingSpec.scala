@@ -70,6 +70,23 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("applyChangelog: upsert replaces, delete removes, latest wins, inserts land") {
+    import graft.ops.Relational
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "bal")
+    val changes = Seq(
+      (2L, "delete", 1L, "b", 20.0),    // delete key 2
+      (3L, "upsert", 1L, "c1", 31.0),   // first update of key 3
+      (3L, "upsert", 2L, "c2", 32.0),   // later update wins
+      (4L, "upsert", 1L, "d", 40.0),    // brand-new key
+      (5L, "delete", 1L, "x", 0.0)      // delete of absent key: no-op
+    ).toDF("id", "op", "seq", "name", "bal")
+    val out = Relational.applyChangelog(base, changes, "id", "op", "seq")
+      .orderBy("id").as[(Long, String, Double)].collect()
+    assert(out.toSeq == Seq(
+      (1L, "a", 10.0), (3L, "c2", 32.0), (4L, "d", 40.0)))
+  }
+
   test("hashLong matches the oracle nibble formula") {
     // cross-check the Spark conv() path against a JVM-side reimplementation
     // of the DuckDB per-nibble sum, on real ids
