@@ -106,12 +106,13 @@ object Dedup {
     val banded =
       if (maxBucket <= 0) bandedAll
       else {
-        // one extra hash-agg over the (id, band) rows; the join that
-        // follows is the expensive part being protected
-        val small = bandedAll.groupBy("band")
-          .agg(count(lit(1)).as("__m")).where(col("__m") <= maxBucket)
+        // anti-join against the OVER-cap buckets: that list is tiny
+        // (usually empty) and broadcasts, where joining on the
+        // under-cap list would shuffle nearly every band key
+        val big = bandedAll.groupBy("band")
+          .agg(count(lit(1)).as("__m")).where(col("__m") > maxBucket)
           .select("band")
-        bandedAll.join(small, Seq("band"))
+        bandedAll.join(broadcast(big), Seq("band"), "left_anti")
       }
     val a = banded.select(col("band"), col(idCol).as("id_a"))
     val b = banded.select(col("band"), col(idCol).as("id_b"))
