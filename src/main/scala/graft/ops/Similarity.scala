@@ -126,14 +126,20 @@ object Similarity {
     val corp = corpus.select(col(idCol), col(vecCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    def cellScores(vec: Column, cents: Array[(Int, Array[Float])]): Column =
+    // `nrm` is the row's precomputed vector norm: computing it inside
+    // the per-cell struct would run it nCells times per row, and the
+    // centroid norms are Scala constants (graft_dot is not foldable,
+    // so norm(centroidLiteral) would otherwise be evaluated per row).
+    // Sequential double accumulation matches graft_dot bit-for-bit.
+    def cellScores(vec: Column, nrm: Column, cents: Array[(Int, Array[Float])]): Column =
       array(cents.map { case (cid, c) =>
         val cLit = array(c.map(lit): _*)
-        struct((dotNative(vec, cLit) / (normNative(vec) * normNative(cLit))).as("cos"),
+        val cn = math.sqrt(c.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+        struct((dotNative(vec, cLit) / (nrm * lit(cn))).as("cos"),
           lit(cid).as("cell"))
       }: _*)
-    def nearestCell(vec: Column, cents: Array[(Int, Array[Float])]): Column =
-      array_max(cellScores(vec, cents)).getField("cell")
+    def nearestCell(vec: Column, nrm: Column, cents: Array[(Int, Array[Float])]): Column =
+      array_max(cellScores(vec, nrm, cents)).getField("cell")
 
     // seed centroids: deterministic hash-spread pick — a scan + limit,
     // never a global row_number window (which would funnel the whole
@@ -151,8 +157,10 @@ object Similarity {
     require(seeds.nonEmpty, "corpus produced no IVF seed centroids")
 
     // one Lloyd step: assign, then per-cell mean via posexplode
-    val assigned = corp.select(col(vecCol),
-      nearestCell(col(vecCol), seeds).as("__cell"))
+    val assigned = corp
+      .select(col(vecCol), normNative(col(vecCol)).as("__n"))
+      .select(col(vecCol),
+        nearestCell(col(vecCol), col("__n"), seeds).as("__cell"))
     val refined = assigned
       .select(col("__cell"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
       .groupBy("__cell", "__pos").agg(avg(col("__v")).as("__m"))
@@ -162,14 +170,18 @@ object Similarity {
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
 
-    val c = corp.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      normNative(col(vecCol)).as("__cn"),
-      nearestCell(col(vecCol), refined).as("__cell"))
+    val c = corp
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        normNative(col(vecCol)).as("__cn"))
+      .select(col("neighbor_id"), col("__cv"), col("__cn"),
+        nearestCell(col("__cv"), col("__cn"), refined).as("__cell"))
     // queries probe their nProbe closest cells
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-        normNative(col(vecCol)).as("__qn"),
-        slice(reverse(array_sort(cellScores(col(vecCol), refined))), 1, nProbe)
-          .as("__probes"))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        normNative(col(vecCol)).as("__qn"))
+      .select(col("query_id"), col("__qv"), col("__qn"),
+        slice(reverse(array_sort(cellScores(col("__qv"), col("__qn"), refined))),
+          1, nProbe).as("__probes"))
       .select(col("query_id"), col("__qv"), col("__qn"),
         explode(col("__probes")).as("__probe"))
       .select(col("query_id"), col("__qv"), col("__qn"),
