@@ -107,12 +107,28 @@ object QueriesText {
       None),
 
     // ---- q35: language-ID heuristic vs labeled lang -----------------
+    // oracle: the argmax-over-(hits, lang) struct mirrors exactly —
+    // DuckDB struct comparison is lexicographic by field order, same
+    // as Spark's array_max over structs (ties -> max lang string)
     QueryDef("q35_lang_id",
       (s, d) => documents(s, d)
         .withColumn("lang_pred", Text.langIdHeuristic(col("text")))
         .groupBy("lang", "lang_pred")
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "lang_pred"),
-      None) // argmax-over-struct oracle SQL is fragile; rows-only check
+      Some {
+        val structs = Text.stopwords.toSeq.sortBy(_._1).map { case (lg, words) =>
+          val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"struct_pack(hits := len(list_filter(rt, x -> list_contains($list, x))), lg := '$lg')"
+        }.mkString(",\n    ")
+        s"""WITH t AS (SELECT lang,
+        |  list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> length(x) > 0) AS rt
+        |  FROM documents),
+        |s AS (SELECT lang, list_aggregate([
+        |    $structs], 'max') AS best FROM t)
+        |SELECT lang, CASE WHEN best.hits > 0 THEN best.lg END AS lang_pred,
+        |  count(*) AS n
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      })
   )
 }
