@@ -41,6 +41,31 @@ object DuckSql {
       s"(strpos('0123456789abcdef', substr(md5(CAST($c AS VARCHAR)), ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}"
     }.mkString("(", " + ", ")")
 
+  /** Mirror of functions.RollingHashShingles + array_min (q37): Karp-
+    * Rabin polynomial hash per n-token shingle with Java semantics —
+    * String.hashCode per token (32-bit signed wrap; tokens are ASCII
+    * after normText, so UTF-16 units == ascii codes) and mod-2^64
+    * signed accumulation, done in HUGEINT with explicit wrap. The
+    * rolling recurrence equals the direct polynomial, so the oracle
+    * computes each shingle directly. */
+  def rollingFpMin(toksExpr: String, n: Int, base: Long): String = {
+    // BIGINT codes keep the fold 64-bit (INT32 would overflow at acc*31)
+    val hc = "list_reduce(list_transform(generate_series(1, length(tk)), " +
+      "ci -> CAST(ascii(substr(tk, ci, 1)) AS BIGINT)), " +
+      "(acc, c) -> (acc * 31 + c) % 4294967296)"
+    val th = s"list_transform($toksExpr, tk -> " +
+      s"CAST((CASE WHEN $hc >= 2147483648 THEN $hc - 4294967296 ELSE $hc END) AS BIGINT))"
+    def u(h: String) = s"(CASE WHEN $h < 0 THEN CAST($h AS HUGEINT) + 18446744073709551616 " +
+      s"ELSE CAST($h AS HUGEINT) END)"
+    val acc = (1 until n).foldLeft(u("th[i]")) { (a, j) =>
+      s"(($a * $base + ${u(s"th[i+$j]")}) % 18446744073709551616)"
+    }
+    val sig = s"CAST((CASE WHEN $acc >= 9223372036854775808 " +
+      s"THEN $acc - 18446744073709551616 ELSE $acc END) AS BIGINT)"
+    s"(SELECT list_min(list_transform(generate_series(1, greatest(len(th) - ${n - 1}, 0)), " +
+      s"i -> $sig)) FROM (SELECT $th AS th))"
+  }
+
   /** Mirror of Dedup.simhash16 on a token-list expression: 16 bits
     * from the first 4 hex nibbles of md5(token), +1/-1 votes, sign. */
   def simhash16(toksExpr: String): String = {

@@ -99,12 +99,14 @@ object QueriesText {
         |FROM tf JOIN dfq USING (term) CROSS JOIN n
         |ORDER BY tfidf DESC, doc_id, term LIMIT 100""".stripMargin)),
 
-    // ---- q37: rolling-hash fingerprints (rows-only; the Karp-Rabin
-    // expression's semantics are pinned by TextSpec) -------------------
+    // ---- q37: rolling-hash fingerprints — oracle recomputes the
+    // Karp-Rabin polynomial with Java wrap semantics in HUGEINT -------
     QueryDef("q37_rolling_fingerprint",
       (s, d) => Text.rollingFingerprint(documents(s, d), "doc_id", "text", 3)
         .orderBy("doc_id"),
-      None),
+      Some(s"""SELECT doc_id,
+        |  ${DuckSql.rollingFpMin(DuckSql.toks("text"), 3, 1000003L)} AS rolling_fp
+        |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ---- q35: language-ID heuristic vs labeled lang -----------------
     // oracle: the argmax-over-(hits, lang) struct mirrors exactly —
