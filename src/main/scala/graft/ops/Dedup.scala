@@ -173,7 +173,7 @@ object Dedup {
     // labels only ever decrease, so an unchanged sum(label) proves a
     // fixpoint — one cheap agg action per round instead of a
     // self-join + isEmpty
-    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
+    var prevSum = labels.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -185,7 +185,7 @@ object Dedup {
         .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label")))
           .as("label"))
         .localCheckpoint(true)
-      val nextSum = next.agg(sum(col("label"))).head.getLong(0)
+      val nextSum = next.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
       converged = nextSum == prevSum
       prevSum = nextSum
       labels = next

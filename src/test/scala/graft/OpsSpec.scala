@@ -153,6 +153,11 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("duplicateGroups on an empty pair set returns empty (no crash)") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.duplicateGroups(empty).count() == 0)
+  }
+
   test("lsh maxBucket drops degenerate buckets, keeps normal pairs") {
     // docs 1 and 4 share all bands (identical text) — a tiny "bucket"
     // of size 2; capping at 1 removes every pair, capping at 2+ keeps
