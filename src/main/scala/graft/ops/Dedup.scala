@@ -112,7 +112,10 @@ object Dedup {
         val big = bandedAll.groupBy("band")
           .agg(count(lit(1)).as("__m")).where(col("__m") > maxBucket)
           .select("band")
+        // persisted too: a and b below each consume the capped frame,
+        // and without this the count-agg + anti-join would run twice
         bandedAll.join(broadcast(big), Seq("band"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
     val a = banded.select(col("band"), col(idCol).as("id_a"))
     val b = banded.select(col("band"), col(idCol).as("id_b"))
@@ -152,6 +155,16 @@ object Dedup {
     * clusters is small in practice, so `maxIter` rounds suffice; the
     * loop exits early on convergence. */
   def duplicateGroups(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // the sum(label) fixpoint test below needs integral ids — for
+    // string/uuid ids, map to a surrogate long id first (sum over
+    // strings would null out and fake instant convergence)
+    Seq("id_a", "id_b").foreach { c =>
+      val t = pairs.schema(c).dataType
+      require(t == org.apache.spark.sql.types.LongType ||
+        t == org.apache.spark.sql.types.IntegerType ||
+        t == org.apache.spark.sql.types.ShortType,
+        s"duplicateGroups requires integral ids; $c is ${t.sql}")
+    }
     // localCheckpoint (not persist): an iterative plan over cached
     // frames still nests each round's InMemoryRelation inside the
     // next, so analysis cost grows quadratically with iterations;

@@ -152,7 +152,10 @@ object Relational {
                      opCol: String, seqCol: String): DataFrame = {
     val dataCols = base.columns.filter(_ != keyCol)
     val latest = {
-      val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
+      // opCol desc tie-break: equal sequence numbers (same-second
+      // timestamps) resolve deterministically, 'upsert' over 'delete'
+      val w = Window.partitionBy(col(keyCol))
+        .orderBy(col(seqCol).desc, col(opCol).desc)
       changes.withColumn("__rn", row_number().over(w))
         .where(col("__rn") === 1)
         .select(col(keyCol) +: col(opCol).as("__op") +:

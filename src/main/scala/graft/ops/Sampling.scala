@@ -61,9 +61,11 @@ object Sampling {
     * row always makes the same choice. */
   def weightedMix(df: DataFrame, stratumCol: String, idCol: String,
                   rates: Map[String, Double], default: Double): DataFrame = {
-    val thresh = rates.foldLeft(lit((default * 10000).toLong)) {
+    // round, don't truncate: 0.29 * 10000 is 2899.999... in double and
+    // .toLong would shave a bucket off the intended exact threshold
+    val thresh = rates.foldLeft(lit(math.round(default * 10000))) {
       case (acc, (k, v)) =>
-        when(col(stratumCol) === k, lit((v * 10000).toLong)).otherwise(acc)
+        when(col(stratumCol) === k, lit(math.round(v * 10000))).otherwise(acc)
     }
     df.where(hashBucket(col(idCol), 10000) < thresh)
   }

@@ -33,6 +33,17 @@ object QueriesDedup {
        |  FROM bands a JOIN bands b USING (band) WHERE a.doc_id < b.doc_id)""".stripMargin
   }
 
+  /** DuckDB recursive-CTE connected components over `cand` — shared by
+    * q45/q46/q91 so the grouping rule lives in exactly one place. */
+  private val groupCtes: String =
+    """edges AS (SELECT id_a AS a, id_b AS b FROM cand
+      |  UNION SELECT id_b, id_a FROM cand),
+      |reach AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |grp AS (SELECT a AS id, least(a, min(b)) AS group_id FROM reach GROUP BY a)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q40: exact dedup on normalized-content hash ----------------
@@ -94,14 +105,8 @@ object QueriesDedup {
           maxIter = 20)
         .orderBy("id"),
       Some(s"""${lshCtes().replaceFirst("WITH ", "WITH RECURSIVE ")},
-        |edges AS (SELECT id_a AS a, id_b AS b FROM cand
-        |  UNION SELECT id_b, id_a FROM cand),
-        |reach AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-        |SELECT a AS id, least(a, min(b)) AS group_id
-        |FROM reach GROUP BY a ORDER BY id""".stripMargin)),
+        |$groupCtes
+        |SELECT id, group_id FROM grp ORDER BY id""".stripMargin)),
 
     // ---- q46: the end-to-end near-dedup operator: survivors only ----
     QueryDef("q46_dedup_survivors",
@@ -115,13 +120,7 @@ object QueriesDedup {
           .orderBy("doc_id")
       },
       Some(s"""${lshCtes().replaceFirst("WITH ", "WITH RECURSIVE ")},
-        |edges AS (SELECT id_a AS a, id_b AS b FROM cand
-        |  UNION SELECT id_b, id_a FROM cand),
-        |reach AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-        |grp AS (SELECT a AS id, least(a, min(b)) AS group_id FROM reach GROUP BY a)
+        |$groupCtes
         |SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM grp WHERE id != group_id)
         |ORDER BY doc_id""".stripMargin)),
@@ -155,13 +154,7 @@ object QueriesDedup {
         s"""WITH RECURSIVE base AS (SELECT * FROM documents
         |  WHERE lang IN ('en', 'de') AND len(${DuckSql.toks("text")}) >= 20),
         |$body,
-        |edges AS (SELECT id_a AS a, id_b AS b FROM cand
-        |  UNION SELECT id_b, id_a FROM cand),
-        |reach AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-        |grp AS (SELECT a AS id, least(a, min(b)) AS group_id FROM reach GROUP BY a)
+        |$groupCtes
         |SELECT doc_id, lang,
         |  CASE WHEN ${DuckSql.hashLong("doc_id")} % 100 < 80 THEN 'train'
         |       WHEN ${DuckSql.hashLong("doc_id")} % 100 < 90 THEN 'val'

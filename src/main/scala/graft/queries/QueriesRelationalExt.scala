@@ -135,7 +135,7 @@ object QueriesRelationalExt {
         |  UNION ALL SELECT c_custkey + 1000000, 'upsert', 1, c_name, c_acctbal
         |    FROM base WHERE c_custkey % 10 = 2),
         |latest AS (SELECT * FROM (SELECT ch.*, row_number() OVER
-        |  (PARTITION BY c_custkey ORDER BY seq DESC) AS rn FROM ch) WHERE rn = 1)
+        |  (PARTITION BY c_custkey ORDER BY seq DESC, op DESC) AS rn FROM ch) WHERE rn = 1)
         |SELECT c_custkey,
         |  CASE WHEN l.op = 'upsert' THEN l.c_name ELSE b.c_name END AS c_name,
         |  CASE WHEN l.op = 'upsert' THEN l.c_acctbal ELSE b.c_acctbal END AS c_acctbal

@@ -130,7 +130,7 @@ object QueriesText {
         |    $structs], 'max') AS best FROM t)
         |SELECT lang, CASE WHEN best.hits > 0 THEN best.lg END AS lang_pred,
         |  count(*) AS n
-        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2 NULLS FIRST""".stripMargin
       })
   )
 }

@@ -181,11 +181,20 @@ object Sessions {
                             targetDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val spark = batch.sparkSession
+      // existence check through the Hadoop FS API so hdfs://s3a
+      // targets keep the idempotence guarantee (java.io.File would
+      // silently report false there and skip the anti-join)
+      val path = new org.apache.hadoop.fs.Path(targetDir)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // a replayed batch can also duplicate ids WITHIN itself
+      val unique = batch.dropDuplicates(idCol)
       val fresh =
-        if (new java.io.File(targetDir).exists()) {
+        if (fs.exists(path)) {
+          // the key scan is O(target); for high-rate sinks swap the
+          // target for a transactional table or partition the key scan
           val existing = spark.read.parquet(targetDir).select(idCol)
-          batch.join(existing, Seq(idCol), "left_anti")
-        } else batch
+          unique.join(existing, Seq(idCol), "left_anti")
+        } else unique
       fresh.write.mode("append").parquet(targetDir)
       ()
     }
