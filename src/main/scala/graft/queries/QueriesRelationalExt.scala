@@ -141,5 +141,25 @@ object QueriesRelationalExt {
         |  CASE WHEN l.op = 'upsert' THEN l.c_acctbal ELSE b.c_acctbal END AS c_acctbal
         |FROM base b FULL OUTER JOIN latest l USING (c_custkey)
         |WHERE l.op IS NULL OR l.op != 'delete'
-        |ORDER BY c_custkey""".stripMargin)))
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- q93: null-safe equality join (<=> / IS NOT DISTINCT FROM) --
+    // plain equality would silently drop the NULL key group
+    QueryDef("q93_null_safe_join",
+      (s, d) => {
+        val o = orders(s, d).select(
+          when(col("o_orderstatus") === "P", lit(null).cast("string"))
+            .otherwise(col("o_orderstatus")).as("status_n"))
+        val agg = o.groupBy("status_n").agg(count(lit(1)).as("n_status"))
+          .withColumnRenamed("status_n", "k")
+        o.join(agg, o("status_n") <=> agg("k"))
+          .groupBy("status_n", "n_status")
+          .agg(count(lit(1)).as("n_rows"))
+          .orderBy("status_n")
+      },
+      Some("""WITH o AS (SELECT nullif(o_orderstatus, 'P') AS status_n FROM orders),
+        |a AS (SELECT status_n AS k, count(*) AS n_status FROM o GROUP BY 1)
+        |SELECT status_n, n_status, count(*) AS n_rows
+        |FROM o JOIN a ON o.status_n IS NOT DISTINCT FROM a.k
+        |GROUP BY 1, 2 ORDER BY 1 NULLS FIRST""".stripMargin)))
 }

@@ -66,6 +66,41 @@ class SinksSpec extends SparkSpec {
     assert(filtered.count() == expected && expected > 0)
   }
 
+  test("compactParquet shrinks a many-file table to the byte-sized count") {
+    import graft.ops.Layout
+    val in = java.nio.file.Files.createTempDirectory("compact-in").toString
+    val out = java.nio.file.Files.createTempDirectory("compact-out").toString + "/t"
+    spark.range(10000).selectExpr("id", "id % 7 AS k")
+      .repartition(16).write.mode("overwrite").parquet(in)
+    val filesBefore = new java.io.File(in).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(filesBefore == 16)
+    // target larger than the whole table -> exactly one output file
+    val n = Layout.compactParquet(spark, in, out, targetBytes = 1L << 30)
+    assert(n == 1)
+    val filesAfter = new java.io.File(out).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(filesAfter == 1)
+    // content identical
+    assert(spark.read.parquet(out).orderBy("id").collect().toSeq ==
+      spark.read.parquet(in).orderBy("id").collect().toSeq)
+  }
+
+  test("writeClustered: directory pruning + in-file ordering by sort key") {
+    import graft.ops.Layout
+    val dir = java.nio.file.Files.createTempDirectory("clustered").toString + "/t"
+    val df = spark.range(1000).selectExpr("id", "CAST(id % 4 AS STRING) AS part",
+      "id * 37 % 1000 AS v")
+    Layout.writeClustered(df, dir, "part", Seq("v"))
+    // directory-level pruning visible in the scan
+    val scanned = spark.read.parquet(dir).where(col("part") === "2")
+    val plan = scanned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(part"), plan)
+    // rows inside each file arrive sorted by v (row-group stats monotone)
+    val rows = spark.read.parquet(dir).where(col("part") === "2")
+      .select("v").as[Long].collect()
+    assert(rows.toSeq == rows.sorted.toSeq)
+    assert(scanned.count() == 250)
+  }
+
   test("saltedJoin equals the direct join (skew spread over salt buckets)") {
     val big = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val small = Tables.orders(spark, sf)
