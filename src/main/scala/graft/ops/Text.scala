@@ -113,6 +113,18 @@ object Text {
     when(best.getField("hits") > 0, best.getField("lang"))
   }
 
+  /** Quality gate with drop-reason accounting: evaluates `rules` in
+    * order and labels each row with the FIRST failing rule's name
+    * (null = kept). Pipelines report drop reasons as first-class
+    * output — "how much did each filter cost me" is the observability
+    * question every corpus build asks. Pure projection, no shuffle. */
+  def qualityGate(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    val reason = rules.foldRight(lit(null).cast("string")) {
+      case ((name, passes), rest) => when(!passes, lit(name)).otherwise(rest)
+    }
+    df.withColumn("drop_reason", reason)
+  }
+
   /** Heuristic quality features + a composite score in [0, 1]:
     * length, punctuation/digit ratios, stopword density, repetition.
     * The standard cheap pre-filter family for LLM training corpora. */

@@ -108,6 +108,33 @@ object QueriesText {
         |  ${DuckSql.rollingFpMin(DuckSql.toks("text"), 3, 1000003L)} AS rolling_fp
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- q94: quality gate with drop-reason accounting ---------------
+    QueryDef("q94_quality_gate",
+      (s, d) => {
+        val t = col("text")
+        val nToks = size(Text.tokens(t))
+        val punct = length(regexp_replace(t, "[^.!?,;:]", "")).cast("double") /
+          greatest(length(t), lit(1))
+        Text.qualityGate(documents(s, d), Seq(
+            "too_short" -> (nToks >= 25),
+            "too_much_punct" -> (punct <= 0.1),
+            "non_target_lang" -> col("lang").isin("en", "de", "fr")))
+          .groupBy("drop_reason")
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy("drop_reason")
+      },
+      Some(s"""WITH g AS (SELECT n_chars,
+        |  CASE
+        |    WHEN NOT (len(${DuckSql.toks("text")}) >= 25) THEN 'too_short'
+        |    WHEN NOT (CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) <= 0.1) THEN 'too_much_punct'
+        |    WHEN NOT (lang IN ('en', 'de', 'fr')) THEN 'non_target_lang'
+        |  END AS drop_reason
+        |  FROM documents)
+        |SELECT drop_reason, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM g GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin)),
+
     // ---- q35: language-ID heuristic vs labeled lang -----------------
     // oracle: the argmax-over-(hits, lang) struct mirrors exactly —
     // DuckDB struct comparison is lexicographic by field order, same
