@@ -68,6 +68,19 @@ class TextSpec extends SparkSpec {
     assert(!g.contains(4L)) // never a candidate -> not in any group
   }
 
+  test("qualityGate labels rows with the FIRST failing rule, null when all pass") {
+    val df = Seq(
+      ("ok doc with enough words here", 1),
+      ("short", 2),          // fails rule 1 AND rule 2 -> rule 1 wins
+      ("loooooooong enough", 3)
+    ).toDF("text", "id")
+    val out = Text.qualityGate(df, Seq(
+        "too_short" -> (size(Text.tokens(col("text"))) >= 2),
+        "no_o" -> col("text").contains("o")))
+      .select("id", "drop_reason").as[(Int, String)].collect().toMap
+    assert(out(1) == null && out(2) == "too_short" && out(3) == null)
+  }
+
   test("langIdHeuristic null when no evidence") {
     val out = Seq("zzz qqq xxx").toDF("t")
       .select(Text.langIdHeuristic(col("t"))).as[Option[String]].head()
