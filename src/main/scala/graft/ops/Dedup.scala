@@ -125,6 +125,36 @@ object Dedup {
       .distinct()
   }
 
+  /** Persistent LSH band index: the (id, band) rows for a corpus
+    * slice, suitable for writing to storage and reusing across ingest
+    * increments — the piece that makes dedup INCREMENTAL at scale
+    * (never re-shingle the existing corpus when a new batch arrives). */
+  def bandIndex(df: DataFrame, idCol: String, textCol: String,
+                shingleN: Int, k: Int, bands: Int): DataFrame =
+    minhashSignatures(df, idCol, textCol, shingleN, k)
+      .where(col("sig_0").isNotNull)
+      .select(col(idCol), explode(bandKeyArray(k, bands)).as("band"))
+
+  /** Candidate pairs involving a NEW batch, given its band index and
+    * the stored index of the existing corpus: cross pairs (new vs
+    * stored) plus within-batch pairs. Together with the stored
+    * corpus's own historical pairs this equals a full-corpus run —
+    * banding is per-document, so candidates decompose exactly.
+    * Output: (id_a, id_b), id_a < id_b, distinct. */
+  def incrementalCandidatePairs(newBanded: DataFrame, storedBanded: DataFrame,
+                                idCol: String): DataFrame = {
+    val n = newBanded.select(col("band"), col(idCol).as("__nid"))
+    val s = storedBanded.select(col("band"), col(idCol).as("__sid"))
+    val cross = n.join(s, Seq("band"))
+      .select(least(col("__nid"), col("__sid")).as("id_a"),
+        greatest(col("__nid"), col("__sid")).as("id_b"))
+      .where(col("id_a") < col("id_b")) // drops id collisions across slices
+    val within = n.join(n.select(col("band"), col("__nid").as("__nid2")), Seq("band"))
+      .select(col("__nid").as("id_a"), col("__nid2").as("id_b"))
+      .where(col("id_a") < col("id_b"))
+    cross.union(within).distinct()
+  }
+
   /** Exact n-gram Jaccard over candidate pairs: |A ∩ B| via a double
     * equi-join on (id, shingle) rows — never materializes A × B. */
   def jaccard(pairs: DataFrame, df: DataFrame, idCol: String,

@@ -166,6 +166,23 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("incremental dedup decomposes exactly: old + new-batch candidates = full run") {
+    val all = Tables.documents(spark, sf)
+    val oldDocs = all.where(col("doc_id") % 5 =!= 0)
+    val newDocs = all.where(col("doc_id") % 5 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      Dedup.lshCandidatePairs(df, "doc_id", "text", 3, 8, 4, maxBucket = 0)
+        .as[(Long, Long)].collect().toSet
+    val full = pairs(all)
+    val oldOnly = pairs(oldDocs)
+    val stored = Dedup.bandIndex(oldDocs, "doc_id", "text", 3, 8, 4)
+    val newBanded = Dedup.bandIndex(newDocs, "doc_id", "text", 3, 8, 4)
+    val incr = Dedup.incrementalCandidatePairs(newBanded, stored, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert((oldOnly ++ incr) == full)
+    assert(incr.forall { case (a, b) => a % 5 == 0 || b % 5 == 0 }) // every pair touches the new batch
+  }
+
   test("duplicateGroups on an empty pair set returns empty (no crash)") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.duplicateGroups(empty).count() == 0)
