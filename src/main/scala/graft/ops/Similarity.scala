@@ -120,34 +120,47 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    GraftFunctions.register(corpus.sparkSession)
     // consumed by count, seed pick, Lloyd step and final assignment —
     // persist once instead of recomputing the scan lineage each time
     val corp = corpus.select(col(idCol), col(vecCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ivfTopKWith(corp, queries, k, trainCentroids(corp, nCells, idCol, vecCol),
+      nProbe, idCol, vecCol)
+  }
 
-    // `nrm` is the row's precomputed vector norm: computing it inside
-    // the per-cell struct would run it nCells times per row, and the
-    // centroid norms are Scala constants (graft_dot is not foldable,
-    // so norm(centroidLiteral) would otherwise be evaluated per row).
-    // Sequential double accumulation matches graft_dot bit-for-bit.
-    def cellScores(vec: Column, nrm: Column, cents: Array[(Int, Array[Float])]): Column =
-      array(cents.map { case (cid, c) =>
-        val cLit = array(c.map(lit): _*)
-        val cn = math.sqrt(c.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
-        struct((dotNative(vec, cLit) / (nrm * lit(cn))).as("cos"),
-          lit(cid).as("cell"))
-      }: _*)
-    def nearestCell(vec: Column, nrm: Column, cents: Array[(Int, Array[Float])]): Column =
-      array_max(cellScores(vec, nrm, cents)).getField("cell")
+  // `nrm` is the row's precomputed vector norm: computing it inside
+  // the per-cell struct would run it nCells times per row, and the
+  // centroid norms are Scala constants (graft_dot is not foldable,
+  // so norm(centroidLiteral) would otherwise be evaluated per row).
+  // Sequential double accumulation matches graft_dot bit-for-bit.
+  private def cellScores(vec: Column, nrm: Column,
+                         cents: Array[(Int, Array[Float])]): Column =
+    array(cents.map { case (cid, c) =>
+      val cLit = array(c.map(lit): _*)
+      val cn = math.sqrt(c.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+      struct((dotNative(vec, cLit) / (nrm * lit(cn))).as("cos"),
+        lit(cid).as("cell"))
+    }: _*)
+  private def nearestCell(vec: Column, nrm: Column,
+                          cents: Array[(Int, Array[Float])]): Column =
+    array_max(cellScores(vec, nrm, cents)).getField("cell")
 
+  /** Train IVF centroids (deterministic seed pick + one Lloyd
+    * refinement). The result is the FROZEN index: persist it (it is
+    * O(nCells × dim) — a config-file-sized artifact) and reuse it for
+    * every subsequent ingest increment with `ivfTopKWith`, so a new
+    * batch never retrains or reshuffles the existing corpus — the
+    * same incremental pattern as Dedup.bandIndex. */
+  def trainCentroids(corpus: DataFrame, nCells: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): Array[(Int, Array[Float])] = {
+    GraftFunctions.register(corpus.sparkSession)
     // seed centroids: deterministic hash-spread pick — a scan + limit,
     // never a global row_number window (which would funnel the whole
     // corpus through one task). Seed quality only affects the Lloyd
     // step's starting point.
-    val n = corp.count()
+    val n = corpus.count()
     val step = math.max(n / nCells, 1L)
-    val seeds = corp
+    val seeds = corpus
       .where(pmod(hash(col(idCol)), lit(step)) === 0)
       .orderBy(col(idCol))
       .limit(nCells)
@@ -157,11 +170,11 @@ object Similarity {
     require(seeds.nonEmpty, "corpus produced no IVF seed centroids")
 
     // one Lloyd step: assign, then per-cell mean via posexplode
-    val assigned = corp
+    val assigned = corpus
       .select(col(vecCol), normNative(col(vecCol)).as("__n"))
       .select(col(vecCol),
         nearestCell(col(vecCol), col("__n"), seeds).as("__cell"))
-    val refined = assigned
+    assigned
       .select(col("__cell"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
       .groupBy("__cell", "__pos").agg(avg(col("__v")).as("__m"))
       .groupBy("__cell")
@@ -169,8 +182,14 @@ object Similarity {
         s => s("__m").cast("float")).as("__centroid"))
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+  }
 
-    val c = corp
+  /** IVF search against a frozen centroid index (see trainCentroids). */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
+                  refined: Array[(Int, Array[Float])], nProbe: Int = 4,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val c = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
         normNative(col(vecCol)).as("__cn"))
       .select(col("neighbor_id"), col("__cv"), col("__cn"),

@@ -273,6 +273,20 @@ class SimilaritySpec extends SparkSpec {
     assert(hit.toDouble / bf.length >= 0.5, s"recall ${hit}/${bf.length}")
   }
 
+  test("frozen IVF centroids reproduce ivfTopK; reusable across query batches") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.where(col("vec_id") < 10)
+    val cents = Similarity.trainCentroids(emb, nCells = 8)
+    val a = Similarity.ivfTopKWith(emb, queries, k = 3, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = Similarity.ivfTopK(emb, queries, k = 3, nCells = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b)                       // frozen index == inline training
+    val later = Similarity.ivfTopKWith(emb,
+      emb.where(col("vec_id") >= 10 && col("vec_id") < 15), k = 3, cents)
+    assert(later.count() > 0)            // second batch served by the same index
+  }
+
   test("topKPerGroupLarge equals window top-k (map-side pruned)") {
     import graft.ops.Relational
     val orders = Tables.orders(spark, sf).repartition(7) // force multi-partition runs
