@@ -148,6 +148,47 @@ object QueriesEvents {
         |  max(sum_value) OVER (PARTITION BY user_id, grp) AS locf_value
         |FROM j ORDER BY user_id, bucket""".stripMargin)),
 
+    // ---- q95: trending event types per day (top-2 by count) ----------
+    QueryDef("q95_trending",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = events(s, d)
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("day"))
+          .orderBy(col("n").desc, col("event_type").asc)
+        daily.withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 2)
+          .select("day", "event_type", "n", "rk")
+          .orderBy("day", "rk")
+      },
+      Some("""WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |  count(*) AS n FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY day
+        |  ORDER BY n DESC, event_type) AS INT) AS rk FROM daily)
+        |SELECT day, event_type, n, rk FROM r WHERE rk <= 2
+        |ORDER BY day, rk""".stripMargin)),
+
+    // ---- q96: statistical outlier flagging (3-sigma per event type) --
+    QueryDef("q96_outliers",
+      (s, d) => {
+        val stats = events(s, d).groupBy("event_type")
+          .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+        events(s, d).join(broadcast(stats), Seq("event_type"))
+          .where(abs(col("value") - col("mu")) > lit(3.0) * col("sd"))
+          .select(col("event_id"), col("event_type"),
+            round(col("value"), 2).as("value"),
+            round((col("value") - col("mu")) / col("sd"), 4).as("z"))
+          .orderBy("event_id")
+      },
+      Some("""WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, event_type, round(value, 2) AS value,
+        |  round((value - mu) / sd, 4) AS z
+        |FROM events JOIN s USING (event_type)
+        |WHERE abs(value - mu) > 3.0 * sd
+        |ORDER BY event_id""".stripMargin)),
+
     // ---- q89: weekly cohort retention --------------------------------
     QueryDef("q89_cohort_retention",
       (s, d) => Events.cohortRetention(events(s, d), "user_id", "ts")
