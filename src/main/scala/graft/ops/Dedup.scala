@@ -99,9 +99,7 @@ object Dedup {
     // exchange reuse does not fire across the differently-aliased
     // branches. The frame is O(docs * bands) short rows — the dedup
     // working set — and spills to disk if it outgrows memory.
-    val bandedAll = minhashSignatures(df, idCol, textCol, shingleN, k)
-      .where(col("sig_0").isNotNull)
-      .select(col(idCol), explode(bandKeyArray(k, bands)).as("band"))
+    val bandedAll = bandIndex(df, idCol, textCol, shingleN, k, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded =
       if (maxBucket <= 0) bandedAll
@@ -142,8 +140,23 @@ object Dedup {
     * banding is per-document, so candidates decompose exactly.
     * Output: (id_a, id_b), id_a < id_b, distinct. */
   def incrementalCandidatePairs(newBanded: DataFrame, storedBanded: DataFrame,
-                                idCol: String): DataFrame = {
-    val n = newBanded.select(col("band"), col(idCol).as("__nid"))
+                                idCol: String, maxBucket: Int = 100000): DataFrame = {
+    // persist: the new-batch banding is consumed three times (cross
+    // join + both sides of the within-batch self-join) and exchange
+    // reuse does not fire across the aliased branches
+    val nb = newBanded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the blowup guard counts COMBINED bucket size (stored + new):
+    // that is the m whose m² the join would materialize
+    val capped =
+      if (maxBucket <= 0) nb
+      else {
+        val big = nb.select(col("band")).union(storedBanded.select(col("band")))
+          .groupBy("band").agg(count(lit(1)).as("__m"))
+          .where(col("__m") > maxBucket).select("band")
+        nb.join(broadcast(big), Seq("band"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+    val n = capped.select(col("band"), col(idCol).as("__nid"))
     val s = storedBanded.select(col("band"), col(idCol).as("__sid"))
     val cross = n.join(s, Seq("band"))
       .select(least(col("__nid"), col("__sid")).as("id_a"),

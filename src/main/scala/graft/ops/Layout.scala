@@ -19,7 +19,10 @@ object Layout {
     var total = 0L
     while (it.hasNext) {
       val f = it.next()
-      if (!f.getPath.getName.startsWith("_")) total += f.getLen
+      val name = f.getPath.getName
+      // same exclusions as Spark's HiddenFileFilter: _SUCCESS/_metadata
+      // and .crc/.hidden siblings are not data
+      if (!name.startsWith("_") && !name.startsWith(".")) total += f.getLen
     }
     total
   }
@@ -32,9 +35,13 @@ object Layout {
     * failed compaction never corrupts the live table. */
   def compactParquet(spark: SparkSession, inDir: String, outDir: String,
                      targetBytes: Long): Int = {
-    val n = math.max(1L, (dirBytes(spark, inDir) + targetBytes - 1) / targetBytes).toInt
-    spark.read.parquet(inDir).coalesce(n)
-      .write.mode("overwrite").parquet(outDir)
+    val wanted = math.max(1L, (dirBytes(spark, inDir) + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(inDir)
+    // coalesce can only shrink — if the table already has fewer
+    // partitions than the byte math wants, there is nothing to
+    // compact; report the count actually written, not the wish
+    val n = math.min(wanted, df.rdd.getNumPartitions).max(1)
+    df.coalesce(n).write.mode("overwrite").parquet(outDir)
     n
   }
 

@@ -151,9 +151,15 @@ object Similarity {
     * every subsequent ingest increment with `ivfTopKWith`, so a new
     * batch never retrains or reshuffles the existing corpus — the
     * same incremental pattern as Dedup.bandIndex. */
-  def trainCentroids(corpus: DataFrame, nCells: Int,
+  def trainCentroids(corpusIn: DataFrame, nCells: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): Array[(Int, Array[Float])] = {
-    GraftFunctions.register(corpus.sparkSession)
+    GraftFunctions.register(corpusIn.sparkSession)
+    // consumed by count, seed collect, and the Lloyd collect — persist
+    // so direct callers don't re-scan the corpus three times (when the
+    // caller already persisted the same plan, the cache manager
+    // dedupes and this is a no-op)
+    val corpus = corpusIn.select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // seed centroids: deterministic hash-spread pick — a scan + limit,
     // never a global row_number window (which would funnel the whole
     // corpus through one task). Seed quality only affects the Lloyd

@@ -120,7 +120,10 @@ object Text {
     * question every corpus build asks. Pure projection, no shuffle. */
   def qualityGate(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     val reason = rules.foldRight(lit(null).cast("string")) {
-      case ((name, passes), rest) => when(!passes, lit(name)).otherwise(rest)
+      // NULL rule result = FAIL (conservative: a row whose quality
+      // cannot be established is dropped, not silently kept)
+      case ((name, passes), rest) =>
+        when(!coalesce(passes, lit(false)), lit(name)).otherwise(rest)
     }
     df.withColumn("drop_reason", reason)
   }

@@ -157,7 +157,7 @@ object QueriesEvents {
           .agg(count(lit(1)).as("n"))
         val w = Window.partitionBy(col("day"))
           .orderBy(col("n").desc, col("event_type").asc)
-        daily.withColumn("rk", row_number().over(w))
+        daily.withColumn("rk", row_number().over(w).cast("bigint"))
           .where(col("rk") <= 2)
           .select("day", "event_type", "n", "rk")
           .orderBy("day", "rk")
@@ -165,28 +165,41 @@ object QueriesEvents {
       Some("""WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
         |  count(*) AS n FROM events GROUP BY 1, 2),
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY day
-        |  ORDER BY n DESC, event_type) AS INT) AS rk FROM daily)
+        |  ORDER BY n DESC, event_type) AS BIGINT) AS rk FROM daily)
         |SELECT day, event_type, n, rk FROM r WHERE rk <= 2
         |ORDER BY day, rk""".stripMargin)),
 
     // ---- q96: statistical outlier flagging (3-sigma per event type) --
     QueryDef("q96_outliers",
       (s, d) => {
+        // moments from EXACT decimal sums, then pure double arithmetic:
+        // engine-native avg/stddev accumulate doubles in partition
+        // order, and a 1-ulp drift in mu/sd can flip a row at the
+        // 3-sigma boundary between engines. Exact sums make mu/sd a
+        // deterministic function of the data, order-free.
+        val d2 = col("value").cast("decimal(18,2)")
         val stats = events(s, d).groupBy("event_type")
-          .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(d2).cast("double").as("s1"),
+            sum(d2 * d2).cast("double").as("s2"))
+        val mu = col("s1") / col("cnt")
+        val sd = sqrt((col("s2") - col("s1") * col("s1") / col("cnt")) /
+          (col("cnt") - 1))
         events(s, d).join(broadcast(stats), Seq("event_type"))
-          .where(abs(col("value") - col("mu")) > lit(3.0) * col("sd"))
+          .where(abs(col("value") - mu) > lit(3.0) * sd)
           .select(col("event_id"), col("event_type"),
             round(col("value"), 2).as("value"),
-            round((col("value") - col("mu")) / col("sd"), 4).as("z"))
+            round((col("value") - mu) / sd, 4).as("z"))
           .orderBy("event_id")
       },
-      Some("""WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+      Some("""WITH s AS (SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
         |  FROM events GROUP BY 1)
         |SELECT event_id, event_type, round(value, 2) AS value,
-        |  round((value - mu) / sd, 4) AS z
+        |  round((value - s1 / cnt) / sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)), 4) AS z
         |FROM events JOIN s USING (event_type)
-        |WHERE abs(value - mu) > 3.0 * sd
+        |WHERE abs(value - s1 / cnt) > 3.0 * sqrt((s2 - s1 * s1 / cnt) / (cnt - 1))
         |ORDER BY event_id""".stripMargin)),
 
     // ---- q89: weekly cohort retention --------------------------------

@@ -126,10 +126,10 @@ object QueriesText {
       },
       Some(s"""WITH g AS (SELECT n_chars,
         |  CASE
-        |    WHEN NOT (len(${DuckSql.toks("text")}) >= 25) THEN 'too_short'
-        |    WHEN NOT (CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
-        |      / greatest(length(text), 1) <= 0.1) THEN 'too_much_punct'
-        |    WHEN NOT (lang IN ('en', 'de', 'fr')) THEN 'non_target_lang'
+        |    WHEN NOT coalesce(len(${DuckSql.toks("text")}) >= 25, false) THEN 'too_short'
+        |    WHEN NOT coalesce(CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) <= 0.1, false) THEN 'too_much_punct'
+        |    WHEN NOT coalesce(lang IN ('en', 'de', 'fr'), false) THEN 'non_target_lang'
         |  END AS drop_reason
         |  FROM documents)
         |SELECT drop_reason, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -79,6 +79,13 @@ class TextSpec extends SparkSpec {
         "no_o" -> col("text").contains("o")))
       .select("id", "drop_reason").as[(Int, String)].collect().toMap
     assert(out(1) == null && out(2) == "too_short" && out(3) == null)
+    // NULL rule result fails conservatively (can't verify -> drop)
+    val withNull = Seq((Some("fine words here"), 1), (None, 2))
+      .toDF("text", "id")
+    val out2 = Text.qualityGate(withNull, Seq(
+        "too_short" -> (size(Text.tokens(col("text"))) >= 2)))
+      .select("id", "drop_reason").as[(Int, String)].collect().toMap
+    assert(out2(1) == null && out2(2) == "too_short")
   }
 
   test("langIdHeuristic null when no evidence") {
