@@ -123,6 +123,26 @@ object Dedup {
       .distinct()
   }
 
+  /** Row-local LSH band keys: the same minhash/band family as
+    * minhashSignatures + bandKeyArray but computed per ROW with array
+    * expressions — no explode, no aggregation. This is the streaming
+    * formulation (a stream cannot run the groupBy signature aggregate
+    * before a stateful match); per-row cost is O(shingles × k)
+    * interpreted lambdas, acceptable at per-record streaming rates.
+    * Batch equivalence is pinned by StreamingSpec. Null when the doc
+    * has no shingles. */
+  def rowBandKeys(textCol: Column, shingleN: Int, k: Int, bands: Int): Column = {
+    val shingles = array_distinct(wordShingles(Text.tokens(textCol), shingleN))
+    def sig(j: Int): Column =
+      array_min(transform(shingles, s => md5(concat(s, lit(s"#$j")))))
+    val rows = k / bands
+    val keys = array((0 until bands).map { b =>
+      val parts = (b * rows until b * rows + rows).map(sig)
+      concat(lit(s"$b:"), md5(concat_ws("|", parts: _*)))
+    }: _*)
+    when(size(shingles) > 0, keys)
+  }
+
   /** Persistent LSH band index: the (id, band) rows for a corpus
     * slice, suitable for writing to storage and reusing across ingest
     * increments — the piece that makes dedup INCREMENTAL at scale

@@ -16,6 +16,15 @@ case class UtteranceState(words: Seq[(Long, String)])
 case class Utterance(source: String, start_us: Long, end_us: Long,
                      n_words: Long, text: String)
 
+/** A document's presence in one LSH band (streaming near-dedup). */
+case class BandedDoc(band: String, doc_id: Long)
+
+/** Per-band state: document ids seen so far in this band. */
+case class BandState(ids: Seq[Long])
+
+/** A streaming near-duplicate candidate pair (id_a < id_b). */
+case class NearDupCandidate(id_a: Long, id_b: Long)
+
 /** Structured Streaming operators (SURVEY §2A-9, §3.3).
   *
   * The reference's streaming shapes map 1:1:
@@ -198,6 +207,52 @@ object Sessions {
       fresh.write.mode("append").parquet(targetDir)
       ()
     }
+
+  /** Streaming near-duplicate candidate detection: each arriving
+    * document is banded row-locally (`Dedup.rowBandKeys` — the same
+    * minhash family as the batch operator), exploded to one row per
+    * band, and matched against that band's seen-id state. A pair is
+    * emitted the moment the SECOND member of a band arrives — the
+    * streaming analogue of `Dedup.lshCandidatePairs`, equivalent on
+    * the same corpus (StreamingSpec pins it).
+    *
+    * State is O(ids per band); `maxPerBand` is the degenerate-bucket
+    * guard (the batch maxBucket analogue): a band at the cap stops
+    * both matching and accumulating, so one boilerplate band key can
+    * never make state or output quadratic. Pairs may repeat across
+    * bands; downstream dedup (e.g. dropDuplicates on the pair) is the
+    * caller's choice of exactly-once discipline. */
+  def streamingNearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
+                                 shingleN: Int = 3, k: Int = 8, bands: Int = 4,
+                                 maxPerBand: Int = 1000): Dataset[NearDupCandidate] = {
+    import docs.sparkSession.implicits._
+    val banded = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(graft.ops.Dedup.rowBandKeys(col(textCol), shingleN, k, bands))
+          .as("band"))
+      .as[BandedDoc]
+
+    def update(band: String, rows: Iterator[BandedDoc],
+               state: GroupState[BandState]): Iterator[NearDupCandidate] = {
+      var seen = state.getOption.map(_.ids).getOrElse(Seq.empty)
+      val out = scala.collection.mutable.ArrayBuffer.empty[NearDupCandidate]
+      // deterministic within-batch order
+      rows.toSeq.map(_.doc_id).distinct.sorted.foreach { id =>
+        if (seen.length < maxPerBand && !seen.contains(id)) {
+          seen.foreach { other =>
+            out += NearDupCandidate(math.min(id, other), math.max(id, other))
+          }
+          seen = seen :+ id
+        }
+      }
+      state.update(BandState(seen))
+      out.iterator
+    }
+
+    banded
+      .groupByKey(_.band)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
 
   /** Silence split column for batch backfill of utterance assembly:
     * same gap semantics as session_window but expressed with lag over

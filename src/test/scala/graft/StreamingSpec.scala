@@ -136,6 +136,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup candidates equal the batch LSH pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = Sessions.streamingNearDupCandidates(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("ndc").outputMode("append").start()
+    try {
+      // two arrival waves — pairs straddling the split must still appear
+      val (first, second) = docs.splitAt(docs.length / 2)
+      in.addData(first.toSeq); q.processAllAvailable()
+      in.addData(second.toSeq); q.processAllAvailable()
+      val streamed = spark.table("ndc").as[(Long, Long)].collect().toSet
+      val batch = graft.ops.Dedup.lshCandidatePairs(
+          Tables.documents(spark, sf), "doc_id", "text", 3, 8, 4)
+        .as[(Long, Long)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("foreachBatch dedup sink is idempotent across replayed keys") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("dedupsink").toString + "/out"
