@@ -173,6 +173,19 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("rowBandKeys: null for shingle-less docs, matches aggregate banding") {
+    val df = Seq((1L, "alpha beta gamma delta epsilon"), (2L, "too short"), (3L, ""))
+      .toDF("doc_id", "text")
+    val rowKeys = df.select(col("doc_id"),
+        Dedup.rowBandKeys(col("text"), 3, 8, 4).as("keys"))
+      .as[(Long, Option[Seq[String]])].collect().toMap
+    assert(rowKeys(2L).isEmpty && rowKeys(3L).isEmpty) // < n tokens -> null
+    val aggKeys = Dedup.bandIndex(df, "doc_id", "text", 3, 8, 4)
+      .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(rowKeys(1L).get.toSet == aggKeys(1L)) // same band family
+    assert(!aggKeys.contains(2L) && !aggKeys.contains(3L))
+  }
+
   test("incremental dedup decomposes exactly: old + new-batch candidates = full run") {
     val all = Tables.documents(spark, sf)
     val oldDocs = all.where(col("doc_id") % 5 =!= 0)
