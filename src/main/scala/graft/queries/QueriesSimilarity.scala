@@ -117,6 +117,24 @@ object QueriesSimilarity {
         |WHERE rn <= 5 ORDER BY query_id, neighbor_id""".stripMargin
       }),
 
+    // ---- q97: SRP-bucketed embedding near-dup pairs — the scale path
+    // for q51's exact all-pairs; same md5-derived planes as q53, so
+    // the whole approximate pipeline is oracle-verified ---------------
+    QueryDef("q97_cosine_neardup_lsh",
+      (s, d) => Similarity.cosineNearDupPairs(embeddings(s, d), 0.4, nPlanes = 4)
+        .orderBy("id_a", "id_b"),
+      Some {
+        val cos = s"round(${DuckSql.dot("a.embedding", "b.embedding", Dim)} / (a.nrm * b.nrm), 4)"
+        s"""WITH bk AS (SELECT vec_id, embedding,
+        |    sqrt(${DuckSql.dot("embedding", "embedding", Dim)}) AS nrm,
+        |    ${srpBucketSql("embedding", 42L, 4)} AS bucket
+        |  FROM embeddings)
+        |SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, $cos AS cosine
+        |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE $cos >= 0.4
+        |ORDER BY 1, 2""".stripMargin
+      }),
+
     // ---- q54: IVF approximate top-k (rows-only; recall vs q50 is
     // asserted in SimilaritySpec) -------------------------------------
     QueryDef("q54_ivf_topk",
