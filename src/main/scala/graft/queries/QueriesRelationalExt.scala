@@ -161,5 +161,25 @@ object QueriesRelationalExt {
         |a AS (SELECT status_n AS k, count(*) AS n_status FROM o GROUP BY 1)
         |SELECT status_n, n_status, count(*) AS n_rows
         |FROM o JOIN a ON o.status_n IS NOT DISTINCT FROM a.k
-        |GROUP BY 1, 2 ORDER BY 1 NULLS FIRST""".stripMargin)))
+        |GROUP BY 1, 2 ORDER BY 1 NULLS FIRST""".stripMargin)),
+
+    // ---- q98: calendar functions (add_months, last_day, day-of-week) -
+    QueryDef("q98_calendar",
+      (s, d) => orders(s, d)
+        .where(col("o_orderkey") % 200 === 0)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+          date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("d_plus_3m"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+          // Spark dayofweek: 1=Sunday..7; DuckDB dayofweek: 0=Sunday..6
+          dayofweek(col("o_orderdate")).cast("bigint").as("dow"),
+          weekofyear(col("o_orderdate")).cast("bigint").as("iso_week"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS d,
+        |  strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS d_plus_3m,
+        |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+        |  dayofweek(o_orderdate) + 1 AS dow,
+        |  weekofyear(o_orderdate) AS iso_week
+        |FROM orders WHERE o_orderkey % 200 = 0
+        |ORDER BY o_orderkey""".stripMargin)))
 }
