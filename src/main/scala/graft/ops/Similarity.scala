@@ -166,8 +166,11 @@ object Similarity {
     // step's starting point.
     val n = corpus.count()
     val step = math.max(n / nCells, 1L)
+    // md5-derived spread (Sampling.hashLong), not Murmur3 hash(): any
+    // engine can recompute the seed pick, which is what lets the IVF
+    // pipeline be oracle-verified end to end
     val seeds = corpus
-      .where(pmod(hash(col(idCol)), lit(step)) === 0)
+      .where(Sampling.hashLong(col(idCol)) % step === 0)
       .orderBy(col(idCol))
       .limit(nCells)
       .collect()
@@ -175,14 +178,27 @@ object Similarity {
       .map { case (r, i) => i -> r.getSeq[Float](1).toArray }
     require(seeds.nonEmpty, "corpus produced no IVF seed centroids")
 
-    // one Lloyd step: assign, then per-cell mean via posexplode
+    // one Lloyd step: assign, then per-cell mean via posexplode.
+    // The mean is an ORDERED fold (values summed in ascending id
+    // order): plain avg() accumulates doubles in partition order, so
+    // its low bits vary with parallelism AND between engines. The
+    // ordered fold makes the refined centroids a deterministic
+    // function of the data — reproducible and oracle-verifiable.
+    // (Decimal sums would not work here: Spark casts float->decimal
+    // via the shortest decimal string, other engines via the exact
+    // binary value — they disagree.)
     val assigned = corpus
-      .select(col(vecCol), normNative(col(vecCol)).as("__n"))
-      .select(col(vecCol),
+      .select(col(idCol).as("__vid"), col(vecCol), normNative(col(vecCol)).as("__n"))
+      .select(col("__vid"), col(vecCol),
         nearestCell(col(vecCol), col("__n"), seeds).as("__cell"))
     assigned
-      .select(col("__cell"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
-      .groupBy("__cell", "__pos").agg(avg(col("__v")).as("__m"))
+      .select(col("__cell"), col("__vid"),
+        posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+      .groupBy("__cell", "__pos")
+      .agg((aggregate(
+          transform(sort_array(collect_list(struct(col("__vid"), col("__v")))),
+            s => s("__v").cast("double")),
+          lit(0.0), (a, x) => a + x) / count(lit(1))).as("__m"))
       .groupBy("__cell")
       .agg(transform(sort_array(collect_list(struct(col("__pos"), col("__m")))),
         s => s("__m").cast("float")).as("__centroid"))
