@@ -131,17 +131,25 @@ object Dedup {
     * interpreted lambdas, acceptable at per-record streaming rates.
     * Batch equivalence is pinned by StreamingSpec. Null when the doc
     * has no shingles. */
-  def rowBandKeys(textCol: Column, shingleN: Int, k: Int, bands: Int): Column = {
-    val shingles = array_distinct(wordShingles(Text.tokens(textCol), shingleN))
-    def sig(j: Int): Column =
-      array_min(transform(shingles, s => md5(concat(s, lit(s"#$j")))))
-    val rows = k / bands
-    val keys = array((0 until bands).map { b =>
-      val parts = (b * rows until b * rows + rows).map(sig)
-      concat(lit(s"$b:"), md5(concat_ws("|", parts: _*)))
-    }: _*)
-    when(size(shingles) > 0, keys)
-  }
+  def rowBandKeys(textCol: Column, shingleN: Int, k: Int, bands: Int): Column =
+    // let-expression via lambda binding: `transform(array(x), v => body)
+    // .getItem(0)` evaluates x ONCE and binds it — without it, the
+    // tokenizer would re-run per shingle index inside wordShingles'
+    // lambda and the shingle array would re-build per signature (the
+    // CollapseProject recompute trap, see shingleRows; a projection
+    // barrier is not available inside a single row-local expression)
+    transform(array(Text.tokens(textCol)), toks =>
+      transform(array(array_distinct(wordShingles(toks, shingleN))), sh => {
+        def sig(j: Int): Column =
+          array_min(transform(sh, s => md5(concat(s, lit(s"#$j")))))
+        val rows = k / bands
+        val keys = array((0 until bands).map { b =>
+          val parts = (b * rows until b * rows + rows).map(sig)
+          concat(lit(s"$b:"), md5(concat_ws("|", parts: _*)))
+        }: _*)
+        when(size(sh) > 0, keys)
+      }).getItem(0)
+    ).getItem(0)
 
   /** Persistent LSH band index: the (id, band) rows for a corpus
     * slice, suitable for writing to storage and reusing across ingest

@@ -151,8 +151,16 @@ object Similarity {
     * every subsequent ingest increment with `ivfTopKWith`, so a new
     * batch never retrains or reshuffles the existing corpus — the
     * same incremental pattern as Dedup.bandIndex. */
+  /** `exactMeans = true` (default) computes Lloyd means as an ordered
+    * fold — reproducible across engines and cluster layouts, but the
+    * per-(cell,pos) aggregation buffers that cell's values (O(cell
+    * size) memory). At corpus scales where a cell's column no longer
+    * fits an aggregation buffer, pass false for constant-memory avg()
+    * partials — centroid low bits then depend on partition order,
+    * which only perturbs cell boundaries, not search correctness. */
   def trainCentroids(corpusIn: DataFrame, nCells: Int,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): Array[(Int, Array[Float])] = {
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     exactMeans: Boolean = true): Array[(Int, Array[Float])] = {
     GraftFunctions.register(corpusIn.sparkSession)
     // consumed by count, seed collect, and the Lloyd collect — persist
     // so direct callers don't re-scan the corpus three times (when the
@@ -191,14 +199,18 @@ object Similarity {
       .select(col(idCol).as("__vid"), col(vecCol), normNative(col(vecCol)).as("__n"))
       .select(col("__vid"), col(vecCol),
         nearestCell(col(vecCol), col("__n"), seeds).as("__cell"))
+    val meanAgg =
+      if (exactMeans)
+        (aggregate(
+          transform(sort_array(collect_list(struct(col("__vid"), col("__v")))),
+            s => s("__v").cast("double")),
+          lit(0.0), (a, x) => a + x) / count(lit(1))).as("__m")
+      else avg(col("__v")).as("__m")
     assigned
       .select(col("__cell"), col("__vid"),
         posexplode(col(vecCol)).as(Seq("__pos", "__v")))
       .groupBy("__cell", "__pos")
-      .agg((aggregate(
-          transform(sort_array(collect_list(struct(col("__vid"), col("__v")))),
-            s => s("__v").cast("double")),
-          lit(0.0), (a, x) => a + x) / count(lit(1))).as("__m"))
+      .agg(meanAgg)
       .groupBy("__cell")
       .agg(transform(sort_array(collect_list(struct(col("__pos"), col("__m")))),
         s => s("__m").cast("float")).as("__centroid"))

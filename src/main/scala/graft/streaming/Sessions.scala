@@ -217,15 +217,23 @@ object Sessions {
     * the same corpus (StreamingSpec pins it).
     *
     * State is O(ids per band); `maxPerBand` is the degenerate-bucket
-    * guard (the batch maxBucket analogue): a band at the cap stops
-    * both matching and accumulating, so one boilerplate band key can
-    * never make state or output quadratic. Pairs may repeat across
-    * bands; downstream dedup (e.g. dropDuplicates on the pair) is the
-    * caller's choice of exactly-once discipline. */
+    * guard — same default as the batch maxBucket so the two operators
+    * agree on any corpus where no band exceeds the cap. (AT the cap
+    * the semantics necessarily differ: batch drops the whole bucket
+    * retroactively, a stream can only stop accumulating.) Pairs may
+    * repeat across bands; downstream dedup (e.g. dropDuplicates on
+    * the pair) is the caller's choice of exactly-once discipline.
+    * Requires an integral id column (state holds packed longs). */
   def streamingNearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
                                  shingleN: Int = 3, k: Int = 8, bands: Int = 4,
-                                 maxPerBand: Int = 1000): Dataset[NearDupCandidate] = {
+                                 maxPerBand: Int = 100000): Dataset[NearDupCandidate] = {
     import docs.sparkSession.implicits._
+    val t = docs.schema(idCol).dataType
+    require(t == org.apache.spark.sql.types.LongType ||
+      t == org.apache.spark.sql.types.IntegerType ||
+      t == org.apache.spark.sql.types.ShortType,
+      s"streamingNearDupCandidates requires an integral id; $idCol is ${t.sql} " +
+        "(map string/uuid ids to a surrogate long first)")
     val banded = docs
       .select(col(idCol).cast("long").as("doc_id"),
         explode(graft.ops.Dedup.rowBandKeys(col(textCol), shingleN, k, bands))
@@ -234,18 +242,19 @@ object Sessions {
 
     def update(band: String, rows: Iterator[BandedDoc],
                state: GroupState[BandState]): Iterator[NearDupCandidate] = {
-      var seen = state.getOption.map(_.ids).getOrElse(Seq.empty)
+      val seen = state.getOption.map(_.ids).getOrElse(Seq.empty)
+      val seenSet = scala.collection.mutable.LinkedHashSet(seen: _*)
       val out = scala.collection.mutable.ArrayBuffer.empty[NearDupCandidate]
       // deterministic within-batch order
       rows.toSeq.map(_.doc_id).distinct.sorted.foreach { id =>
-        if (seen.length < maxPerBand && !seen.contains(id)) {
-          seen.foreach { other =>
+        if (seenSet.size < maxPerBand && !seenSet.contains(id)) {
+          seenSet.foreach { other =>
             out += NearDupCandidate(math.min(id, other), math.max(id, other))
           }
-          seen = seen :+ id
+          seenSet += id
         }
       }
-      state.update(BandState(seen))
+      state.update(BandState(seenSet.toSeq))
       out.iterator
     }
 
