@@ -138,7 +138,11 @@ object Connectors {
       audioFor: String => Array[Byte],
       languages: Seq[String] = Seq("en")): Dataset[IngestRecord] = {
     import spark.implicits._
-    val fetched = fetchTranscripts(videoIds, fetcher).cache()
+    // localCheckpoint(eager) instead of cache(): the fetch runs exactly
+    // once (both branches read the checkpointed blocks), and the blocks
+    // are released when the Dataset is GC'd — cache() here would leak
+    // into executor storage for the session lifetime on repeated calls.
+    val fetched = fetchTranscripts(videoIds, fetcher).localCheckpoint(eager = true)
     val ok = fetched.filter(_.status == "ok").map { r =>
       val segs = r.segments.get.map(s => Segment(s.start, s.duration, s.text))
       IngestRecord(

@@ -61,9 +61,13 @@ object Multimodal {
         off += 8 + sz + (sz & 1)
       }
     }
-    if (sr <= 0 || ch <= 0 || bits <= 0) WavMeta(0, 0, 0, 0L, 0.0, valid = false)
+    // bits < 8 (e.g. 4-bit ADPCM or a hostile bits=1) would make the
+    // frame divisor 0 — corrupt input stays data, never an exception.
+    val bytesPerFrame = ch * bits / 8
+    if (sr <= 0 || ch <= 0 || bits <= 0 || bytesPerFrame <= 0)
+      WavMeta(0, 0, 0, 0L, 0.0, valid = false)
     else {
-      val n = dataLen / (ch * bits / 8)
+      val n = dataLen / bytesPerFrame
       WavMeta(sr, ch, bits, n, n.toDouble / sr, valid = true)
     }
   }

@@ -15,21 +15,57 @@ object QueriesStats {
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q70: dispersion + correlation ------------------------------
+    // Moments from EXACT decimal sums, then pure double arithmetic
+    // (same pattern as q96_outliers): engine-native stddev/corr/covar
+    // accumulate doubles in partition order, so a 1-ulp drift between
+    // engines can flip a 6-dp rounding boundary. Exact sums make every
+    // statistic a deterministic, order-free function of the data.
     QueryDef("q70_stats",
-      (s, d) => lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(
-          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
-          round(var_samp(col("l_quantity")), 6).as("var_qty"),
-          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
-          round(covar_samp(col("l_discount"), col("l_tax")), 6).as("covar_disc_tax"))
-        .orderBy("l_returnflag"),
-      Some("""SELECT l_returnflag,
-        |  round(stddev_samp(l_quantity), 6) AS sd_qty,
-        |  round(var_samp(l_quantity), 6) AS var_qty,
-        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-        |  round(covar_samp(l_discount, l_tax), 6) AS covar_disc_tax
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+      (s, d) => {
+        val q  = col("l_quantity").cast("decimal(18,2)")
+        val p  = col("l_extendedprice").cast("decimal(18,2)")
+        val dc = col("l_discount").cast("decimal(18,2)")
+        val tx = col("l_tax").cast("decimal(18,2)")
+        val m = lineitem(s, d).groupBy("l_returnflag").agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(q).cast("double").as("sq"),
+          sum(q * q).cast("double").as("sqq"),
+          sum(p).cast("double").as("sp"),
+          sum(p * p).cast("double").as("spp"),
+          sum(q * p).cast("double").as("sqp"),
+          sum(dc).cast("double").as("sdc"),
+          sum(tx).cast("double").as("stx"),
+          sum(dc * tx).cast("double").as("sdt"))
+        val n = col("n")
+        val varQty = (col("sqq") - col("sq") * col("sq") / n) / (n - lit(1.0))
+        val corrQP = (n * col("sqp") - col("sq") * col("sp")) /
+          (sqrt(n * col("sqq") - col("sq") * col("sq")) *
+           sqrt(n * col("spp") - col("sp") * col("sp")))
+        val covDT = (col("sdt") - col("sdc") * col("stx") / n) / (n - lit(1.0))
+        m.select(col("l_returnflag"),
+            round(sqrt(varQty), 6).as("sd_qty"),
+            round(varQty, 6).as("var_qty"),
+            round(corrQP, 6).as("corr_qty_price"),
+            round(covDT, 6).as("covar_disc_tax"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH m AS (SELECT l_returnflag,
+        |  CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sqq,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spp,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqp,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sdc,
+        |  CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS stx,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sdt
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag,
+        |  round(sqrt((sqq - sq * sq / n) / (n - 1.0)), 6) AS sd_qty,
+        |  round((sqq - sq * sq / n) / (n - 1.0), 6) AS var_qty,
+        |  round((n * sqp - sq * sp) / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6) AS corr_qty_price,
+        |  round((sdt - sdc * stx / n) / (n - 1.0), 6) AS covar_disc_tax
+        |FROM m ORDER BY 1""".stripMargin)),
 
     // ---- q71: exact percentiles (linear interpolation both engines) -
     QueryDef("q71_percentiles",
