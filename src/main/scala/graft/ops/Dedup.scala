@@ -265,10 +265,12 @@ object Dedup {
         .join(labels.select(col("id").as("id_b"), col("label")), Seq("id_b"))
         .groupBy(col("id_a").as("id"))
         .agg(min(col("label")).as("nmin"))
+      // lazy checkpoint: the sum action below materializes AND
+      // checkpoints in one job (eager + agg would run two per round)
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label")))
           .as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val nextSum = next.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
       converged = nextSum == prevSum
       prevSum = nextSum

@@ -42,7 +42,11 @@ object Text {
   /** Corpus term frequencies: explode + hash-agg (map-side partial
     * aggregation keeps the shuffle small at scale). */
   def termFrequencies(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(tokens(col(textCol))).as("term"))
+    // round-robin repartition before tokenize+explode: the map-side
+    // tokenization is the cost, and a small single-file scan is ONE
+    // partition (see Dedup.shingleRows)
+    df.select(col(textCol)).repartition()
+      .select(explode(tokens(col(textCol))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("freq"))
 
   /** TF-IDF per (doc, term): tf * (ln((N+1)/(df+1)) + 1) — the
@@ -50,10 +54,20 @@ object Text {
     * `nDocs` is supplied by the caller (a count the caller usually
     * already has) so the operator itself stays a pure transform. */
   def tfidf(df: DataFrame, idCol: String, textCol: String, nDocs: Long): DataFrame = {
-    val termRows = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    // Single corpus scan: tf already has one row per (doc, term), so
+    // df(term) = count of tf rows per term — no second tokenize pass,
+    // no distinct. tf is persisted (it feeds both the df aggregate and
+    // the final join). The join strategy is left to AQE: per-term
+    // counts broadcast when the vocabulary is small, fall back to a
+    // shuffle join when it isn't (at corpus scale a vocabulary can
+    // outgrow a broadcast). repartition before tokenize+explode
+    // spreads the map-side work when the source is a single small file
+    // (see Dedup.shingleRows).
+    val termRows = df.select(col(idCol), col(textCol)).repartition(col(idCol))
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
     val tf = termRows.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = termRows.select(col(idCol), col("term")).distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(dfreq, Seq("term"))
       .withColumn("tfidf", round(col("tf") *
         (log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0), 6))
@@ -76,14 +90,18 @@ object Text {
   /** Word-unigram language-ID heuristic: argmax of per-language
     * stopword hit counts; null when no evidence. Pure expressions —
     * stays in whole-stage codegen. */
-  def langIdHeuristic(textCol: Column): Column = {
-    val toks = rawTokens(textCol)
-    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(stopwordHits(toks, words).as("hits"), lit(lang).as("lang"))
-    }
-    val best = array_max(array(scored: _*))
-    when(best.getField("hits") > 0, best.getField("lang"))
-  }
+  def langIdHeuristic(textCol: Column): Column =
+    // let-bind the token array via transform(array(x), v => body)
+    // .getItem(0): without it CollapseProject inlines the regexp
+    // tokenizer into every per-language hit count and it re-runs 5x
+    // per row (the recompute trap — see Dedup.rowBandKeys)
+    transform(array(rawTokens(textCol)), toks => {
+      val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+        struct(stopwordHits(toks, words).as("hits"), lit(lang).as("lang"))
+      }
+      val best = array_max(array(scored: _*))
+      when(best.getField("hits") > 0, best.getField("lang"))
+    }).getItem(0)
 
   /** Characteristic character trigrams per language (public knowledge:
     * high-frequency function-word fragments, diacritic-bearing for

@@ -140,7 +140,12 @@ object QueriesText {
     // DuckDB struct comparison is lexicographic by field order, same
     // as Spark's array_max over structs (ties -> max lang string)
     QueryDef("q35_lang_id",
+      // repartition before the scoring projection: the interpreted
+      // higher-order hit counting is the cost, and a small single-file
+      // scan is ONE partition — without the exchange the whole corpus
+      // scores on one core (see Dedup.shingleRows)
       (s, d) => documents(s, d)
+        .select("doc_id", "lang", "text").repartition(col("doc_id"))
         .withColumn("lang_pred", Text.langIdHeuristic(col("text")))
         .groupBy("lang", "lang_pred")
         .agg(count(lit(1)).as("n"))
