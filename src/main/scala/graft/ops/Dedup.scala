@@ -310,30 +310,90 @@ object Dedup {
     }.reduce(_ + _)
   }
 
-  /** Hamming distance between two simhash16 fingerprints. */
+  /** Hamming distance between two simhash fingerprints (bit_count of
+    * the xor — width-agnostic, works for 16- and 64-bit variants). */
   def hamming16(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** SimHash as a DataFrame aggregate: explode tokens, compute the 16
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming, via
+    * band blocking: the 64-bit fingerprint splits into 4 16-bit bands;
+    * by pigeonhole, any pair within Hamming distance 3 agrees on at
+    * least one band, so blocking on (band#, band value) is EXACT for
+    * maxHamming <= 3 — an equi-join on band keys, never an all-pairs
+    * scan. 64 bits matter at scale: a 16-bit fingerprint has only 64
+    * coarse buckets, so band blocks grow O(corpus) and the self-join
+    * goes quadratic; 16-bit bands keep blocks near-singleton.
+    * Candidates sharing several bands dedup via distinct. */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4-band blocking is exact only for maxHamming <= 3, got $maxHamming")
+    val fp = simhash(df, idCol, textCol, nBits = 64)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = fp.select(col(idCol), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          // arithmetic >> then mask: the mask keeps exactly the band's
+          // 16 bits, so sign extension from bit 63 never leaks in
+          shiftright(col("simhash"), 16 * b).bitwiseAND(lit(65535L)).as("nib"))): _*))
+        .as("bk"))
+      .select(col(idCol), col("simhash"), col("bk.band"), col("bk.nib"))
+    val a = banded.select(col("band"), col("nib"),
+      col(idCol).as("id_a"), col("simhash").as("__fa"))
+    val b = banded.select(col("band"), col("nib"),
+      col(idCol).as("id_b"), col("simhash").as("__fb"))
+    a.join(b, Seq("band", "nib"))
+      .where(col("id_a") < col("id_b") &&
+        hamming16(col("__fa"), col("__fb")) <= maxHamming)
+      .select(col("id_a"), col("id_b"),
+        hamming16(col("__fa"), col("__fb")).as("hamming"))
+      .distinct()
+  }
+
+  /** Fuzzy string-match pairs: block on equality columns (brand, size,
+    * …), then verify candidates with Levenshtein edit distance <=
+    * maxDist. The blocking keeps the candidate set linear in block
+    * sizes — the classic entity-resolution shape (never LIKE-join or
+    * cross-join at scale). */
+  def fuzzyPairsBlocked(df: DataFrame, idCol: String, nameCol: String,
+                        blockCols: Seq[String], maxDist: Int): DataFrame = {
+    val a = df.select(blockCols.map(col) :+
+      col(idCol).as("id_a") :+ col(nameCol).as("__na"): _*)
+    val b = df.select(blockCols.map(col) :+
+      col(idCol).as("id_b") :+ col(nameCol).as("__nb"): _*)
+    a.join(b, blockCols)
+      .where(col("id_a") < col("id_b") &&
+        levenshtein(col("__na"), col("__nb")) <= maxDist)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__na"), col("__nb")).as("distance"))
+  }
+
+  /** SimHash as a DataFrame aggregate: explode tokens, compute the
     * ±1 bit votes per token in one codegen'd projection (md5 evaluated
     * once per token via subexpression elimination), sum per doc, take
     * signs. Same math as simhash16 but scales: the only shuffle is the
-    * repartition/groupBy on the id. */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * repartition/groupBy on the id. `nBits` up to 64 (bits come from
+    * the first nBits/4 hex chars of md5; bit 63 lands in the long's
+    * sign bit — the bit-sum never overflows because at most one
+    * summand is negative and the positives total <= Long.MaxValue). */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              nBits: Int = 16): DataFrame = {
+    require(nBits > 0 && nBits <= 64 && nBits % 4 == 0,
+      s"nBits must be a multiple of 4 in (0, 64], got $nBits")
     val tokenRows = df
       .select(col(idCol), explode(Text.tokens(col(textCol))).as("token"))
       .repartition(col(idCol))
     val hex = md5(col("token"))
-    val votes = (0 until 16).map { i =>
+    val votes = (0 until nBits).map { i =>
       val nib = (instr(lit("0123456789abcdef"), substring(hex, i / 4 + 1, 1)) - 1).cast("int")
       (shiftright(nib, 3 - (i % 4)).bitwiseAND(lit(1)) * 2 - 1).as(s"__b$i")
     }
     val sums = tokenRows.select(col(idCol) +: votes: _*)
       .groupBy(col(idCol))
       .agg(sum(col("__b0")).as("__s0"),
-        (1 until 16).map(i => sum(col(s"__b$i")).as(s"__s$i")): _*)
-    val fingerprint = (0 until 16).map { i =>
-      when(col(s"__s$i") > 0, lit(1L << (15 - i))).otherwise(lit(0L))
+        (1 until nBits).map(i => sum(col(s"__b$i")).as(s"__s$i")): _*)
+    val fingerprint = (0 until nBits).map { i =>
+      when(col(s"__s$i") > 0, lit(1L << (nBits - 1 - i))).otherwise(lit(0L))
     }.reduce(_ + _)
     // keep docs with no tokens (null sums -> all-zero fingerprint)
     df.select(col(idCol)).join(sums, Seq(idCol), "left")

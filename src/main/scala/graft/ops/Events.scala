@@ -173,4 +173,21 @@ object Events {
           .cast("bigint").as("week_offset"))
       .agg(count_distinct(col(key)).as("n_users"))
   }
+
+  /** Islands detection: maximal runs of CONSECUTIVE active days per
+    * key (gaps-and-islands). The island id is `day - row_number()` —
+    * constant within a consecutive run — the standard O(n log n/key)
+    * formulation: one distinct-agg shuffle + one window, no self-join.
+    */
+  def activeDayIslands(events: DataFrame, key: String, ts: String): DataFrame = {
+    val days = events.select(col(key), col(ts).cast("date").as("day")).distinct()
+    val w = Window.partitionBy(col(key)).orderBy(col("day"))
+    days
+      .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col(key), col("grp"))
+      .agg(min(col("day")).as("run_start"),
+        max(col("day")).as("run_end"),
+        count(lit(1)).as("run_days"))
+      .drop("grp")
+  }
 }

@@ -168,4 +168,63 @@ object Relational {
           .otherwise(col(c)).as(c)
       }: _*)
   }
+
+  /** SCD Type-2 history build: turn a changelog (key, op, seq, data…)
+    * into validity intervals — one row per change with `valid_from` =
+    * its seq, `valid_to` = the next change's seq for the key (null =
+    * still open), and `is_current`. Delete ops close the previous
+    * interval and produce no row of their own.
+    *
+    * Shape: one window shuffle over the changelog, partitioned by key
+    * — no self-join, no base-table rewrite. At 100 TB the changelog is
+    * the small side; history build cost is O(changes log changes/key). */
+  def scd2History(changes: DataFrame, keyCol: String, opCol: String,
+                  seqCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).asc, col(opCol).asc)
+    changes
+      .withColumn("valid_to", lead(col(seqCol), 1).over(w))
+      .where(col(opCol) === "upsert")
+      .withColumn("valid_from", col(seqCol))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop(opCol, seqCol)
+  }
+
+  /** One-pass column profile: per listed column, non-null count,
+    * approximate-free distinct count, and min/max rendered as strings.
+    * All statistics come from ONE aggregate over the table (count +
+    * min + max are partial-aggregating; the distincts are one
+    * expand-based aggregate) — a data-quality staple that must never
+    * scan per-column at scale. */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__n_$c"),
+        countDistinct(col(c)).as(s"__d_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // pivot the single stats row to one output row per column
+    val rows = cols.map { c =>
+      struct(lit(c).as("col_name"), col(s"__n_$c").as("n_nonnull"),
+        col(s"__d_$c").as("n_distinct"), col(s"__min_$c").as("min_value"),
+        col(s"__max_$c").as("max_value"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
+  /** Fixed-width histogram: bucket index in [0, nBuckets) with
+    * under/overflow clamped to the edge buckets. One hash-aggregate —
+    * the degenerate-free way to histogram a 100 TB column (no sort,
+    * no per-bucket scan). */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+                nBuckets: Int): DataFrame = {
+    val width = (hi - lo) / nBuckets
+    val bucket = least(greatest(
+      floor((col(valueCol) - lo) / width), lit(0.0)), lit((nBuckets - 1).toDouble))
+      .cast("long")
+    df.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col(valueCol)), 2).as("lo_seen"),
+        round(max(col(valueCol)), 2).as("hi_seen"))
+  }
 }

@@ -92,4 +92,23 @@ object Sampling {
         expr(s"(offset + greatest(cost, 1L) - 1L) div ${budget}L") -
           col("seq_first") + lit(1L))
   }
+
+  /** Deterministic weighted sample of k rows (A-ES / Efraimidis-
+    * Spirakis): each row gets priority -ln(u)/w with u a deterministic
+    * md5-uniform of the id in (0,1]; the k smallest priorities win.
+    * Heavier weights get systematically smaller priorities — inclusion
+    * probability proportional to weight — yet membership is a pure
+    * function of (id, weight): reruns and cluster-size changes never
+    * change the sample. Top-k by priority plans as
+    * TakeOrderedAndProject — no global sort at scale. */
+  def weightedTopK(df: DataFrame, idCol: String, weightCol: String,
+                   k: Int): DataFrame = {
+    // (hash + 1) / 2^32: u in (0, 1], never ln(0)
+    val u = (hashLong(col(idCol)) + 1.0) / 4294967296.0
+    val priority = -log(u) / col(weightCol).cast("double")
+    df.where(col(weightCol) > 0)
+      .withColumn("priority", round(priority, 8))
+      .orderBy(col("priority").asc, col(idCol).asc)
+      .limit(k)
+  }
 }

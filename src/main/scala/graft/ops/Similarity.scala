@@ -297,4 +297,18 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
       .distinct()
   }
+
+  /** Per-label centroid components: mean of each vector dimension
+    * within a label, from EXACT decimal sums (order-free — float
+    * partial-sum order would otherwise drift between runs/engines,
+    * see QueriesStats q70). posexplode + hash-aggregate: the shuffle
+    * carries (label, dim, decimal sum) partials — O(labels × dim),
+    * independent of corpus size. `dims` bounds the output width. */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String,
+                     dims: Int): DataFrame =
+    df.select(col(labelCol), posexplode(slice(col(vecCol), 1, dims)))
+      .groupBy(col(labelCol), (col("pos") + 1).as("dim"))
+      .agg(count(lit(1)).as("n"),
+        round((sum(col("col").cast("double").cast("decimal(28,8)"))
+          .cast("double") / count(lit(1))), 6).as("mean"))
 }

@@ -74,6 +74,25 @@ object Text {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Adjacent sub-word token pair frequencies — the counting step of a
+    * BPE merge round. Pairs are built row-locally (transform over the
+    * token index, no self-join) then explode + hash-aggregate; at
+    * corpus scale the shuffle carries map-side-combined (pair, count)
+    * partials, not token streams. */
+  def adjacentPairFrequencies(df: DataFrame, textCol: String): DataFrame = {
+    // let-bind the token array: without it CollapseProject re-runs the
+    // tokenizer per pair index (see langIdHeuristic)
+    val pairs = transform(array(subwordTokens(col(textCol))), t =>
+      when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1),
+          i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+        .otherwise(array().cast("array<string>"))
+    ).getItem(0)
+    df.select(col(textCol)).repartition()
+      .select(explode(pairs).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("freq"))
+  }
+
   /** Small multilingual stopword inventory for the language-ID
     * heuristic. Public knowledge (most-frequent function words). */
   val stopwords: Map[String, Seq[String]] = Map(

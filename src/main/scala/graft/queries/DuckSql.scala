@@ -78,4 +78,22 @@ object DuckSql {
     }
     bitSums.mkString("(", " + ", ")")
   }
+
+  /** Mirror of Dedup.simhash(nBits) for widths up to 64. Accumulates
+    * in HUGEINT (bit 63's weight exceeds BIGINT) and wraps to the
+    * signed BIGINT Spark's long fingerprint carries. Pass a let-bound
+    * token column (CTE) as toksExpr — the expression references it
+    * nBits times. */
+  def simhashBits(toksExpr: String, nBits: Int): String = {
+    val bitSums = (0 until nBits).map { i =>
+      val nibbleIdx = i / 4 + 1
+      val shift = 3 - (i % 4)
+      s"(CASE WHEN coalesce(list_sum(list_transform($toksExpr, tok -> " +
+        s"2 * (((strpos('0123456789abcdef', substr(md5(tok), $nibbleIdx, 1)) - 1) >> $shift) & 1) - 1" +
+        s")), 0) > 0 THEN CAST('${BigInt(1) << (nBits - 1 - i)}' AS HUGEINT) ELSE 0 END)"
+    }
+    val total = bitSums.mkString("(", " + ", ")")
+    s"CAST((CASE WHEN $total >= 9223372036854775808 " +
+      s"THEN $total - 18446744073709551616 ELSE $total END) AS BIGINT)"
+  }
 }

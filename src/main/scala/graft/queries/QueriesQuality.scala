@@ -1,0 +1,207 @@
+package graft.queries
+
+import graft.Tables._
+import graft.ops.{Dedup, Events, Relational, Sampling, Similarity, Text}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-2 widening batch: CDC history (SCD2), SimHash near-dup
+  * pairing, gaps-and-islands, data profiling, histograms, embedding
+  * centroids, feature normalization, deterministic weighted sampling,
+  * BPE pair counting, and blocked fuzzy matching. Every query has a
+  * full DuckDB oracle.
+  */
+object QueriesQuality {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q100: SCD Type-2 history from a changelog -------------------
+    // Synthesized deterministic changelog over customer (the q92
+    // pattern): upserts at seq 1, deletes at seq 2 for key%10=0, and a
+    // re-insert at seq 3 for key%20=0 — exercising closed intervals,
+    // delete-terminated intervals, and re-opened keys.
+    QueryDef("q100_scd2",
+      (s, d) => {
+        val base = customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+        val k = col("c_custkey")
+        val changes = base.where(k % 10 <= 1)
+          .select(k, lit("upsert").as("op"), lit(1L).as("seq"),
+            col("c_name"), col("c_acctbal"))
+          .unionAll(base.where(k % 10 === 0)
+            .select(k, lit("delete").as("op"), lit(2L).as("seq"),
+              col("c_name"), col("c_acctbal")))
+          .unionAll(base.where(k % 20 === 0)
+            .select(k, lit("upsert").as("op"), lit(3L).as("seq"),
+              concat(col("c_name"), lit("_v2")).as("c_name"),
+              (col("c_acctbal") + 50).as("c_acctbal")))
+        Relational.scd2History(changes, "c_custkey", "op", "seq")
+          .orderBy("c_custkey", "valid_from")
+      },
+      Some("""WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |ch AS (
+        |  SELECT c_custkey, 'upsert' AS op, CAST(1 AS BIGINT) AS seq, c_name, c_acctbal
+        |    FROM base WHERE c_custkey % 10 <= 1
+        |  UNION ALL SELECT c_custkey, 'delete', 2, c_name, c_acctbal
+        |    FROM base WHERE c_custkey % 10 = 0
+        |  UNION ALL SELECT c_custkey, 'upsert', 3, c_name || '_v2', c_acctbal + 50
+        |    FROM base WHERE c_custkey % 20 = 0),
+        |h AS (SELECT *, lead(seq) OVER (PARTITION BY c_custkey ORDER BY seq, op) AS valid_to
+        |  FROM ch)
+        |SELECT c_custkey, c_name, c_acctbal, seq AS valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM h WHERE op = 'upsert' ORDER BY c_custkey, valid_from""".stripMargin)),
+
+    // ---- q101: SimHash near-dup pairs (band-blocked, exact ≤3 bits) -
+    // 64-bit fingerprint with 16-bit bands: a 16-bit simhash has only
+    // 64 coarse band buckets, so blocks grow O(corpus) and the banded
+    // self-join goes quadratic — 64 bits keep blocks near-singleton at
+    // scale AND make distance <= 3 a meaningful near-dup bound. The
+    // oracle recomputes the full 64-bit fingerprint (token list
+    // let-bound in a CTE) and checks ALL pairs — banding is exact for
+    // <= 3 by pigeonhole, so the results must agree.
+    QueryDef("q101_simhash_neardup",
+      (s, d) => Dedup.simhashNearDupPairs(documents(s, d), "doc_id", "text", 3)
+        .orderBy("id_a", "id_b"),
+      Some {
+        val ham = "CAST(list_sum(list_transform(generate_series(0, 63), " +
+          "i -> (xor(fa, fb) >> i) & 1)) AS INT)"
+        s"""WITH t AS (SELECT doc_id, ${DuckSql.toks("text")} AS tk FROM documents),
+        |sh AS (SELECT doc_id, ${DuckSql.simhashBits("tk", 64)} AS sh FROM t),
+        |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS fa, b.sh AS fb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, hamming FROM
+        |  (SELECT id_a, id_b, $ham AS hamming FROM c)
+        |WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin
+      }),
+
+    // ---- q102: gaps-and-islands — consecutive active days per user --
+    QueryDef("q102_islands",
+      (s, d) => Events.activeDayIslands(events(s, d), "user_id", "ts")
+        .orderBy("user_id", "run_start"),
+      Some("""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |g AS (SELECT user_id, day,
+        |  day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS grp
+        |  FROM days)
+        |SELECT user_id, min(day) AS run_start, max(day) AS run_end,
+        |  count(*) AS run_days
+        |FROM g GROUP BY user_id, grp ORDER BY user_id, run_start""".stripMargin)),
+
+    // ---- q103: one-pass column profile (data-quality staple) --------
+    // money profiled as DECIMAL so min/max render identically as
+    // strings in both engines
+    QueryDef("q103_profile",
+      (s, d) => Relational.profileColumns(
+          orders(s, d).withColumn("o_totalprice",
+            col("o_totalprice").cast("decimal(18,2)")),
+          Seq("o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"))
+        .orderBy("col_name"),
+      Some {
+        def row(c: String, src: String = "orders") =
+          s"""SELECT '$c' AS col_name, count($c) AS n_nonnull,
+          |  count(DISTINCT $c) AS n_distinct,
+          |  CAST(min($c) AS VARCHAR) AS min_value,
+          |  CAST(max($c) AS VARCHAR) AS max_value FROM $src""".stripMargin
+        s"""${row("o_orderstatus")}
+        |UNION ALL ${row("o_orderpriority")}
+        |UNION ALL ${row("o_custkey")}
+        |UNION ALL ${row("o_totalprice",
+            "(SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice FROM orders)")}
+        |ORDER BY 1""".stripMargin
+      }),
+
+    // ---- q104: fixed-width histogram (one hash-agg, no sort) --------
+    QueryDef("q104_histogram",
+      (s, d) => Relational.histogram(lineitem(s, d), "l_extendedprice",
+          0.0, 120000.0, 12)
+        .orderBy("bucket"),
+      Some("""WITH b AS (SELECT
+        |  CAST(least(greatest(floor(l_extendedprice / 10000.0), 0), 11) AS BIGINT) AS bucket,
+        |  l_extendedprice FROM lineitem)
+        |SELECT bucket, count(*) AS n,
+        |  round(min(l_extendedprice), 2) AS lo_seen,
+        |  round(max(l_extendedprice), 2) AS hi_seen
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- q105: per-label embedding centroids (exact decimal means) --
+    QueryDef("q105_centroids",
+      (s, d) => Similarity.labelCentroids(embeddings(s, d), "label",
+          "embedding", 8)
+        .orderBy("label", "dim"),
+      Some("""SELECT label, i AS dim, count(*) AS n,
+        |  round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE)
+        |    / count(*), 6) AS mean
+        |FROM embeddings, (SELECT unnest(generate_series(1, 8)) AS i) g
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- q106: per-type z-score + quartile binning (feature norm) ---
+    // moments from exact decimal sums (order-free, see q70/q96);
+    // ntile ordered by (value, event_id) so ties bin deterministically
+    QueryDef("q106_zscore",
+      (s, d) => {
+        val d2 = col("value").cast("decimal(18,2)")
+        val stats = events(s, d).groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"),
+            sum(d2).cast("double").as("s1"),
+            sum(d2 * d2).cast("double").as("s2"))
+        val mu = col("s1") / col("cnt")
+        val sd = sqrt((col("s2") - col("s1") * col("s1") / col("cnt")) /
+          (col("cnt") - 1))
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("value"), col("event_id"))
+        events(s, d).join(broadcast(stats), Seq("event_type"))
+          .select(col("event_id"), col("event_type"),
+            round(col("value"), 2).as("value"),
+            round((col("value") - mu) / sd, 4).as("z"),
+            ntile(4).over(w).as("quartile"))
+          .orderBy("event_id")
+      },
+      Some("""WITH s AS (SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, event_type, round(value, 2) AS value,
+        |  round((value - s1 / cnt) / sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)), 4) AS z,
+        |  ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS quartile
+        |FROM events JOIN s USING (event_type)
+        |ORDER BY event_id""".stripMargin)),
+
+    // ---- q107: deterministic weighted sample (A-ES priorities) ------
+    QueryDef("q107_weighted_sample",
+      (s, d) => Sampling.weightedTopK(documents(s, d), "doc_id", "n_chars", 50)
+        .select("doc_id", "lang", "n_chars", "priority")
+        .orderBy("priority", "doc_id"),
+      Some(s"""SELECT doc_id, lang, n_chars,
+        |  round(-ln((${DuckSql.hashLong("doc_id")} + 1.0) / 4294967296.0)
+        |    / n_chars, 8) AS priority
+        |FROM documents WHERE n_chars > 0
+        |ORDER BY priority, doc_id LIMIT 50""".stripMargin)),
+
+    // ---- q108: BPE merge-round pair counting ------------------------
+    QueryDef("q108_bpe_pairs",
+      (s, d) => Relational.topK(
+        Text.adjacentPairFrequencies(documents(s, d), "text"),
+        Seq(col("freq").desc, col("pair").asc), 100),
+      Some("""WITH t AS (SELECT
+        |  regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') AS tk
+        |  FROM documents),
+        |p AS (SELECT unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+        |  i -> tk[i] || ' ' || tk[i + 1])) AS pair FROM t)
+        |SELECT pair, count(*) AS freq FROM p GROUP BY 1
+        |ORDER BY freq DESC, pair LIMIT 100""".stripMargin)),
+
+    // ---- q109: blocked fuzzy match (entity resolution) --------------
+    // (brand, size) blocking keeps the candidate set linear-ish; at
+    // brand-only blocking the distance-8 result was 50k pairs on 2k
+    // parts — a threshold that loose is a cross join in disguise
+    QueryDef("q109_fuzzy_join",
+      (s, d) => Dedup.fuzzyPairsBlocked(part(s, d), "p_partkey", "p_name",
+          Seq("p_brand", "p_size"), 6)
+        .orderBy("id_a", "id_b"),
+      Some("""SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  levenshtein(a.p_name, b.p_name) AS distance
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |  AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 6
+        |ORDER BY 1, 2""".stripMargin)))
+}

@@ -15,7 +15,8 @@ object Registry {
       QueriesSimilarity.defs ++
       QueriesIngest.defs ++
       QueriesPipeline.defs ++
-      QueriesSampling.defs
+      QueriesSampling.defs ++
+      QueriesQuality.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
