@@ -85,4 +85,37 @@ class PlanSpec extends SparkSpec {
     // the only exchange is the final aggregation's
     assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 2, p)
   }
+
+  test("q100: SCD2 history is one window over the changelog, no self-join") {
+    val p = planOf("q100_scd2")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q101: simhash pairing is an equi-join on band keys, never all-pairs") {
+    val p = planOf("q101_simhash_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q103: profile is a single aggregate pass (one scan of the table)") {
+    val p = planOf("q103_profile")
+    // one parquet scan feeds all per-column stats
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, p)
+  }
+
+  test("q104: histogram is one hash-aggregate, no sort before grouping") {
+    val p = planOf("q104_histogram")
+    assert(p.contains("HashAggregate") && p.contains("partial_"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("q107: weighted sampling plans TakeOrderedAndProject, not a global sort") {
+    val p = planOf("q107_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q109: fuzzy match is block-local (equi-join on block keys)") {
+    val p = planOf("q109_fuzzy_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
