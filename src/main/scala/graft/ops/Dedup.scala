@@ -247,13 +247,15 @@ object Dedup {
     val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
     // id_a < id_b on input, so the two closure branches are disjoint
     // and duplicate-free — no distinct (and min() over an edge list
-    // is duplicate-insensitive anyway)
+    // is duplicate-insensitive anyway). edges and labels checkpoint
+    // LAZILY: the first sum action below materializes both in one job
+    // (eager would cost a job each).
     val edges = p
       .union(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // labels only ever decrease, so an unchanged sum(label) proves a
     // fixpoint — one cheap agg action per round instead of a
     // self-join + isEmpty
@@ -350,6 +352,21 @@ object Dedup {
       .distinct()
   }
 
+  /** Triangle count over an undirected edge list (id_a < id_b): two
+    * equi-joins — e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) — each triangle counted
+    * once because every edge is stored in canonical orientation. The
+    * standard distributed formulation (no adjacency matrices, no
+    * driver-side graph); at scale the joins shuffle on node ids and
+    * skew on hub nodes is the thing to watch (cap degrees upstream,
+    * as lshCandidatePairs does with maxBucket). */
+  def triangleCount(pairs: DataFrame): DataFrame = {
+    val e1 = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+    val e2 = pairs.select(col("id_a").as("b"), col("id_b").as("c"))
+    val e3 = pairs.select(col("id_a").as("a"), col("id_b").as("c"))
+    e1.join(e2, Seq("b")).join(e3, Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Fuzzy string-match pairs: block on equality columns (brand, size,
     * …), then verify candidates with Levenshtein edit distance <=
     * maxDist. The blocking keeps the candidate set linear in block
@@ -383,10 +400,17 @@ object Dedup {
     val tokenRows = df
       .select(col(idCol), explode(Text.tokens(col(textCol))).as("token"))
       .repartition(col(idCol))
+    // the first 16 hex chars as one 64-bit value (two 8-char conv()s —
+    // 32-bit halves fit a long exactly), then every bit vote is a
+    // shift+mask instead of a per-bit substring+instr chain: bit i is
+    // bit (63 - i) of the big-endian prefix, identical to reading hex
+    // char i/4+1 nibble-wise. ~64x less string work per token.
     val hex = md5(col("token"))
+    val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")
+    val v = shiftleft(hi, 32) + lo
     val votes = (0 until nBits).map { i =>
-      val nib = (instr(lit("0123456789abcdef"), substring(hex, i / 4 + 1, 1)) - 1).cast("int")
-      (shiftright(nib, 3 - (i % 4)).bitwiseAND(lit(1)) * 2 - 1).as(s"__b$i")
+      (shiftright(v, 63 - i).bitwiseAND(lit(1L)).cast("int") * 2 - 1).as(s"__b$i")
     }
     val sums = tokenRows.select(col(idCol) +: votes: _*)
       .groupBy(col(idCol))

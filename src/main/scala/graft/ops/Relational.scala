@@ -212,6 +212,30 @@ object Relational {
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
 
+  /** Winsorized group statistics: clamp values at the [pLo, pHi]
+    * exact percentiles of their group, report raw and clamped means.
+    * Percentiles are computed once per group (tiny frame) and joined
+    * back broadcast — the big side is scanned twice but never
+    * shuffled on the group key a second time. Means come from exact
+    * decimal sums (order-free, see QueriesStats q70). */
+  def winsorizeStats(df: DataFrame, groupCol: String, valueCol: String,
+                     pLo: Double, pHi: Double): DataFrame = {
+    val v = col(valueCol)
+    val bounds = df.groupBy(col(groupCol)).agg(
+      expr(s"percentile($valueCol, $pLo)").as("__lo"),
+      expr(s"percentile($valueCol, $pHi)").as("__hi"))
+    val clamped = least(greatest(v.cast("double"), col("__lo")), col("__hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        round(sum(v.cast("decimal(18,2)")).cast("double") / count(lit(1)), 4)
+          .as("avg_raw"),
+        round(sum(clamped.cast("decimal(18,6)")).cast("double") / count(lit(1)), 4)
+          .as("avg_winsorized"),
+        round(min(col("__lo")), 4).as("p_lo"),
+        round(max(col("__hi")), 4).as("p_hi"))
+  }
+
   /** Fixed-width histogram: bucket index in [0, nBuckets) with
     * under/overflow clamped to the edge buckets. One hash-aggregate —
     * the degenerate-free way to histogram a 100 TB column (no sort,

@@ -203,5 +203,109 @@ object QueriesQuality {
         |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
         |  AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 6
-        |ORDER BY 1, 2""".stripMargin)))
+        |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- q110: 7-day trailing revenue (RANGE frame over daily rollup)
+    // The window input is the DAILY rollup — O(days) rows no matter
+    // how large the fact table is — so the unpartitioned range frame
+    // is safe at any corpus scale (the heavy lifting happened in the
+    // partial-aggregating groupBy).
+    QueryDef("q110_trailing_window",
+      (s, d) => {
+        val daily = orders(s, d)
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+        val w = Window
+          .orderBy(datediff(col("day"), lit("1990-01-01").cast("date")))
+          .rangeBetween(-6, 0)
+        daily
+          .select(col("day"), col("rev").cast("double").as("rev"),
+            sum(col("rev")).over(w).cast("double").as("trailing7"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT day, CAST(rev AS DOUBLE) AS rev,
+        |  CAST(sum(rev) OVER (ORDER BY day
+        |    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS trailing7
+        |FROM daily ORDER BY day""".stripMargin)),
+
+    // ---- q111: heterogeneous-source union (schema alignment) --------
+    // Two sources with different column sets align by NAME with
+    // missing columns null-filled — the multi-source ingest staple
+    // (positional union would silently mis-assign columns).
+    QueryDef("q111_union_by_name",
+      (s, d) => {
+        val docs = documents(s, d)
+        val a = docs.where(length(col("source")) === 4)
+          .select(col("doc_id"), col("source"), col("lang"))
+        val b = docs.where(length(col("source")) === 5)
+          .select(col("doc_id"), col("n_chars"), col("source"))
+        a.unionByName(b, allowMissingColumns = true)
+          .groupBy(coalesce(col("lang"), lit("?")).as("lang"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy("lang")
+      },
+      Some("""WITH u AS (
+        |  SELECT doc_id, source, lang, NULL AS n_chars FROM documents
+        |    WHERE length(source) = 4
+        |  UNION ALL SELECT doc_id, source, NULL, n_chars FROM documents
+        |    WHERE length(source) = 5)
+        |SELECT coalesce(lang, '?') AS lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- q112: winsorized statistics (outlier-robust means) ---------
+    QueryDef("q112_winsorize",
+      (s, d) => Relational.winsorizeStats(documents(s, d), "lang", "n_chars",
+          0.05, 0.95)
+        .orderBy("lang"),
+      Some("""WITH b AS (SELECT lang,
+        |  quantile_cont(n_chars, 0.05) AS lo, quantile_cont(n_chars, 0.95) AS hi
+        |  FROM documents GROUP BY 1)
+        |SELECT lang, count(*) AS n,
+        |  round(CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_raw,
+        |  round(CAST(sum(CAST(least(greatest(CAST(n_chars AS DOUBLE), lo), hi)
+        |    AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_winsorized,
+        |  round(min(lo), 4) AS p_lo, round(max(hi), 4) AS p_hi
+        |FROM documents JOIN b USING (lang)
+        |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---- q113: triangle count over the fuzzy-match graph ------------
+    QueryDef("q113_triangles",
+      (s, d) => Dedup.triangleCount(
+        Dedup.fuzzyPairsBlocked(part(s, d), "p_partkey", "p_name",
+          Seq("p_brand", "p_size"), 6)),
+      Some("""WITH e AS (SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+        |  FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |    AND a.p_partkey < b.p_partkey
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 6)
+        |SELECT count(*) AS n_triangles
+        |FROM e e1 JOIN e e2 ON e1.id_b = e2.id_a
+        |JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b""".stripMargin)),
+
+    // ---- q114: sliding (hopping) windows — size 10 min, slide 5 min -
+    // each event lands in size/slide = 2 windows; Spark's window()
+    // generator assigns them, the oracle regenerates the same two
+    // window starts arithmetically
+    QueryDef("q114_sliding_window",
+      (s, d) => events(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          graft.ops.Relational.sumExact(col("value")).as("sum_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("wstart", "event_type"),
+      Some("""WITH w AS (SELECT event_type, value,
+        |  make_timestamp(((epoch_us(ts) // 300000000) - k.k) * 300000000) AS ws
+        |  FROM events, (SELECT unnest([0, 1]) AS k) k)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
 }
