@@ -397,28 +397,40 @@ object Dedup {
               nBits: Int = 16): DataFrame = {
     require(nBits > 0 && nBits <= 64 && nBits % 4 == 0,
       s"nBits must be a multiple of 4 in (0, 64], got $nBits")
-    val tokenRows = df
-      .select(col(idCol), explode(Text.tokens(col(textCol))).as("token"))
-      .repartition(col(idCol))
-    // the first 16 hex chars as one 64-bit value (two 8-char conv()s —
-    // 32-bit halves fit a long exactly), then every bit vote is a
-    // shift+mask instead of a per-bit substring+instr chain: bit i is
-    // bit (63 - i) of the big-endian prefix, identical to reading hex
-    // char i/4+1 nibble-wise. ~64x less string work per token.
+    // the first 16 hex chars of md5(token) as one 64-bit value (two
+    // 8-char conv()s — 32-bit halves fit a long exactly), computed
+    // BEFORE the repartition: the exchange is a hard projection
+    // barrier, so the hash runs once per token and the shuffle carries
+    // (id, long) instead of (id, token). Bit i of the fingerprint is
+    // bit (63 - i) of this big-endian prefix — identical to reading
+    // hex char i/4+1 nibble-wise — so each vote below is a shift+mask
+    // of a long, keeping the 64-vote projection small enough for
+    // whole-stage codegen (a per-bit string chain knocked the whole
+    // aggregate subtree into interpreted mode).
     val hex = md5(col("token"))
     val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")
     val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")
-    val v = shiftleft(hi, 32) + lo
+    val tokenRows = df
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("token"))
+      .select(col(idCol), (shiftleft(hi, 32) + lo).as("__v"))
+      .repartition(col(idCol))
     val votes = (0 until nBits).map { i =>
-      (shiftright(v, 63 - i).bitwiseAND(lit(1L)).cast("int") * 2 - 1).as(s"__b$i")
+      (shiftright(col("__v"), 63 - i).bitwiseAND(lit(1L)).cast("int") * 2 - 1)
+        .as(s"__b$i")
     }
     val sums = tokenRows.select(col(idCol) +: votes: _*)
       .groupBy(col(idCol))
       .agg(sum(col("__b0")).as("__s0"),
         (1 until nBits).map(i => sum(col(s"__b$i")).as(s"__s$i")): _*)
-    val fingerprint = (0 until nBits).map { i =>
-      when(col(s"__s$i") > 0, lit(1L << (nBits - 1 - i))).otherwise(lit(0L))
-    }.reduce(_ + _)
+    // fingerprint as an array fold (acc*2 + sign bit, MSB-first) —
+    // value-identical to summing 1L << (nBits-1-i) terms, but the
+    // 64-term when/add chain made Janino compilation of the projection
+    // pathologically slow (~7 s at 64 bits); the fold's expression
+    // tree is O(1) and the 64 interpreted lambda steps per ROW are
+    // negligible
+    val sumsArr = array((0 until nBits).map(i => col(s"__s$i")): _*)
+    val fingerprint = aggregate(sumsArr, lit(0L),
+      (acc, s) => shiftleft(acc, 1) + when(s > 0, lit(1L)).otherwise(lit(0L)))
     // keep docs with no tokens (null sums -> all-zero fingerprint)
     df.select(col(idCol)).join(sums, Seq(idCol), "left")
       .select(col(idCol), fingerprint.as("simhash"))
