@@ -288,6 +288,92 @@ object QueriesQuality {
         |FROM e e1 JOIN e e2 ON e1.id_b = e2.id_a
         |JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b""".stripMargin)),
 
+    // ---- q115: the reference's fallback DAG, fully oracle-verified --
+    // The q64 pipeline (transcript attempt → err rows reroute through
+    // ASR → union; main.py stages 2-4) driven from the documents
+    // table with ids that are a pure function of doc_id. The stub
+    // connectors are deterministic, so every output field — routing
+    // decision included — is SQL-computable and the whole DAG is
+    // hash-verified, not just rows-checked.
+    QueryDef("q115_fallback_oracle",
+      (s, d) => {
+        import s.implicits._
+        val ids = documents(s, d)
+          .select(when(col("doc_id") % 7 === 0,
+              concat(lit("bad"), col("doc_id").cast("string")))
+            .otherwise(concat(lit("vid"), col("doc_id").cast("string")))
+            .as("vid"))
+          .as[String]
+        graft.ingest.Connectors.ingestWithFallback(s, ids,
+            () => new graft.ingest.Connectors.StubTranscriptFetcher,
+            () => new graft.ingest.Connectors.StubAsrEngine,
+            audioFor = vid => Array.fill[Byte](vid.length * 100)(1))
+          .toDF()
+          .select(col("id"), col("source_type"), col("text"),
+            size(coalesce(col("segments"), array())).cast("bigint").as("n_segments"),
+            col("binary_path"))
+          .orderBy("id")
+      },
+      Some("""WITH v AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'bad' || CAST(doc_id AS VARCHAR)
+        |       ELSE 'vid' || CAST(doc_id AS VARCHAR) END AS vid
+        |  FROM documents)
+        |SELECT 'yt_' || vid AS id,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'youtube' ELSE 'youtube_transcript' END
+        |    AS source_type,
+        |  CASE WHEN doc_id % 7 = 0
+        |    THEN 'stub transcript of ' || CAST(length(vid) * 100 AS VARCHAR) || ' bytes'
+        |    ELSE 'hello from ' || vid || '.' || chr(10) ||
+        |      'second segment of ' || vid || '!' END AS text,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 2 END AS BIGINT) AS n_segments,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'audio/' || vid || '.wav' END AS binary_path
+        |FROM v ORDER BY id""".stripMargin)),
+
+    // ---- q116: correlated min-per-group subquery (TPC-H Q2 shape) ---
+    // SQL text IS the oracle text; Catalyst decorrelates the subquery
+    // into an aggregate + join (no per-row re-execution)
+    QueryDef("q116_correlated_min", {
+      val sql = """SELECT p_type, p_partkey, p_retailprice
+        |FROM part p
+        |WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2
+        |  WHERE p2.p_type = p.p_type)
+        |ORDER BY p_type, p_partkey""".stripMargin
+      (s, d) => {
+        graft.Tables.table(s, d, "part").createOrReplaceTempView("part")
+        s.sql(sql)
+      }
+    },
+      Some("""SELECT p_type, p_partkey, p_retailprice
+        |FROM part p
+        |WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2
+        |  WHERE p2.p_type = p.p_type)
+        |ORDER BY p_type, p_partkey""".stripMargin)),
+
+    // ---- q117: NOT EXISTS + scalar subquery (TPC-H Q22 shape) -------
+    // the scalar average uses exact decimal sums so both engines
+    // compute the identical threshold (order-free)
+    QueryDef("q117_notexists_avg", {
+      val sql = """SELECT c_custkey, round(c_acctbal, 2) AS bal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*) FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin
+      (s, d) => {
+        graft.Tables.table(s, d, "customer").createOrReplaceTempView("customer")
+        graft.Tables.table(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql(sql)
+      }
+    },
+      Some("""SELECT c_custkey, round(c_acctbal, 2) AS bal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*) FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin)),
+
     // ---- q114: sliding (hopping) windows — size 10 min, slide 5 min -
     // each event lands in size/slide = 2 windows; Spark's window()
     // generator assigns them, the oracle regenerates the same two
