@@ -329,6 +329,39 @@ object QueriesQuality {
         |  CASE WHEN doc_id % 7 = 0 THEN 'audio/' || vid || '.wav' END AS binary_path
         |FROM v ORDER BY id""".stripMargin)),
 
+    // ---- q118: STREAMING execution, hash-verified -------------------
+    // A genuine Structured Streaming run (readStream file source →
+    // incremental stateful aggregation → complete-mode memory sink,
+    // Trigger.AvailableNow) whose final table is compared against the
+    // DuckDB oracle — streaming and batch semantics agree on a bounded
+    // input, so the STREAMING engine itself is under the hash check.
+    QueryDef("q118_streaming_parity",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val sch = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        // the file source needs a DIRECTORY; glob-filter to the one table
+        graft.streaming.Sessions.runStreamToBatch(s, d, sch,
+            globFilter = Some("events.parquet"),
+            transform = st => st
+              .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+              .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
+              .agg(count(lit(1)).as("n"),
+                Relational.sumExact(col("value")).as("sum_value")))
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+            col("event_type"), col("n"), col("sum_value"))
+          .orderBy("wstart", "event_type")
+      },
+      Some("""SELECT strftime(make_timestamp((epoch_us(ts) // 1800000000) * 1800000000),
+        |    '%Y-%m-%d %H:%M:%S') AS wstart,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ---- q116: correlated min-per-group subquery (TPC-H Q2 shape) ---
     // SQL text IS the oracle text; Catalyst decorrelates the subquery
     // into an aggregate + join (no per-row re-execution)

@@ -68,6 +68,35 @@ object Sessions {
 
   /** Windowed event counts with late-data tolerance — the generic
     * streaming aggregation (tumbling window + watermark). */
+  /** Run a streaming aggregation over a bounded file source to
+    * completion and return the final result as a batch DataFrame:
+    * `readStream` → transform → complete-mode memory sink →
+    * `Trigger.AvailableNow` → await. The caller's transform sees a
+    * genuine streaming DataFrame (incremental state, streaming-only
+    * plan rules apply), yet the final table equals the batch result —
+    * which lets a STREAMING pipeline be verified against a SQL oracle.
+    * At scale the same code runs continuously; AvailableNow is the
+    * batch-catch-up trigger (one bounded run over the backlog). */
+  def runStreamToBatch(spark: org.apache.spark.sql.SparkSession,
+                       sourceDir: String,
+                       schema: org.apache.spark.sql.types.StructType,
+                       transform: DataFrame => DataFrame,
+                       globFilter: Option[String] = None): DataFrame = {
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val reader = spark.readStream.schema(schema)
+    globFilter.foreach(g => reader.option("pathGlobFilter", g))
+    val stream = reader.parquet(sourceDir)
+    val q = transform(stream).writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    spark.table(name)
+  }
+
   def windowedCounts(events: DataFrame, tsCol: String, valueCol: String,
                      window: String = "10 minutes",
                      watermark: String = "30 minutes"): DataFrame =
