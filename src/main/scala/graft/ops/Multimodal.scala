@@ -77,6 +77,59 @@ object Multimodal {
   /** Typed metadata column from a binary WAV column. */
   def wavMetadata(content: Column): Column = wavMetaUdf(content)
 
+  // -------------------------------------------------------------------
+  // Image headers — same errors-as-data contract as WAV: corrupt or
+  // unknown bytes yield valid=false, never an exception in the task.
+  // Real byte-level parsing (PNG IHDR, BMP BITMAPINFOHEADER); only
+  // pixel DECODING is stubbed (no image libs in this environment).
+  // -------------------------------------------------------------------
+  case class ImageMeta(format: String, width: Int, height: Int,
+                       bit_depth: Int, valid: Boolean)
+
+  def parseImageHeader(bytes: Array[Byte]): ImageMeta = {
+    def be32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    def le32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    val pngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    if (bytes == null) ImageMeta("", 0, 0, 0, valid = false)
+    else if (bytes.length >= 33 && bytes.take(8).sameElements(pngSig) &&
+      new String(bytes.slice(12, 16), "US-ASCII") == "IHDR") {
+      val w = be32(16); val h = be32(20); val depth = bytes(24) & 0xff
+      // IHDR caps dims at 2^31-1; reject zero/overflow as corrupt
+      if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue)
+        ImageMeta("png", 0, 0, 0, valid = false)
+      else ImageMeta("png", w.toInt, h.toInt, depth, valid = true)
+    } else if (bytes.length >= 30 && bytes(0) == 'B' && bytes(1) == 'M') {
+      val w = le32(18); val h = le32(22)
+      val depth = (bytes(28) & 0xff) | ((bytes(29) & 0xff) << 8)
+      // height may be negative (top-down rows); magnitude is the size
+      val habs = math.abs(h.toInt)
+      if (w <= 0 || w > Int.MaxValue || habs == 0)
+        ImageMeta("bmp", 0, 0, 0, valid = false)
+      else ImageMeta("bmp", w.toInt, habs, depth, valid = true)
+    } else ImageMeta("", 0, 0, 0, valid = false)
+  }
+
+  private val imageMetaUdf = udf(parseImageHeader _)
+
+  /** Typed metadata column from a binary image column (PNG/BMP). */
+  def imageMetadata(content: Column): Column = imageMetaUdf(content)
+
+  /** Synthesize a minimal valid PNG header (signature + IHDR) followed
+    * by no pixel data — enough for header parsing tests/stub decode. */
+  def makePngHeader(width: Int, height: Int, bitDepth: Int = 8): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(33).order(java.nio.ByteOrder.BIG_ENDIAN)
+    buf.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    buf.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    buf.putInt(width).putInt(height)
+    buf.put(bitDepth.toByte).put(6.toByte) // RGBA
+    buf.put(0.toByte).put(0.toByte).put(0.toByte)
+    buf.array()
+  }
+
   /** Synthesize a PCM WAV byte array (s16le). Used by tests and the
     * stubbed decode path. */
   def makeWav(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {

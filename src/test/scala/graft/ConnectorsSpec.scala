@@ -86,6 +86,37 @@ class MultimodalSpec extends SparkSpec {
     assert(out == Set((16000, 1.0), (44100, 0.1))) // glob filtered the .txt
   }
 
+  test("image header parse: PNG IHDR, BMP, corrupt, hostile dims") {
+    val png = Multimodal.parseImageHeader(Multimodal.makePngHeader(640, 480))
+    assert(png.valid && png.format == "png" && png.width == 640 &&
+      png.height == 480 && png.bit_depth == 8)
+    // hand-built 30-byte BMP header: 'BM' + 16 bytes, w=32 @18, h=-16 @22
+    // (negative = top-down), depth=24 @28
+    val bmp = java.nio.ByteBuffer.allocate(30)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bmp.put('B'.toByte).put('M'.toByte).position(18)
+    bmp.putInt(32).putInt(-16).position(28)
+    bmp.putShort(24.toShort)
+    val b = Multimodal.parseImageHeader(bmp.array())
+    assert(b.valid && b.format == "bmp" && b.width == 32 && b.height == 16 &&
+      b.bit_depth == 24)
+    assert(!Multimodal.parseImageHeader("not an image".getBytes).valid)
+    assert(!Multimodal.parseImageHeader(null).valid)
+    // zero-width PNG is data, not an exception
+    assert(!Multimodal.parseImageHeader(Multimodal.makePngHeader(0, 9)).valid)
+  }
+
+  test("imageMetadata column plumbing over a binary column") {
+    val rows = Seq(
+      ("a", Multimodal.makePngHeader(10, 20)),
+      ("b", "junk".getBytes))
+    val out = rows.toDF("id", "content")
+      .select(col("id"), Multimodal.imageMetadata(col("content")).as("m"))
+      .select(col("id"), col("m.format"), col("m.width"), col("m.valid"))
+      .as[(String, String, Int, Boolean)].collect().toSet
+    assert(out == Set(("a", "png", 10, true), ("b", "", 0, false)))
+  }
+
   test("pipeBinary streams bytes through a real subprocess (T1 shape)") {
     val wav = Multimodal.makeWav(16000, 1, Array.fill[Short](100)(7))
     val df = Seq(("a", wav)).toDF("id", "content")
