@@ -378,11 +378,14 @@ object Dedup {
       col(idCol).as("id_a") :+ col(nameCol).as("__na"): _*)
     val b = df.select(blockCols.map(col) :+
       col(idCol).as("id_b") :+ col(nameCol).as("__nb"): _*)
+    // thresholded levenshtein (returns -1 past maxDist): the dynamic
+    // program early-exits once a row of the edit matrix exceeds the
+    // bound — at corpus scale most candidates are far apart, so this
+    // is the difference between O(len²) and O(len·maxDist) per pair
+    val d = levenshtein(col("__na"), col("__nb"), maxDist)
     a.join(b, blockCols)
-      .where(col("id_a") < col("id_b") &&
-        levenshtein(col("__na"), col("__nb")) <= maxDist)
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("__na"), col("__nb")).as("distance"))
+      .where(col("id_a") < col("id_b") && d >= 0 && d <= maxDist)
+      .select(col("id_a"), col("id_b"), d.as("distance"))
   }
 
   /** SimHash as a DataFrame aggregate: explode tokens, compute the
