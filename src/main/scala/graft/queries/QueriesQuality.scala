@@ -362,6 +362,29 @@ object QueriesQuality {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ---- q119: streaming stateful dedup, hash-verified --------------
+    // dropDuplicates on a stream keeps per-key state and emits each
+    // key once (append mode); on a bounded AvailableNow run the
+    // emitted set must equal batch DISTINCT — the state-store dedup
+    // path is under the hash check.
+    QueryDef("q119_streaming_dedup",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val sch = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        graft.streaming.Sessions.runStreamToBatch(s, d, sch,
+            globFilter = Some("events.parquet"),
+            outputMode = "append",
+            transform = st => st.select(col("user_id"), col("event_type"))
+              .dropDuplicates("user_id", "event_type"))
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY 1, 2""".stripMargin)),
+
     // ---- q116: correlated min-per-group subquery (TPC-H Q2 shape) ---
     // SQL text IS the oracle text; Catalyst decorrelates the subquery
     // into an aggregate + join (no per-row re-execution)

@@ -81,7 +81,8 @@ object Sessions {
                        sourceDir: String,
                        schema: org.apache.spark.sql.types.StructType,
                        transform: DataFrame => DataFrame,
-                       globFilter: Option[String] = None): DataFrame = {
+                       globFilter: Option[String] = None,
+                       outputMode: String = "complete"): DataFrame = {
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val reader = spark.readStream.schema(schema)
     globFilter.foreach(g => reader.option("pathGlobFilter", g))
@@ -89,7 +90,7 @@ object Sessions {
     val q = transform(stream).writeStream
       .format("memory")
       .queryName(name)
-      .outputMode("complete")
+      .outputMode(outputMode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination()

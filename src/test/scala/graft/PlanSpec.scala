@@ -118,4 +118,18 @@ class PlanSpec extends SparkSpec {
     val p = planOf("q109_fuzzy_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q115: the fallback DAG is a pure pipeline — no join, no aggregate") {
+    val p = planOf("q115_fallback_oracle")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
+  }
+
+  test("q110: the range frame windows the DAILY rollup, not the fact table") {
+    val p = planOf("q110_trailing_window")
+    // the Window sits above the aggregate: O(days) input rows
+    val lines = p.linesIterator.toSeq
+    val wIdx = lines.indexWhere(_.contains("Window"))
+    val aggIdx = lines.indexWhere(_.contains("HashAggregate"))
+    assert(wIdx >= 0 && aggIdx > wIdx, p)
+  }
 }
