@@ -128,6 +128,59 @@ class PropertySpec extends SparkSpec {
     out.foreach { case (shard, hi, mass) => assert(hi == mass, s"shard $shard") }
   }
 
+  test("property: scd2History intervals are disjoint, chained, and cover every upsert") {
+    val changeGen = for {
+      key <- Gen.chooseNum(1L, 20L)
+      op <- Gen.oneOf("upsert", "delete")
+      v <- Gen.identifier.map(_.take(6))
+    } yield (key, op, v)
+    val raw = samples(changeGen, 300).zipWithIndex
+      .map { case ((k, op, v), i) => (k, op, i.toLong, v) } // unique seq = arrival order
+    val h = graft.ops.Relational
+      .scd2History(raw.toDF("k", "op", "seq", "v"), "k", "op", "seq")
+      .select(col("k"), col("valid_from"), col("valid_to"), col("is_current"))
+      .as[(Long, Long, Option[Long], Boolean)].collect()
+    // one row per upsert, none lost
+    assert(h.length == raw.count(_._2 == "upsert"))
+    h.groupBy(_._1).foreach { case (k, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // intervals are ordered and non-overlapping: each closes at or
+      // before the next opens; only the last may be open
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3.isDefined && a._3.get <= b._2, s"key $k overlap")
+        case _ =>
+      }
+      assert(sorted.init.forall(!_._4) , s"key $k: non-final current flag")
+      sorted.lastOption.foreach(last => assert(last._4 == last._3.isEmpty))
+    }
+  }
+
+  test("property: weightedTopK supersets are monotone in k and weight-deterministic") {
+    val rows = samples(Gen.zip(Gen.chooseNum(1L, 100000L),
+      Gen.chooseNum(1L, 9999L)), 400).distinctBy(_._1)
+    val df = rows.toDF("id", "w")
+    def pick(k: Int): Seq[Long] =
+      graft.ops.Sampling.weightedTopK(df, "id", "w", k)
+        .select("id").as[Long].collect().toSeq
+    val s10 = pick(10); val s25 = pick(25)
+    assert(s10.toSet.subsetOf(s25.toSet)) // monotone supersets
+    assert(pick(25) == s25)               // rerun-identical
+  }
+
+  test("property: histogram bucketing is total and order-preserving") {
+    val vals = samples(Gen.chooseNum(-50.0, 150.0), 500)
+    val df = vals.zipWithIndex.map(_.swap).toDF("i", "v")
+    val h = graft.ops.Relational.histogram(df, "v", 0.0, 100.0, 10)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(h.map(_._2).sum == vals.length)          // total mass
+    h.foreach { case (b, _, lo, hi) =>
+      assert(b >= 0 && b <= 9 && lo <= hi)
+      // interior buckets contain only in-range values
+      if (b > 0 && b < 9) assert(lo >= b * 10.0 - 1e-9 && hi < (b + 1) * 10.0 + 1e-9)
+    }
+  }
+
   test("property: SegmentMerge preserves word mass and time span") {
     val segs = samples(segmentGen, 100).zipWithIndex
       .map { case (s, i) => ("k" + (i % 5), s) }
