@@ -327,12 +327,13 @@ object Dedup {
     * goes quadratic; 16-bit bands keep blocks near-singleton.
     * Candidates sharing several bands dedup via distinct. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                          maxHamming: Int = 3): DataFrame = {
+                          maxHamming: Int = 3,
+                          maxBlock: Int = 100000): DataFrame = {
     require(maxHamming <= 3,
       s"4-band blocking is exact only for maxHamming <= 3, got $maxHamming")
     val fp = simhash(df, idCol, textCol, nBits = 64)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = fp.select(col(idCol), col("simhash"),
+    val bandedAll = fp.select(col(idCol), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           // arithmetic >> then mask: the mask keeps exactly the band's
@@ -340,6 +341,20 @@ object Dedup {
           shiftright(col("simhash"), 16 * b).bitwiseAND(lit(65535L)).as("nib"))): _*))
         .as("bk"))
       .select(col(idCol), col("simhash"), col("bk.band"), col("bk.nib"))
+    // degenerate-block guard (same trade as lshCandidatePairs'
+    // maxBucket): a corpus heavy with EXACT duplicates or boilerplate
+    // puts m identical fingerprints in one block and the self-join
+    // materializes m² — cap via a broadcast anti-join on the (rare,
+    // usually empty) over-cap block list. Exact dupes belong to
+    // exactDedup upstream; disabled when maxBlock <= 0.
+    val banded =
+      if (maxBlock <= 0) bandedAll
+      else {
+        val big = bandedAll.groupBy("band", "nib")
+          .agg(count(lit(1)).as("__m")).where(col("__m") > maxBlock)
+          .select("band", "nib")
+        bandedAll.join(broadcast(big), Seq("band", "nib"), "left_anti")
+      }
     val a = banded.select(col("band"), col("nib"),
       col(idCol).as("id_a"), col("simhash").as("__fa"))
     val b = banded.select(col("band"), col("nib"),

@@ -169,6 +169,35 @@ object Relational {
       }: _*)
   }
 
+  /** Snapshot diff — the INVERSE of applyChangelog: compare two
+    * snapshots of the same schema and emit the changelog that turns
+    * `old` into `new`: inserts (key only in new), deletes (key only
+    * in old), updates (key in both, any data column differs).
+    * Unchanged rows emit nothing. One full outer join on the key —
+    * the standard CDC-generation shape; null-safe comparison so
+    * null→value and value→null transitions register as updates. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   keyCol: String): DataFrame = {
+    val dataCols = oldDf.columns.filter(_ != keyCol).toSeq
+    val o = oldDf.select(col(keyCol) +: lit(true).as("__in_old") +:
+      dataCols.map(c => col(c).as(s"__o_$c")): _*)
+    val n = newDf.select(col(keyCol) +: lit(true).as("__in_new") +:
+      dataCols.map(c => col(c).as(s"__n_$c")): _*)
+    val changed = dataCols
+      .map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .reduce(_ || _)
+    o.join(n, Seq(keyCol), "full_outer")
+      .withColumn("op",
+        when(col("__in_old").isNull, lit("insert"))
+          .when(col("__in_new").isNull, lit("delete"))
+          .when(changed, lit("update")))
+      .where(col("op").isNotNull)
+      .select(col(keyCol) +: col("op") +: dataCols.map { c =>
+        when(col("op") === "delete", col(s"__o_$c"))
+          .otherwise(col(s"__n_$c")).as(c)
+      }: _*)
+  }
+
   /** SCD Type-2 history build: turn a changelog (key, op, seq, data…)
     * into validity intervals — one row per change with `valid_from` =
     * its seq, `valid_to` = the next change's seq for the key (null =

@@ -362,6 +362,43 @@ object QueriesQuality {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ---- q120: snapshot diff (CDC generation, inverse of q92) -------
+    // deterministic "new" snapshot derived from customer: key%10=0
+    // dropped (deletes), key%10=1 balance-bumped (updates), key%10=2
+    // re-keyed +1e6 (inserts), the rest unchanged (no row emitted)
+    QueryDef("q120_snapshot_diff",
+      (s, d) => {
+        val base = customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+        val k = col("c_custkey")
+        val newSnap = base.where(k % 10 =!= 0)
+          .select(
+            when(k % 10 === 2, k + 1000000).otherwise(k).as("c_custkey"),
+            col("c_name"),
+            when(k % 10 === 1, col("c_acctbal") + 100)
+              .otherwise(col("c_acctbal")).as("c_acctbal"))
+        Relational.snapshotDiff(base, newSnap, "c_custkey")
+          .orderBy("c_custkey", "op")
+      },
+      Some("""WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |nw AS (SELECT CASE WHEN c_custkey % 10 = 2 THEN c_custkey + 1000000
+        |    ELSE c_custkey END AS c_custkey, c_name,
+        |  CASE WHEN c_custkey % 10 = 1 THEN c_acctbal + 100
+        |    ELSE c_acctbal END AS c_acctbal
+        |  FROM base WHERE c_custkey % 10 != 0),
+        |j AS (SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+        |  o.c_custkey IS NOT NULL AS in_old, n.c_custkey IS NOT NULL AS in_new,
+        |  o.c_name AS on_, n.c_name AS nn, o.c_acctbal AS ob, n.c_acctbal AS nb
+        |  FROM base o FULL OUTER JOIN nw n ON o.c_custkey = n.c_custkey)
+        |SELECT c_custkey,
+        |  CASE WHEN NOT in_old THEN 'insert' WHEN NOT in_new THEN 'delete'
+        |    WHEN on_ IS DISTINCT FROM nn OR ob IS DISTINCT FROM nb THEN 'update' END AS op,
+        |  CASE WHEN NOT in_new THEN on_ ELSE nn END AS c_name,
+        |  CASE WHEN NOT in_new THEN ob ELSE nb END AS c_acctbal
+        |FROM j
+        |WHERE NOT in_old OR NOT in_new
+        |  OR on_ IS DISTINCT FROM nn OR ob IS DISTINCT FROM nb
+        |ORDER BY c_custkey, op""".stripMargin)),
+
     // ---- q119: streaming stateful dedup, hash-verified --------------
     // dropDuplicates on a stream keeps per-key state and emits each
     // key once (append mode); on a bounded AvailableNow run the

@@ -28,6 +28,26 @@ class QualitySpec extends SparkSpec {
       (3L, "q", 4L, None, true)))       // re-opened after a delete
   }
 
+  test("snapshotDiff then applyChangelog reconstructs the new snapshot") {
+    val old = Tables.customer(spark, sf).select("c_custkey", "c_name", "c_acctbal")
+    val k = col("c_custkey")
+    val newSnap = old.where(k % 7 =!= 0)
+      .select(when(k % 7 === 1, k + 500000).otherwise(k).as("c_custkey"),
+        col("c_name"),
+        when(k % 7 === 2, col("c_acctbal") * 2).otherwise(col("c_acctbal"))
+          .as("c_acctbal"))
+    val diff = Relational.snapshotDiff(old, newSnap, "c_custkey")
+      // applyChangelog expects op in {upsert, delete} + a seq column
+      .withColumn("op2", when(col("op") === "delete", "delete").otherwise("upsert"))
+      .withColumn("seq", lit(1L)).drop("op").withColumnRenamed("op2", "op")
+    val rebuilt = Relational.applyChangelog(old, diff, "c_custkey", "op", "seq")
+    assert(rebuilt.exceptAll(newSnap).isEmpty && newSnap.exceptAll(rebuilt).isEmpty)
+    // unchanged rows emit no change row
+    val nChanged = old.where(k % 7 === 0 || k % 7 === 1 || k % 7 === 2).count() +
+      newSnap.where(col("c_custkey") > 500000).count()
+    assert(diff.count() == nChanged)
+  }
+
   test("simhashNearDupPairs equals the brute-force pair set") {
     val docs = Tables.documents(spark, sf).limit(120).cache()
     val blocked = Dedup.simhashNearDupPairs(docs, "doc_id", "text", 3)
