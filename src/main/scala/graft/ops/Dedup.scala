@@ -428,10 +428,14 @@ object Dedup {
     val hex = md5(col("token"))
     val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")
     val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")
+    // repartition the DOCS (tiny rows) before tokenize+explode, never
+    // the exploded tokens: each doc's tokens stay partition-local, so
+    // the partial aggregate emits one row per doc and the groupBy
+    // shuffle carries O(docs × nBits) — not O(tokens) — bytes
     val tokenRows = df
+      .select(col(idCol), col(textCol)).repartition(col(idCol))
       .select(col(idCol), explode(Text.tokens(col(textCol))).as("token"))
       .select(col(idCol), (shiftleft(hi, 32) + lo).as("__v"))
-      .repartition(col(idCol))
     val votes = (0 until nBits).map { i =>
       (shiftright(col("__v"), 63 - i).bitwiseAND(lit(1L)).cast("int") * 2 - 1)
         .as(s"__b$i")
