@@ -81,13 +81,17 @@ object Bench {
       }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    // 3-dp timings: with ~90 queries, full-precision doubles push the
-    // JSON line past the driver's tail-capture window and the round's
-    // bench goes unparsed (BENCH_r01 "parsed": null). ~1 ms resolution
-    // is ample for second-scale measurements.
+    // 3-dp timings and qNN-prefix keys: the driver captures only the
+    // last ~4 KB of stdout and parses the metric line out of that tail,
+    // so with 100+ queries a full-name full-precision line overflows
+    // the window and the round's bench goes unparsed (BENCH_r01
+    // "parsed": null). Prefix keys are unique (one query per qNN) and
+    // stable across rounds; ~1 ms resolution is ample for second-scale
+    // measurements.
     def f3(v: Double): String = // Locale.ROOT: never a comma decimal point
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+    def shortName(n: String): String = { val i = n.indexOf('_'); if (i > 0) n.substring(0, i) else n }
+    val qs = results.map { case (k, v) => s"\"" + shortName(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -1,0 +1,209 @@
+package graft.queries
+
+import graft.Tables._
+import graft.ops.Relational
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregate/window/array surface extensions: FILTER-clause
+  * conditional aggregates, arg_min/arg_max + boolean aggregates,
+  * nth_value/cume_dist windows, median-absolute-deviation robust
+  * stats, the array-function family, regexp_extract_all, and
+  * order-free skewness/kurtosis — each oracle-checked.
+  *
+  * Scale notes: every query here is a single hash-aggregate or window
+  * over a pre-pruned projection; the MAD query's second pass joins a
+  * broadcast group-median table (5 rows), never a shuffle of the fact
+  * table against itself.
+  */
+object QueriesAggExt {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q121: conditional aggregates (FILTER-clause semantics) -----
+    // count(when(c, 1)) counts non-nulls = COUNT FILTER; the sum uses
+    // exact decimals so conditional and total sums stay order-free.
+    QueryDef("q121_filtered_agg",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n_all"),
+          count(when(col("l_discount") > 0.05, lit(1))).as("n_disc"),
+          Relational.sumExact(when(col("l_discount") > 0.05, col("l_extendedprice"))
+            .otherwise(lit(0.0))).as("disc_revenue"),
+          count(when(col("l_quantity") >= 30, lit(1))).as("n_heavy"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(*) AS n_all,
+        |  count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+        |  CAST(sum(CAST(CASE WHEN l_discount > 0.05 THEN l_extendedprice
+        |    ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS disc_revenue,
+        |  count(*) FILTER (WHERE l_quantity >= 30) AS n_heavy
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- q122: arg_max/arg_min + boolean aggregates -----------------
+    // The ordering key l_orderkey*10 + l_linenumber is globally unique
+    // (linenumber <= 7), so arg extremes are deterministic without a
+    // struct tie-break.
+    QueryDef("q122_argminmax",
+      (s, d) => {
+        val ord = (col("l_orderkey") * 10 + col("l_linenumber")).cast("bigint")
+        lineitem(s, d)
+          .groupBy("l_suppkey")
+          .agg(
+            count(lit(1)).as("n"),
+            max_by(col("l_returnflag"), ord).as("last_flag"),
+            min_by(col("l_linestatus"), ord).as("first_status"),
+            bool_and(col("l_quantity") > 0.0).as("all_pos"),
+            bool_or(col("l_discount") > 0.08).as("any_big_disc"))
+          .orderBy("l_suppkey")
+      },
+      Some("""SELECT l_suppkey, count(*) AS n,
+        |  arg_max(l_returnflag, l_orderkey*10 + l_linenumber) AS last_flag,
+        |  arg_min(l_linestatus, l_orderkey*10 + l_linenumber) AS first_status,
+        |  bool_and(l_quantity > 0.0) AS all_pos,
+        |  bool_or(l_discount > 0.08) AS any_big_disc
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- q123: nth_value over a full frame + cume_dist --------------
+    // Both windows use the o_orderkey tie-break for a total order, so
+    // nth_value and cume_dist are deterministic across engines.
+    QueryDef("q123_nth_cume",
+      (s, d) => {
+        val wT = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        val wF = wT.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        orders(s, d)
+          .where(col("o_custkey") < 20)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            nth_value(col("o_totalprice"), 2).over(wF).as("second_price"),
+            round(cume_dist().over(wT), 6).as("cd"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+        |  nth_value(o_totalprice, 2) OVER wf AS second_price,
+        |  round(cume_dist() OVER wt, 6) AS cd
+        |FROM orders WHERE o_custkey < 20
+        |WINDOW wt AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ---- q124: median absolute deviation (robust dispersion) --------
+    // Two-pass: group medians (5 rows) broadcast back onto the fact
+    // table, then a median of absolute deviations. Linear-interpolated
+    // medians are IEEE-identical across engines; the oracle spells the
+    // same two passes rather than relying on an engine mad() whose
+    // scaling convention may differ.
+    QueryDef("q124_mad",
+      (s, d) => {
+        val li = lineitem(s, d).select("l_returnflag", "l_quantity")
+        val med = li.groupBy("l_returnflag")
+          .agg(median(col("l_quantity")).as("med"))
+        li.join(broadcast(med), "l_returnflag")
+          .groupBy("l_returnflag", "med")
+          .agg(median(abs(col("l_quantity") - col("med"))).as("mad_raw"))
+          .select(col("l_returnflag"),
+            round(col("med"), 4).as("median_qty"),
+            round(col("mad_raw"), 4).as("mad_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH m AS (SELECT l_returnflag, median(l_quantity) AS med
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag,
+        |  round(CAST(m.med AS DOUBLE), 4) AS median_qty,
+        |  round(CAST(median(abs(l.l_quantity - m.med)) AS DOUBLE), 4) AS mad_qty
+        |FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+        |GROUP BY l.l_returnflag, m.med ORDER BY 1""".stripMargin)),
+
+    // ---- q125: array-function family over tokenized documents -------
+    QueryDef("q125_array_funcs",
+      (s, d) => documents(s, d)
+        .where(col("doc_id") < 50)
+        .select(col("doc_id"),
+          split(trim(lower(col("text"))), "\\s+").as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("bigint").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("bigint").as("n_distinct"),
+          slice(array_sort(array_distinct(col("toks"))), 1, 5).as("first5"),
+          array_contains(col("toks"), "the").as("has_the"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |  list_slice(list_sort(list_distinct(toks)), 1, 5) AS first5,
+        |  list_contains(toks, 'the') AS has_the
+        |FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE doc_id < 50) ORDER BY doc_id""".stripMargin)),
+
+    // ---- q126: regexp_extract_all (all matches, not just first) -----
+    QueryDef("q126_regexp_extract",
+      (s, d) => documents(s, d)
+        .where(col("doc_id") < 100)
+        .select(col("doc_id"),
+          expr("regexp_extract_all(lower(text), '[a-z]{8,}', 0)").as("lw"))
+        .select(col("doc_id"),
+          size(col("lw")).cast("bigint").as("n_long"),
+          // try_element_at: null past the end (ANSI element_at throws
+          // on an empty match list), matching DuckDB's lw[1]
+          expr("try_element_at(lw, 1)").as("first_long"),
+          array_sort(array_distinct(col("lw"))).as("uniq_long"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        |  CAST(len(lw) AS BIGINT) AS n_long,
+        |  lw[1] AS first_long,
+        |  list_sort(list_distinct(lw)) AS uniq_long
+        |FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]{8,}') AS lw
+        |  FROM documents WHERE doc_id < 100) ORDER BY doc_id""".stripMargin)),
+
+    // ---- q127: skewness/kurtosis from exact integer-cent sums -------
+    // Same order-free pattern as q70/q96: quantities are 2-dp, so
+    // round(q*100) is an exact BIGINT; power sums up to x^4 accumulate
+    // in DECIMAL(38,0) (qc^4 <= 6.25e14 fits a long per-row), and the
+    // moments come out in pure double arithmetic with an identical
+    // operation order on both engines — deterministic to the bit.
+    QueryDef("q127_skew_kurt",
+      (s, d) => {
+        val qc = expr("CAST(round(l_quantity * 100) AS BIGINT)")
+        val agg = lineitem(s, d)
+          .select(col("l_returnflag"), qc.as("qc"))
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            sum(col("qc").cast("decimal(38,0)")).cast("double").as("s1d"),
+            sum((col("qc") * col("qc")).cast("decimal(38,0)")).cast("double").as("s2d"),
+            sum((col("qc") * col("qc") * col("qc")).cast("decimal(38,0)"))
+              .cast("double").as("s3d"),
+            sum((col("qc") * col("qc") * col("qc") * col("qc")).cast("decimal(38,0)"))
+              .cast("double").as("s4d"))
+        val n = col("n")
+        val a1 = col("s1d") / n / 100.0
+        val a2 = col("s2d") / n / 10000.0
+        val a3 = col("s3d") / n / 1000000.0
+        val a4 = col("s4d") / n / 100000000.0
+        val m2 = a2 - a1 * a1
+        val m3 = a3 - lit(3.0) * a1 * a2 + lit(2.0) * a1 * a1 * a1
+        val m4 = a4 - lit(4.0) * a1 * a3 + lit(6.0) * a1 * a1 * a2 -
+          lit(3.0) * a1 * a1 * a1 * a1
+        agg.select(col("l_returnflag"),
+            round(m3 / (m2 * sqrt(m2)), 6).as("skew_qty"),
+            round(m4 / (m2 * m2) - lit(3.0), 6).as("kurt_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH b AS (SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS qc FROM lineitem),
+        |m AS (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(CAST(qc AS DECIMAL(38,0))) AS DOUBLE) AS s1d,
+        |  CAST(sum(CAST(qc*qc AS DECIMAL(38,0))) AS DOUBLE) AS s2d,
+        |  CAST(sum(CAST(qc*qc*qc AS DECIMAL(38,0))) AS DOUBLE) AS s3d,
+        |  CAST(sum(CAST(qc*qc*qc*qc AS DECIMAL(38,0))) AS DOUBLE) AS s4d
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT l_returnflag,
+        |  s1d/n/100.0 AS a1, s2d/n/10000.0 AS a2,
+        |  s3d/n/1000000.0 AS a3, s4d/n/100000000.0 AS a4 FROM m)
+        |SELECT l_returnflag,
+        |  round((a3 - 3.0*a1*a2 + 2.0*a1*a1*a1) /
+        |    ((a2 - a1*a1) * sqrt(a2 - a1*a1)), 6) AS skew_qty,
+        |  round((a4 - 4.0*a1*a3 + 6.0*a1*a1*a2 - 3.0*a1*a1*a1*a1) /
+        |    ((a2 - a1*a1) * (a2 - a1*a1)) - 3.0, 6) AS kurt_qty
+        |FROM t ORDER BY 1""".stripMargin)))
+}

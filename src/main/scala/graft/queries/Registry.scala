@@ -8,6 +8,7 @@ object Registry {
     QueriesRelational.defs ++
       QueriesRelationalExt.defs ++
       QueriesStats.defs ++
+      QueriesAggExt.defs ++
       QueriesWindowExt.defs ++
       QueriesEvents.defs ++
       QueriesText.defs ++

@@ -26,7 +26,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
         elif df[c].dtype == object:
-            df[c] = df[c].apply(lambda v: float(v) if hasattr(v, "as_tuple") else v)
+            # decimals -> float; array cells (numpy arrays / lists) ->
+            # tuples so they are hashable+orderable as sort keys
+            df[c] = df[c].apply(
+                lambda v: float(v) if hasattr(v, "as_tuple")
+                else tuple(v) if isinstance(v, (np.ndarray, list)) else v)
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
