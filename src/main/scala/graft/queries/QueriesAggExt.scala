@@ -205,5 +205,91 @@ object QueriesAggExt {
         |    ((a2 - a1*a1) * sqrt(a2 - a1*a1)), 6) AS skew_qty,
         |  round((a4 - 4.0*a1*a3 + 6.0*a1*a1*a2 - 3.0*a1*a1*a1*a1) /
         |    ((a2 - a1*a1) * (a2 - a1*a1)) - 3.0, 6) AS kurt_qty
-        |FROM t ORDER BY 1""".stripMargin)))
+        |FROM t ORDER BY 1""".stripMargin)),
+
+    // ---- q128: null-aware NOT IN (anti join with three-valued logic)
+    // NOT IN against a subquery is NOT a plain anti join: one NULL in
+    // the subquery makes every non-matching row UNKNOWN, so the result
+    // is empty. Spark plans this as a null-aware anti join
+    // (BroadcastNestedLoop / NAAJ); both variants pinned in one query.
+    // SQL text doubles as the oracle (q73 pattern).
+    QueryDef("q128_notin_nullaware", {
+      val sql = """SELECT 'no_null' AS variant, count(*) AS n FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |UNION ALL
+        |SELECT 'with_null' AS variant, count(*) AS n FROM customer
+        |WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 7) FROM orders)
+        |ORDER BY variant""".stripMargin
+      (s, d) => {
+        graft.Tables.table(s, d, "customer").createOrReplaceTempView("customer")
+        graft.Tables.table(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql(sql)
+      }
+    },
+      Some("""SELECT 'no_null' AS variant, count(*) AS n FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |UNION ALL
+        |SELECT 'with_null' AS variant, count(*) AS n FROM customer
+        |WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 7) FROM orders)
+        |ORDER BY variant""".stripMargin)),
+
+    // ---- q129: EWMA per user (ordered left fold over event history) -
+    // Recursive smoothing is not expressible as a window aggregate, so
+    // collect the per-user history (bounded per-key state — the
+    // time-series analog of sessionization) and fold it in event order:
+    // acc' = 0.3*x + 0.7*acc, seeded with the first value. Spark's
+    // aggregate() over slice(2..) and DuckDB's list_reduce are both
+    // left folds seeded by the first element, and the identical IEEE
+    // op order makes the result bit-deterministic across engines.
+    QueryDef("q129_ewma",
+      (s, d) => {
+        val seq = sort_array(collect_list(struct(col("ts"), col("event_id"),
+          col("value").cast("double").as("v"))))
+        events(s, d)
+          .groupBy("user_id")
+          .agg(transform(seq, e => e.getField("v")).as("vals"))
+          .select(col("user_id"),
+            size(col("vals")).cast("bigint").as("n"),
+            round(aggregate(
+              slice(col("vals"), lit(2), size(col("vals")) - 1),
+              element_at(col("vals"), 1),
+              (acc, x) => lit(0.3) * x + lit(0.7) * acc), 6).as("ewma"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, CAST(len(vals) AS BIGINT) AS n,
+        |  round(list_reduce(vals, (acc, x) -> 0.3*x + 0.7*acc), 6) AS ewma
+        |FROM (SELECT user_id,
+        |    list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+        |  FROM events GROUP BY 1) ORDER BY user_id""".stripMargin)),
+
+    // ---- q130: bitwise aggregates (event-type presence bitmaps) -----
+    // The compact distinct-set encoding for low-cardinality categories:
+    // OR-fold a per-event bit, count set bits — at scale this is one
+    // map-side-combinable hash aggregate carrying a single long per
+    // key, where collect_set would carry strings.
+    QueryDef("q130_bit_agg",
+      (s, d) => events(s, d)
+        .select(col("user_id"),
+          when(col("event_type") === "click", 1)
+            .when(col("event_type") === "view", 2)
+            .when(col("event_type") === "purchase", 4)
+            .when(col("event_type") === "signup", 8)
+            .otherwise(16).as("mask"))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n"),
+          expr("CAST(bit_or(mask) AS BIGINT)").as("type_bits"),
+          expr("CAST(bit_xor(mask) AS BIGINT)").as("xor_bits"),
+          expr("CAST(bit_count(bit_or(mask)) AS BIGINT)").as("n_types"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, count(*) AS n,
+        |  CAST(bit_or(mask) AS BIGINT) AS type_bits,
+        |  CAST(bit_xor(mask) AS BIGINT) AS xor_bits,
+        |  CAST(bit_count(CAST(bit_or(mask) AS BIGINT)) AS BIGINT) AS n_types
+        |FROM (SELECT user_id,
+        |    CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+        |      WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8 ELSE 16 END AS mask
+        |  FROM events) GROUP BY 1 ORDER BY 1""".stripMargin)))
 }
