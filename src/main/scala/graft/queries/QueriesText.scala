@@ -163,6 +163,69 @@ object QueriesText {
         |SELECT lang, CASE WHEN best.hits > 0 THEN best.lg END AS lang_pred,
         |  count(*) AS n
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2 NULLS FIRST""".stripMargin
-      })
+      }),
+
+    // ---- q131: URL parsing (web-corpus provenance columns) ----------
+    // URLs built deterministically from row fields, then decomposed
+    // with parse_url — the host/path/query-param extraction every
+    // crawl-derived corpus needs. The oracle mirrors parse_url with
+    // anchored regexes (DuckDB has no URL parser).
+    QueryDef("q131_url_parse",
+      (s, d) => documents(s, d)
+        .where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+            col("doc_id"), lit("?lang="), col("lang")).as("url"))
+        .select(col("doc_id"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY', 'lang')").as("lang_param"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        |  regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+        |  regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+        |  regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param
+        |FROM (SELECT doc_id, 'https://' || source || '.example.com/docs/' ||
+        |    doc_id || '?lang=' || lang AS url
+        |  FROM documents WHERE doc_id < 200) ORDER BY doc_id""".stripMargin)),
+
+    // ---- q132: word-distribution Shannon entropy (quality signal) ---
+    // Entropy sums are float-order-sensitive, so the fold is pinned:
+    // per-doc term counts collect into a word-sorted list and both
+    // engines left-fold it from an explicit 0.0 — identical IEEE op
+    // order, deterministic to the bit (same discipline as q70/q127's
+    // exact sums; here the order is pinned instead because log2 terms
+    // have no exact representation).
+    QueryDef("q132_word_entropy",
+      (s, d) => {
+        val counts = documents(s, d)
+          .where(col("doc_id") < 300)
+          .select(col("doc_id"), explode(graft.ops.Text.tokens(col("text"))).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        val agg = counts.groupBy("doc_id").agg(
+          sum(col("c")).as("n_tokens"),
+          sort_array(collect_list(struct(col("w"), col("c").cast("double").as("c"))))
+            .as("wc"))
+        val total = col("n_tokens").cast("double")
+        val probs = transform(col("wc"), s => s.getField("c") / total)
+        agg.select(col("doc_id"),
+            col("n_tokens").cast("bigint").as("n_tokens"),
+            size(col("wc")).cast("bigint").as("n_unique"),
+            round(-aggregate(probs, lit(0.0), (acc, p) => acc + p * log2(p)), 6)
+              .as("entropy"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH c AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS c
+        |  FROM (SELECT doc_id, unnest(${DuckSql.toks("text")}) AS w
+        |    FROM documents WHERE doc_id < 300) GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_unique,
+        |    list(c ORDER BY w) AS cs, CAST(sum(c) AS DOUBLE) AS total
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_unique,
+        |  round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(cs, x -> (x/total) * log2(x/total))),
+        |    (acc, x) -> acc + x), 6) AS entropy
+        |FROM a ORDER BY doc_id""".stripMargin))
   )
 }
