@@ -124,6 +124,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
   }
 
+  test("q125: doc_id filter is pushed to the scan; unused columns pruned") {
+    val p = planOf("q125_array_funcs")
+    assert(p.contains("LessThan(doc_id,50)"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("source") && !readSchema.contains("n_chars"), readSchema)
+  }
+
+  test("q128: NOT IN plans as a (null-aware) anti join, not a per-row subquery") {
+    val p = planOf("q128_notin_nullaware")
+    assert(p.contains("Anti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q129: EWMA is aggregate-then-fold — no join, no self-reference") {
+    val p = planOf("q129_ewma")
+    assert(!p.contains("Join"), p)
+    // one groupBy exchange + the presentation sort's range exchange
+    assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 2, p)
+  }
+
+  test("q130: bitmap aggregate is map-side combined (one long per key)") {
+    val p = planOf("q130_bit_agg")
+    assert(p.contains("partial_"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q132: entropy is two aggregation levels, never a join") {
+    val p = planOf("q132_word_entropy")
+    assert(!p.contains("Join"), p)
+  }
+
   test("q110: the range frame windows the DAILY rollup, not the fact table") {
     val p = planOf("q110_trailing_window")
     // the Window sits above the aggregate: O(days) input rows
