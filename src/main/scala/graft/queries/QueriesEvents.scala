@@ -213,5 +213,40 @@ object QueriesEvents {
         |  date_diff('day', cohort_week, CAST(date_trunc('week', ts) AS DATE)) // 7 AS week_offset,
         |  count(DISTINCT user_id) AS n_users
         |FROM events JOIN f USING (user_id)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- q133: cumulative distinct users per day ---------------------
+    // A running COUNT(DISTINCT) is NOT a window aggregate: each user
+    // counts only on their FIRST day (one hash-agg over users), daily
+    // first-arrivals roll up (one hash-agg over days), and the cumsum
+    // windows the O(days) rollup — never the event stream. Days with
+    // activity but no new users still appear (left join to the day
+    // spine), carrying the running total forward.
+    QueryDef("q133_cumulative_distinct",
+      (s, d) => {
+        val ev = events(s, d).select(col("user_id"),
+          col("ts").cast("date").as("day"))
+        val firstDay = ev.groupBy("user_id").agg(min(col("day")).as("day"))
+        val newPerDay = firstDay.groupBy("day").agg(count(lit(1)).as("new_users"))
+        val spine = ev.select("day").distinct()
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy("day").rowsBetween(Long.MinValue, 0)
+        spine.join(newPerDay, Seq("day"), "left")
+          .select(col("day"),
+            coalesce(col("new_users"), lit(0L)).as("new_users"))
+          .withColumn("cum_users", sum(col("new_users")).over(w))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("new_users"), col("cum_users"))
+          .orderBy("day")
+      },
+      Some("""WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day
+        |  FROM events GROUP BY 1),
+        |n AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1),
+        |s AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+        |SELECT strftime(s.day, '%Y-%m-%d') AS day,
+        |  coalesce(n.new_users, 0) AS new_users,
+        |  CAST(sum(coalesce(n.new_users, 0)) OVER (ORDER BY s.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM s LEFT JOIN n USING (day)
+        |ORDER BY day""".stripMargin)))
 }
