@@ -403,14 +403,14 @@ object Dedup {
       .select(col("id_a"), col("id_b"), d.as("distance"))
   }
 
-  /** SimHash as a DataFrame aggregate: explode tokens, compute the
-    * ±1 bit votes per token in one codegen'd projection (md5 evaluated
-    * once per token via subexpression elimination), sum per doc, take
-    * signs. Same math as simhash16 but scales: the only shuffle is the
-    * repartition/groupBy on the id. `nBits` up to 64 (bits come from
-    * the first nBits/4 hex chars of md5; bit 63 lands in the long's
-    * sign bit — the bit-sum never overflows because at most one
-    * summand is negative and the positives total <= Long.MaxValue). */
+  /** SimHash as a DataFrame aggregate: explode tokens, count set bits
+    * per position with lane-packed longs (16 sums of 4x16-bit lanes
+    * instead of 64 per-bit sums), then take each position's majority
+    * vote (2*cnt > n ⟺ the ±1 bit-sum is positive). Same math as
+    * simhash16 but scales: the only shuffle is the repartition/groupBy
+    * on the id, carrying 17 longs per doc. `nBits` up to 64 (bits come
+    * from the first nBits/4 hex chars of md5). Lane width bounds docs
+    * at 65535 tokens — enforced with raise_error post-agg. */
   def simhash(df: DataFrame, idCol: String, textCol: String,
               nBits: Int = 16): DataFrame = {
     require(nBits > 0 && nBits <= 64 && nBits % 4 == 0,
