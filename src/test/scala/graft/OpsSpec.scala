@@ -243,6 +243,16 @@ class DedupSpec extends SparkSpec {
     assert(ham(sh(1L), sh(4L)) == 0)
     assert(ham(sh(1L), sh(2L)) <= ham(sh(1L), sh(3L)))
   }
+
+  test("simhash aggregate (lane-packed) equals the simhash16 expression") {
+    val real = Tables.documents(spark, sf).limit(200)
+    val viaAgg = Dedup.simhash(real, "doc_id", "text", nBits = 16)
+      .as[(Long, Long)].collect().toMap
+    val viaExpr = real
+      .select(col("doc_id"), Dedup.simhash16(Text.tokens(col("text"))).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaAgg == viaExpr)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

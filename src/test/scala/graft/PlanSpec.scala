@@ -155,6 +155,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q133: the cumulative sum windows the O(days) rollup, not events") {
+    val p = planOf("q133_cumulative_distinct")
+    val lines = p.linesIterator.toSeq
+    val wIdx = lines.indexWhere(_.contains("Window"))
+    val aggIdx = lines.indexWhere(_.contains("HashAggregate"))
+    assert(wIdx >= 0 && aggIdx > wIdx, p)
+  }
+
   test("q110: the range frame windows the DAILY rollup, not the fact table") {
     val p = planOf("q110_trailing_window")
     // the Window sits above the aggregate: O(days) input rows
