@@ -143,5 +143,36 @@ object QueriesIngest {
       Some(s"""SELECT CASE WHEN ${duckVideoId("url")} IS NOT NULL
         |    THEN 'ok' ELSE 'err' END AS status, count(*) AS n
         |FROM read_json_auto('$FixtureDir/urls.jsonl')
-        |GROUP BY 1 ORDER BY 1""".stripMargin)))
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- q134: binary image-header roundtrip (multimodal, oracled) --
+    // Synthesizes a real PNG header per row (big-endian IHDR bytes)
+    // and recovers the dimensions with the byte-level parser UDF — the
+    // whole construct-bytes -> BinaryType column -> parse-metadata path
+    // runs distributed, and the oracle checks the recovered values
+    // against pure arithmetic on the inputs. Upgrades image parsing
+    // from spec-only (MultimodalSpec) to hash-verified.
+    QueryDef("q134_image_roundtrip",
+      (s, d) => {
+        val mk = udf((w: Int, h: Int) => graft.ops.Multimodal.makePngHeader(w, h))
+        graft.Tables.part(s, d)
+          .where(col("p_partkey") <= 100)
+          .select(col("p_partkey"),
+            mk((col("p_size") * 7 + 16).cast("int"),
+               (col("p_size") * 3 + 9).cast("int")).as("img"))
+          .select(col("p_partkey"),
+            graft.ops.Multimodal.imageMetadata(col("img")).as("m"))
+          .select(col("p_partkey"),
+            col("m.format").as("format"),
+            col("m.width").cast("bigint").as("width"),
+            col("m.height").cast("bigint").as("height"),
+            col("m.bit_depth").cast("bigint").as("bit_depth"),
+            col("m.valid").as("valid"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, 'png' AS format,
+        |  CAST(p_size*7 + 16 AS BIGINT) AS width,
+        |  CAST(p_size*3 + 9 AS BIGINT) AS height,
+        |  CAST(8 AS BIGINT) AS bit_depth, TRUE AS valid
+        |FROM part WHERE p_partkey <= 100 ORDER BY 1""".stripMargin)))
 }
