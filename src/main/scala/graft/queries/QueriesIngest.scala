@@ -174,5 +174,43 @@ object QueriesIngest {
         |  CAST(p_size*7 + 16 AS BIGINT) AS width,
         |  CAST(p_size*3 + 9 AS BIGINT) AS height,
         |  CAST(8 AS BIGINT) AS bit_depth, TRUE AS valid
+        |FROM part WHERE p_partkey <= 100 ORDER BY 1""".stripMargin)),
+
+    // ---- q135: WAV header roundtrip (multimodal, oracled) -----------
+    // Same upgrade as q134 for audio: synthesize a PCM WAV per row
+    // (sample count a multiple of the channel count, so the frame
+    // division is exact), parse it back with the chunk-walking header
+    // parser, and oracle-check every recovered field. duration_sec is
+    // one double division on both engines — bit-identical.
+    QueryDef("q135_wav_roundtrip",
+      (s, d) => {
+        val mk = udf((sr: Int, ch: Int, n: Int) =>
+          graft.ops.Multimodal.makeWav(sr, ch, new Array[Short](n)))
+        graft.Tables.part(s, d)
+          .where(col("p_partkey") <= 100)
+          .select(col("p_partkey"),
+            (lit(8000) + (col("p_partkey") % 3) * 4000).cast("int").as("sr"),
+            (lit(1) + col("p_partkey") % 2).cast("int").as("ch"),
+            (lit(50) + col("p_partkey") % 100).cast("int").as("frames"))
+          .select(col("p_partkey"),
+            graft.ops.Multimodal.wavMetadata(
+              mk(col("sr"), col("ch"), col("ch") * col("frames"))).as("m"))
+          .select(col("p_partkey"),
+            col("m.sample_rate").cast("bigint").as("sample_rate"),
+            col("m.channels").cast("bigint").as("channels"),
+            col("m.bits_per_sample").cast("bigint").as("bits_per_sample"),
+            col("m.n_samples").cast("bigint").as("n_samples"),
+            col("m.duration_sec").as("duration_sec"),
+            col("m.valid").as("valid"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey,
+        |  CAST(8000 + (p_partkey % 3)*4000 AS BIGINT) AS sample_rate,
+        |  CAST(1 + p_partkey % 2 AS BIGINT) AS channels,
+        |  CAST(16 AS BIGINT) AS bits_per_sample,
+        |  CAST(50 + p_partkey % 100 AS BIGINT) AS n_samples,
+        |  CAST(50 + p_partkey % 100 AS DOUBLE) / (8000 + (p_partkey % 3)*4000)
+        |    AS duration_sec,
+        |  TRUE AS valid
         |FROM part WHERE p_partkey <= 100 ORDER BY 1""".stripMargin)))
 }
