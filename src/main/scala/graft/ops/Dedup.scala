@@ -409,8 +409,9 @@ object Dedup {
     * vote (2*cnt > n ⟺ the ±1 bit-sum is positive). Same math as
     * simhash16 but scales: the only shuffle is the repartition/groupBy
     * on the id, carrying 17 longs per doc. `nBits` up to 64 (bits come
-    * from the first nBits/4 hex chars of md5). Lane width bounds docs
-    * at 65535 tokens — enforced with raise_error post-agg. */
+    * from the first nBits/4 hex chars of md5). Packed-sum headroom
+    * bounds docs at 32766 tokens — enforced with raise_error post-agg
+    * (try_sum keeps the overflow from throwing mid-aggregation). */
   def simhash(df: DataFrame, idCol: String, textCol: String,
               nBits: Int = 16): DataFrame = {
     require(nBits > 0 && nBits <= 64 && nBits % 4 == 0,
@@ -441,10 +442,12 @@ object Dedup {
     // long — 16 shift+mask ops and 16 aggregate slots per token where
     // the per-bit formulation needed 64 of each (measured 4x on the
     // projection+partial-agg stage, the dominant cost of 64-bit
-    // simhash). A lane holds counts up to 65535, so docs must stay
-    // under 65536 tokens — enforced post-agg (cheap: one check per DOC)
-    // with raise_error rather than silently wrapping; chunk longer docs
-    // upstream.
+    // simhash). With all four lanes set the packed sum reaches
+    // Long.MaxValue at 32767 tokens, so docs are bounded at 32766
+    // tokens: try_sum turns a would-be ANSI overflow into NULL instead
+    // of an exception mid-aggregation, and the post-agg guard (one
+    // check per DOC) raises a descriptive error rather than silently
+    // wrapping; chunk longer docs upstream.
     val laneMask = lit(0x0001000100010001L)
     val contribs = (0 until 16).map { j =>
       shiftright(col("__v"), j).bitwiseAND(laneMask).as(s"__c$j")
@@ -452,7 +455,7 @@ object Dedup {
     val sums = tokenRows.select(col(idCol) +: contribs: _*)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("__n"),
-        (0 until 16).map(j => sum(col(s"__c$j")).as(s"__S$j")): _*)
+        (0 until 16).map(j => expr(s"try_sum(__c$j)").as(s"__S$j")): _*)
     // set-bit count for fingerprint index i (bit p = 63-i of __v):
     // lane (p >> 4) of long (p & 15)
     val cnts = array((0 until nBits).map { i =>
@@ -468,8 +471,8 @@ object Dedup {
     val fingerprint = aggregate(cnts, lit(0L),
       (acc, c) => shiftleft(acc, 1) +
         when(c * 2 > col("__n"), lit(1L)).otherwise(lit(0L)))
-    val guarded = when(col("__n") > 65535,
-      expr("raise_error('simhash: document exceeds 65535 tokens (lane overflow); chunk upstream')")
+    val guarded = when(col("__n") > 32766,
+      expr("raise_error('simhash: document exceeds 32766 tokens (lane overflow); chunk upstream')")
         .cast("bigint"))
       .otherwise(fingerprint)
     // keep docs with no tokens (null sums -> all-zero fingerprint)

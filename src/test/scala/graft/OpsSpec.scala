@@ -244,6 +244,16 @@ class DedupSpec extends SparkSpec {
     assert(ham(sh(1L), sh(2L)) <= ham(sh(1L), sh(3L)))
   }
 
+  test("simhash aggregate raises on lane overflow (>32766 tokens)") {
+    val big = Seq((1L, Array.fill(40000)("tok").mkString(" "))).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.simhash(big, "doc_id", "text", nBits = 64).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("32766 tokens")), e.toString)
+  }
+
   test("simhash aggregate (lane-packed) equals the simhash16 expression") {
     val real = Tables.documents(spark, sf).limit(200)
     val viaAgg = Dedup.simhash(real, "doc_id", "text", nBits = 16)
