@@ -25,6 +25,15 @@ case class BandState(ids: Seq[Long])
 /** A streaming near-duplicate candidate pair (id_a < id_b). */
 case class NearDupCandidate(id_a: Long, id_b: Long)
 
+/** One value observation for streaming EWMA (seq breaks ts ties). */
+case class ValEvent(key: Long, ts_us: Long, seq: Long, value: Double)
+
+/** Per-key EWMA state: observation count + current smoothed value. */
+case class EwmaState(n: Long, ewma: Double)
+
+/** The running EWMA after a micro-batch touched the key. */
+case class EwmaPoint(key: Long, n: Long, ewma: Double)
+
 /** Structured Streaming operators (SURVEY §2A-9, §3.3).
   *
   * The reference's streaming shapes map 1:1:
@@ -291,6 +300,38 @@ object Sessions {
     banded
       .groupByKey(_.band)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Streaming EWMA per key: the stateful twin of the batch ordered
+    * fold (q129). State is two numbers per key — O(keys), unbounded
+    * history never buffered. Events sort by (ts_us, seq) within each
+    * micro-batch; cross-batch order is arrival order, so bounded
+    * out-of-orderness must be handled upstream (same discipline as
+    * streamingNearDupCandidates). `beta` is passed explicitly rather
+    * than computed as 1-alpha: the batch fold uses the literal 0.7,
+    * and 1.0-0.3 is a DIFFERENT double — bit-parity with the batch
+    * operator requires the same constants, not just the same formula.
+    * Emits the running (n, ewma) once per key per touching batch
+    * (Update mode); the latest row per key is the current value. */
+  def streamingEwma(events: Dataset[ValEvent], alpha: Double,
+                    beta: Double): Dataset[EwmaPoint] = {
+    import events.sparkSession.implicits._
+    def update(key: Long, rows: Iterator[ValEvent],
+               state: GroupState[EwmaState]): Iterator[EwmaPoint] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.seq))
+      if (sorted.isEmpty) Iterator.empty
+      else {
+        var (n, acc) = state.getOption.map(s => (s.n, s.ewma)).getOrElse((0L, 0.0))
+        sorted.foreach { e =>
+          acc = if (n == 0L) e.value else alpha * e.value + beta * acc
+          n += 1
+        }
+        state.update(EwmaState(n, acc))
+        Iterator.single(EwmaPoint(key, n, acc))
+      }
+    }
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
 
   /** Silence split column for batch backfill of utterance assembly:

@@ -12,6 +12,41 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("streaming EWMA equals the batch ordered fold (q129)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{EwmaPoint, ValEvent}
+    // real events, globally time-ordered, delivered in two waves — the
+    // per-key cross-batch order matches event time by construction
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)].collect()
+      .sortBy(e => (e._2, e._3))
+      .map(e => ValEvent(e._1, e._2, e._3, e._4))
+    val in = MemoryStream[ValEvent]
+    val q = Sessions.streamingEwma(in.toDS(), 0.3, 0.7)
+      .writeStream.format("memory").queryName("sewma")
+      .outputMode("update").start()
+    try {
+      val (w1, w2) = evs.splitAt(evs.length / 2)
+      in.addData(w1.toSeq); q.processAllAvailable()
+      in.addData(w2.toSeq); q.processAllAvailable()
+      val streamed = spark.table("sewma").as[EwmaPoint].collect()
+        .groupBy(_.key).map { case (k, ps) => k -> ps.maxBy(_.n) }
+      val batch = graft.queries.Registry.byName("q129_ewma").fn(spark, sf)
+        .as[(Long, Long, Double)].collect()
+        .map { case (u, n, e) => u -> ((n, e)) }.toMap
+      assert(streamed.keySet == batch.keySet)
+      for ((k, p) <- streamed) {
+        val (n, rounded) = batch(k)
+        assert(p.n == n, s"key $k count")
+        val streamRounded = BigDecimal(p.ewma)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(streamRounded == rounded, s"key $k: $streamRounded != $rounded")
+      }
+    } finally q.stop()
+  }
+
   test("assembleUtterances groups words into gap-separated session windows") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Word]
