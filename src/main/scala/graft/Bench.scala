@@ -93,7 +93,12 @@ object Bench {
     def shortName(n: String): String = { val i = n.indexOf('_'); if (i > 0) n.substring(0, i) else n }
     val qs = results.map { case (k, v) => s"\"" + shortName(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // failed list also uses short keys and caps at 20: a failure-heavy
+    // round (broken sf dir) would otherwise push the line past the
+    // driver's tail window exactly when the list matters most; full
+    // names + stack traces are on stderr
+    val fs = failed.take(20).map("\"" + shortName(_) + "\"")
+      .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()

@@ -13,8 +13,8 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: every query here is a single hash-aggregate or window
   * over a pre-pruned projection; the MAD query's second pass joins a
-  * broadcast group-median table (5 rows), never a shuffle of the fact
-  * table against itself.
+  * broadcast group-median table (one row per return flag), never a
+  * shuffle of the fact table against itself.
   */
 object QueriesAggExt {
 
@@ -89,7 +89,7 @@ object QueriesAggExt {
         |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
     // ---- q124: median absolute deviation (robust dispersion) --------
-    // Two-pass: group medians (5 rows) broadcast back onto the fact
+    // Two-pass: group medians (3 rows) broadcast back onto the fact
     // table, then a median of absolute deviations. Linear-interpolated
     // medians are IEEE-identical across engines; the oracle spells the
     // same two passes rather than relying on an engine mad() whose

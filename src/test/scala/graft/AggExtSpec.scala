@@ -14,7 +14,7 @@ class AggExtSpec extends SparkSpec {
   private def run(name: String) =
     Registry.byName(name).fn(spark, sf)
 
-  test("q124 plan broadcasts the 5-row group-median table") {
+  test("q124 plan broadcasts the 3-row group-median table") {
     val plan = run("q124_mad").queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"expected a broadcast join for the tiny median table, got:\n$plan")
