@@ -291,5 +291,55 @@ object QueriesAggExt {
         |FROM (SELECT user_id,
         |    CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
         |      WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8 ELSE 16 END AS mask
-        |  FROM events) GROUP BY 1 ORDER BY 1""".stripMargin)))
+        |  FROM events) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- q136: equi-depth histogram (boundaries broadcast) ----------
+    // The scalable shape for quantile bucketing: decile boundaries from
+    // one percentile aggregate (9 doubles), broadcast onto the fact
+    // table, bucket = how many boundaries the value exceeds — never a
+    // global-order ntile (a single-partition window at scale). Safe
+    // across engines: values are 2-dp apart (>= 0.01) while any
+    // interpolation drift is ~1e-10, so x > boundary can't flip.
+    QueryDef("q136_equidepth",
+      (s, d) => {
+        val bounds = lineitem(s, d).agg(expr(
+          "percentile(l_extendedprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+          .as("bs"))
+        lineitem(s, d).select(col("l_extendedprice").as("x"))
+          .crossJoin(broadcast(bounds))
+          .select(size(filter(col("bs"), b => col("x") > b))
+            .cast("bigint").as("bucket"), col("x"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            round(min(col("x")), 2).as("lo"),
+            round(max(col("x")), 2).as("hi"))
+          .orderBy("bucket")
+      },
+      Some("""WITH b AS (SELECT quantile_cont(l_extendedprice,
+        |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs FROM lineitem)
+        |SELECT CAST(len(list_filter(b.bs, v -> l.l_extendedprice > v)) AS BIGINT)
+        |    AS bucket,
+        |  count(*) AS n,
+        |  round(min(l.l_extendedprice), 2) AS lo,
+        |  round(max(l.l_extendedprice), 2) AS hi
+        |FROM lineitem l, b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- q137: deterministic per-group exemplars --------------------
+    // "Show me 3 examples per language" without collect or RNG: rank
+    // by md5(id) inside each group — a pure function of the data, so
+    // the same exemplars come back on any cluster size or rerun (the
+    // inspection twin of the q81 hash split).
+    QueryDef("q137_group_exemplars",
+      (s, d) => {
+        val w = Window.partitionBy(col("lang")).orderBy(md5(col("doc_id").cast("string")))
+        documents(s, d)
+          .select(col("lang"), col("doc_id"),
+            row_number().over(w).cast("bigint").as("rk"))
+          .where(col("rk") <= 3)
+          .orderBy("lang", "rk")
+      },
+      Some("""SELECT lang, doc_id, rk FROM (
+        |  SELECT lang, doc_id, CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR))) AS BIGINT) AS rk
+        |  FROM documents) WHERE rk <= 3 ORDER BY lang, rk""".stripMargin)))
 }
