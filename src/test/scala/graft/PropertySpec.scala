@@ -181,6 +181,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: streaming EWMA state is a convex combination (stays in [min,max])") {
+    import graft.streaming.{EwmaState, ValEvent}
+    // fold the update rule directly (the streaming op wraps exactly
+    // this recurrence; bit-parity with batch is pinned in StreamingSpec)
+    val series = samples(Gen.listOfN(50, Gen.chooseNum(-1000.0, 1000.0)), 40)
+      .filter(_.nonEmpty)
+    series.foreach { vs =>
+      val folded = vs.tail.foldLeft(EwmaState(1L, vs.head)) { (st, x) =>
+        EwmaState(st.n + 1, 0.3 * x + 0.7 * st.ewma)
+      }
+      assert(folded.n == vs.length)
+      assert(folded.ewma >= vs.min - 1e-9 && folded.ewma <= vs.max + 1e-9,
+        s"EWMA ${folded.ewma} escaped [${vs.min}, ${vs.max}]")
+    }
+    // and the Spark-side fold (q129 formulation) agrees on one series
+    val vs = series.head
+    val viaSpark = vs.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }
+      .toDF("key", "seq", "v")
+      .groupBy("key")
+      .agg(sort_array(collect_list(struct(col("seq"), col("v")))).as("s"))
+      .select(aggregate(
+        expr("slice(transform(s, e -> e.v), 2, size(s) - 1)"),
+        element_at(expr("transform(s, e -> e.v)"), 1),
+        (acc, x) => lit(0.3) * x + lit(0.7) * acc).as("e"))
+      .as[Double].head()
+    val viaFold = vs.tail.foldLeft(vs.head)((a, x) => 0.3 * x + 0.7 * a)
+    assert(viaSpark == viaFold)
+  }
+
+  test("property: equi-depth bucket assignment is total and monotone") {
+    val vals = samples(Gen.chooseNum(0.0, 10000.0), 500).map(v =>
+      math.rint(v * 100) / 100)  // 2-dp like the money columns
+    val sorted = vals.sorted
+    val bounds = (1 to 9).map(i => sorted((vals.length - 1) * i / 10))
+    def bucket(x: Double) = bounds.count(x > _)
+    val bs = vals.map(bucket)
+    assert(bs.forall(b => b >= 0 && b <= 9))               // total
+    vals.sorted.map(bucket).sliding(2).foreach {            // monotone
+      case Seq(a, b) => assert(a <= b)
+      case _ =>
+    }
+  }
+
   test("property: SegmentMerge preserves word mass and time span") {
     val segs = samples(segmentGen, 100).zipWithIndex
       .map { case (s, i) => ("k" + (i % 5), s) }
