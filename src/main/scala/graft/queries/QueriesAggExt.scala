@@ -341,5 +341,51 @@ object QueriesAggExt {
       Some("""SELECT lang, doc_id, rk FROM (
         |  SELECT lang, doc_id, CAST(row_number() OVER (PARTITION BY lang
         |    ORDER BY md5(CAST(doc_id AS VARCHAR))) AS BIGINT) AS rk
-        |  FROM documents) WHERE rk <= 3 ORDER BY lang, rk""".stripMargin)))
+        |  FROM documents) WHERE rk <= 3 ORDER BY lang, rk""".stripMargin)),
+
+    // ---- q138: IGNORE NULLS window navigation (sparse forward fill) -
+    // last(x, ignoreNulls) over a running frame is the standard
+    // forward-fill for sparse columns (the windowed cousin of q88's
+    // LOCF) — here filling order dates across the sparse subset of
+    // urgent orders per customer.
+    QueryDef("q138_ignore_nulls",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        orders(s, d)
+          .where(col("o_custkey") < 50)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            when(col("o_orderpriority") === "1-URGENT",
+              date_format(col("o_orderdate"), "yyyy-MM-dd")).as("urgent_date"))
+          .withColumn("last_urgent_date",
+            last(col("urgent_date"), ignoreNulls = true).over(w))
+          .drop("o_orderdate")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, urgent_date,
+        |  last_value(urgent_date IGNORE NULLS) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_urgent_date
+        |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CASE WHEN o_orderpriority = '1-URGENT'
+        |      THEN strftime(o_orderdate, '%Y-%m-%d') END AS urgent_date
+        |  FROM orders WHERE o_custkey < 50)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ---- q139: regex capture-group rewriting ------------------------
+    // Backreference syntax differs by engine (Spark $1, DuckDB/PCRE
+    // \1) but the rewrite semantics must match — pinned here on the
+    // source tag inversion plus a token-boundary rewrite on text.
+    QueryDef("q139_regex_rewrite",
+      (s, d) => documents(s, d)
+        .where(col("doc_id") < 100)
+        .select(col("doc_id"),
+          regexp_replace(col("source"), "^src([0-9]+)$", "$1-src").as("tag"),
+          regexp_replace(col("text"), "\\b(table|row)\\b", "<$1>").as("marked"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        |  regexp_replace(source, '^src([0-9]+)$', '\1-src') AS tag,
+        |  regexp_replace(text, '\b(table|row)\b', '<\1>', 'g') AS marked
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)))
 }
