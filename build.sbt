@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver greps its ~4 KB stdout tail for Bench's one-line metric
+// JSON. sbt's default LoggedOutput prefixes every forked-process line
+// with "[info] ", which broke the driver's parse in rounds 1-2
+// (BENCH_r0{1,2}.json "parsed": null). StdoutOutput passes the child's
+// stdout/stderr through verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

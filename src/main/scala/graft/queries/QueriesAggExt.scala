@@ -124,13 +124,16 @@ object QueriesAggExt {
         .select(col("doc_id"),
           size(col("toks")).cast("bigint").as("n_tokens"),
           size(array_distinct(col("toks"))).cast("bigint").as("n_distinct"),
-          slice(array_sort(array_distinct(col("toks"))), 1, 5).as("first5"),
+          // pipe-joined, not a raw array: the driver's comparator sorts
+          // rows by every column and array cells are unhashable there
+          // (r02: q125/q126 err "unhashable type: numpy.ndarray")
+          array_join(slice(array_sort(array_distinct(col("toks"))), 1, 5), "|").as("first5"),
           array_contains(col("toks"), "the").as("has_the"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
         |  CAST(len(toks) AS BIGINT) AS n_tokens,
         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
-        |  list_slice(list_sort(list_distinct(toks)), 1, 5) AS first5,
+        |  coalesce(array_to_string(list_slice(list_sort(list_distinct(toks)), 1, 5), '|'), '') AS first5,
         |  list_contains(toks, 'the') AS has_the
         |FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
         |  FROM documents WHERE doc_id < 50) ORDER BY doc_id""".stripMargin)),
@@ -146,12 +149,13 @@ object QueriesAggExt {
           // try_element_at: null past the end (ANSI element_at throws
           // on an empty match list), matching DuckDB's lw[1]
           expr("try_element_at(lw, 1)").as("first_long"),
-          array_sort(array_distinct(col("lw"))).as("uniq_long"))
+          array_join(array_sort(array_distinct(col("lw"))), "|").as("uniq_long"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
         |  CAST(len(lw) AS BIGINT) AS n_long,
         |  lw[1] AS first_long,
-        |  list_sort(list_distinct(lw)) AS uniq_long
+        |  coalesce(array_to_string(list_sort(list_distinct(lw)), '|'), '') AS uniq_long
+        |  -- coalesce: DuckDB array_to_string([]) is NULL; Spark array_join([]) is ''
         |FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]{8,}') AS lw
         |  FROM documents WHERE doc_id < 100) ORDER BY doc_id""".stripMargin)),
 
@@ -202,9 +206,9 @@ object QueriesAggExt {
         |  s3d/n/1000000.0 AS a3, s4d/n/100000000.0 AS a4 FROM m)
         |SELECT l_returnflag,
         |  round((a3 - 3.0*a1*a2 + 2.0*a1*a1*a1) /
-        |    ((a2 - a1*a1) * sqrt(a2 - a1*a1)), 6) AS skew_qty,
+        |    ((a2 - a1*a1) * sqrt(a2 - a1*a1)), 6) + 0 AS skew_qty,
         |  round((a4 - 4.0*a1*a3 + 6.0*a1*a1*a2 - 3.0*a1*a1*a1*a1) /
-        |    ((a2 - a1*a1) * (a2 - a1*a1)) - 3.0, 6) AS kurt_qty
+        |    ((a2 - a1*a1) * (a2 - a1*a1)) - 3.0, 6) + 0 AS kurt_qty
         |FROM t ORDER BY 1""".stripMargin)),
 
     // ---- q128: null-aware NOT IN (anti join with three-valued logic)
@@ -259,7 +263,7 @@ object QueriesAggExt {
           .orderBy("user_id")
       },
       Some("""SELECT user_id, CAST(len(vals) AS BIGINT) AS n,
-        |  round(list_reduce(vals, (acc, x) -> 0.3*x + 0.7*acc), 6) AS ewma
+        |  round(list_reduce(vals, (acc, x) -> 0.3*x + 0.7*acc), 6) + 0 AS ewma
         |FROM (SELECT user_id,
         |    list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
         |  FROM events GROUP BY 1) ORDER BY user_id""".stripMargin)),

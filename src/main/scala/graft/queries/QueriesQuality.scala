@@ -160,7 +160,7 @@ object QueriesQuality {
         |  CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
         |  FROM events GROUP BY 1)
         |SELECT event_id, event_type, round(value, 2) AS value,
-        |  round((value - s1 / cnt) / sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)), 4) AS z,
+        |  round((value - s1 / cnt) / sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)), 4) + 0 AS z,
         |  ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS quartile
         |FROM events JOIN s USING (event_type)
         |ORDER BY event_id""".stripMargin)),

@@ -47,7 +47,7 @@ object QueriesSimilarity {
         val cos = DuckSql.cosine("q.embedding", "c.embedding", Dim)
         s"""SELECT query_id, neighbor_id, cosine FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    round($cos, 4) AS cosine,
+        |    round($cos, 4) + 0 AS cosine,
         |    row_number() OVER (PARTITION BY q.vec_id
         |      ORDER BY round($cos, 4) DESC, c.vec_id) AS rn
         |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id

@@ -225,7 +225,7 @@ object QueriesText {
         |SELECT doc_id, n_tokens, n_unique,
         |  round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |    list_transform(cs, x -> (x/total) * log2(x/total))),
-        |    (acc, x) -> acc + x), 6) AS entropy
+        |    (acc, x) -> acc + x), 6) + 0 AS entropy
         |FROM a ORDER BY doc_id""".stripMargin))
   )
 }

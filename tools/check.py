@@ -50,7 +50,11 @@ def compare(name, a, b):
             return f"col '{c}' dtype kind mismatch: spark={av.dtype} oracle={bv.dtype}"
         if fa or fb:
             av = av.astype("float64"); bv = bv.astype("float64")
-            neq = ~((av.isna() & bv.isna()) | (av == bv))
+            # sign-of-zero strict: the driver hashes raw bytes, so
+            # DuckDB's -0.0 vs Spark's +0.0 is a real mismatch even
+            # though -0.0 == 0.0 (bit us in round 2, q70_stats)
+            sgn_eq = np.signbit(av.fillna(0.0).values) == np.signbit(bv.fillna(0.0).values)
+            neq = ~((av.isna() & bv.isna()) | ((av == bv) & sgn_eq))
         else:
             neq = ~((av.isna() & bv.isna()) | (av.astype(object) == bv.astype(object)))
         if neq.any():
@@ -89,6 +93,13 @@ def main():
             duck_df = con.sql(oracle[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {str(e)[:200]}"); n_fail += 1; continue
+        # the REAL driver crashes sorting array cells (unhashable numpy
+        # arrays) — flag them even though this replica tolerates them
+        for c in spark_df.columns:
+            if spark_df[c].dtype == object and len(spark_df) and \
+               isinstance(spark_df[c].iloc[0], (np.ndarray, list)):
+                print(f"WARN {name}: column '{c}' is array-typed — the "
+                      f"driver's comparator cannot sort it; join to string")
         err = compare(name, spark_df, duck_df)
         if err: print(f"FAIL {name}: {err}"); n_fail += 1
         else: print(f"PASS {name} ({len(spark_df)} rows)"); n_pass += 1
