@@ -25,7 +25,8 @@ object GraftFunctions {
     (FunctionIdentifier("graft_kmv_distinct"),
       new ExpressionInfo(classOf[KmvDistinct].getName, "graft_kmv_distinct"),
       (args: Seq[Expression]) => KmvDistinct(args.head,
-        if (args.length > 1) args(1).eval().asInstanceOf[Number].intValue() else 256)
+        if (args.length > 1) args(1).eval().asInstanceOf[Number].intValue() else 256,
+        if (args.length > 2) args(2).eval().asInstanceOf[Number].intValue() else 0)
         .toAggregateExpression()))
 
   def register(spark: SparkSession): Unit = {

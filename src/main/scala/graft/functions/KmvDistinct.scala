@@ -16,10 +16,21 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * work like any algebraic aggregate. Estimate: (k-1) / r_k where r_k
   * is the k-th smallest hash normalized to (0, 1); below k distinct
   * values the count is exact. Standard error ~ 1/sqrt(k-2).
+  *
+  * Two hashing modes:
+  *  - hashBits == 0 (default): hash the child internally with
+  *    XxHash64, normalizing r_k over the full signed 64-bit range.
+  *  - hashBits > 0: the child IS a pre-computed hash, uniform on
+  *    [0, 2^hashBits) — e.g. the md5-derived 32-bit Sampling.hashLong.
+  *    r_k normalizes over 2^hashBits and the estimate uses floor(),
+  *    which makes it bit-reproducible in portable SQL (the DuckDB
+  *    oracle recomputes the identical k-th-minimum estimate, so the
+  *    sketch is hash-verifiable end to end — q74).
   */
 case class KmvDistinct(
     child: Expression,
     k: Int = 256,
+    hashBits: Int = 0,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
@@ -38,7 +49,10 @@ case class KmvDistinct(
 
   override def update(buf: Buffer, input: InternalRow): Buffer = {
     val v = child.eval(input)
-    if (v != null) add(buf, XxHash64Function.hash(v, child.dataType, 42L))
+    if (v != null) {
+      if (hashBits > 0) add(buf, v.asInstanceOf[Number].longValue())
+      else add(buf, XxHash64Function.hash(v, child.dataType, 42L))
+    }
     buf
   }
 
@@ -50,7 +64,14 @@ case class KmvDistinct(
 
   override def eval(buf: Buffer): Any = {
     if (buf.size < k) buf.size.toLong
-    else {
+    else if (hashBits > 0) {
+      // pre-hashed child uniform on [0, 2^hashBits): u = r_k / 2^bits.
+      // floor() (not round) so the oracle's CAST(floor(...) AS BIGINT)
+      // mirrors it exactly
+      val kth = buf.last.longValue()
+      val u = kth.toDouble / math.pow(2.0, hashBits)
+      if (u <= 0.0) buf.size.toLong else math.floor((k - 1) / u).toLong
+    } else {
       // map signed hash space onto (0, 1): u = (h - Long.Min) / 2^64
       val kth = buf.last.longValue()
       val u = (kth.toDouble - Long.MinValue.toDouble) / math.pow(2.0, 64)

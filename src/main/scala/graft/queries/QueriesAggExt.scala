@@ -298,20 +298,53 @@ object QueriesAggExt {
         |  FROM events) GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- q136: equi-depth histogram (boundaries broadcast) ----------
-    // The scalable shape for quantile bucketing: decile boundaries from
-    // one percentile aggregate (9 doubles), broadcast onto the fact
-    // table, bucket = how many boundaries the value exceeds — never a
-    // global-order ntile (a single-partition window at scale). Safe
-    // across engines: values are 2-dp apart (>= 0.01) while any
-    // interpolation drift is ~1e-10, so x > boundary can't flip.
+    // The scalable shape for quantile bucketing: decile boundaries
+    // broadcast onto the fact table, bucket = how many boundaries the
+    // value exceeds — never a global-order ntile (a single-partition
+    // window at scale). The boundaries come from a DOMAIN-BOUNDED cent
+    // histogram rather than exact percentile(): prices are 2-dp, so
+    // groupBy integer cents has at most range/0.01 distinct keys
+    // (~1e7 for TPC-H prices) REGARDLESS of row count — a distributed
+    // hash-agg, not an ObjectHashAggregate buffering every value (the
+    // one 100×-scale OOM in the r3 inventory, now gone). The decile
+    // value at fractional rank pos = p*(n-1) is recovered by linear
+    // interpolation between the cents covering ranks k+1 and k+2 in
+    // the cumulative histogram — bit-identical arithmetic to the
+    // oracle, which spells the same computation, so quantile_cont
+    // semantics are reproduced EXACTLY with bounded memory. (The one
+    // global-ordered window runs over the histogram — cardinality
+    // bounded by the value domain, never by N.)
     QueryDef("q136_equidepth",
       (s, d) => {
-        val bounds = lineitem(s, d).agg(expr(
-          "percentile(l_extendedprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
-          .as("bs"))
-        lineitem(s, d).select(col("l_extendedprice").as("x"))
+        val hist = lineitem(s, d)
+          .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
+          .groupBy("c").agg(count(lit(1)).as("cnt"))
+        val wc = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = hist.select(col("c"), col("cnt"), sum("cnt").over(wc).as("cum"))
+        val n = hist.agg(sum("cnt").as("n")) // single row
+        // rank of decile p: pos = p*(n-1) (0-based), k = floor(pos);
+        // value at 1-based rank r is the cent c with cum-cnt < r <= cum
+        val deciles = s.range(1, 10)
+          .select((col("id").cast("double") / 10.0).as("p"))
+          .crossJoin(broadcast(n))
+          .select(col("p"), (col("p") * (col("n") - 1).cast("double")).as("pos"))
+          .select(col("p"), floor(col("pos")).as("kk"),
+            (col("pos") - floor(col("pos"))).as("frac"))
+        val lo = cum.join(broadcast(deciles),
+            col("kk") + 1 > col("cum") - col("cnt") && col("kk") + 1 <= col("cum"))
+          .select(col("p"), col("frac"), col("c").as("lc"))
+        val hi = cum.join(broadcast(deciles.select(col("p").as("p2"), col("kk"))),
+            col("kk") + 2 > col("cum") - col("cnt") && col("kk") + 2 <= col("cum"))
+          .select(col("p2"), col("c").as("hc"))
+        val bounds = lo.join(hi, col("p") === col("p2"))
+          .select((col("lc").cast("double") +
+            col("frac") * (col("hc") - col("lc")).cast("double")).as("bc"))
+          .agg(sort_array(collect_list(col("bc"))).as("bs"))
+        lineitem(s, d)
+          .select(col("l_extendedprice").as("x"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)").cast("double").as("xc"))
           .crossJoin(broadcast(bounds))
-          .select(size(filter(col("bs"), b => col("x") > b))
+          .select(size(filter(col("bs"), b => col("xc") > b))
             .cast("bigint").as("bucket"), col("x"))
           .groupBy("bucket")
           .agg(count(lit(1)).as("n"),
@@ -319,10 +352,24 @@ object QueriesAggExt {
             round(max(col("x")), 2).as("hi"))
           .orderBy("bucket")
       },
-      Some("""WITH b AS (SELECT quantile_cont(l_extendedprice,
-        |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs FROM lineitem)
-        |SELECT CAST(len(list_filter(b.bs, v -> l.l_extendedprice > v)) AS BIGINT)
-        |    AS bucket,
+      Some("""WITH h AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+        |    count(*) AS cnt FROM lineitem GROUP BY 1),
+        |ch AS (SELECT c, cnt,
+        |  sum(cnt) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+        |nn AS (SELECT sum(cnt) AS n FROM h),
+        |dec AS (SELECT p, floor(pos) AS kk, pos - floor(pos) AS frac FROM
+        |  (SELECT p, p * CAST(n - 1 AS DOUBLE) AS pos FROM
+        |    (SELECT CAST(unnest(generate_series(1, 9)) AS DOUBLE) / 10.0 AS p), nn)),
+        |lov AS (SELECT p, frac, c AS lc FROM dec JOIN ch
+        |  ON kk + 1 > cum - cnt AND kk + 1 <= cum),
+        |hiv AS (SELECT p, c AS hc FROM dec JOIN ch
+        |  ON kk + 2 > cum - cnt AND kk + 2 <= cum),
+        |b AS (SELECT list_sort(list(CAST(lc AS DOUBLE) +
+        |    frac * CAST(hc - lc AS DOUBLE))) AS bs
+        |  FROM lov JOIN hiv USING (p))
+        |SELECT CAST(len(list_filter(b.bs,
+        |    v -> CAST(CAST(round(l.l_extendedprice * 100) AS BIGINT) AS DOUBLE) > v))
+        |    AS BIGINT) AS bucket,
         |  count(*) AS n,
         |  round(min(l.l_extendedprice), 2) AS lo,
         |  round(max(l.l_extendedprice), 2) AS hi

@@ -5,10 +5,11 @@ import graft.ops.Multimodal
 import graft.streaming.Sessions
 import org.apache.spark.sql.functions._
 
-/** Pipeline/connector/multimodal/streaming-surface queries. These are
-  * not ANSI-SQL-expressible (subprocess stubs, binary parsing,
-  * session windows), so the driver records the weaker rows-only check;
-  * their semantics are pinned by the ScalaTest suites instead.
+/** Pipeline/connector/multimodal/streaming-surface queries. The
+  * connector stubs and committed WAV fixtures are deterministic by
+  * design, so even the byte-level paths carry a DuckDB oracle: the
+  * oracle SQL recomputes the stub/parser semantics over the same
+  * inline inputs (the GoldenSpec pattern lifted into the driver gate).
   */
 object QueriesPipeline {
 
@@ -34,7 +35,25 @@ object QueriesPipeline {
             col("binary_path"))
           .orderBy("id")
       },
-      None),
+      // oracle = the stub semantics recomputed in SQL over the same
+      // inline id list: ok ids get the two stub segments flattened
+      // with "\n" (T6), bad ids reroute through the stub ASR whose
+      // text reports the audio length — 3244 = 44-byte canonical WAV
+      // header + 1600 samples * 2 bytes (Multimodal.makeWav)
+      Some("""WITH ids AS (SELECT * FROM (VALUES ('vid000000001'),
+        |    ('vid000000002'), ('bad00000001'), ('vid000000003'),
+        |    ('bad00000002')) AS t(vid))
+        |SELECT 'yt_' || vid AS id,
+        |  CASE WHEN vid LIKE 'bad%' THEN 'youtube'
+        |       ELSE 'youtube_transcript' END AS source_type,
+        |  CASE WHEN vid LIKE 'bad%' THEN 'stub transcript of 3244 bytes'
+        |       ELSE 'hello from ' || vid || '.' || chr(10) ||
+        |            'second segment of ' || vid || '!' END AS text,
+        |  CAST(CASE WHEN vid LIKE 'bad%' THEN 0 ELSE 2 END AS BIGINT)
+        |    AS n_segments,
+        |  CASE WHEN vid LIKE 'bad%' THEN 'audio/' || vid || '.wav' END
+        |    AS binary_path
+        |FROM ids ORDER BY id""".stripMargin)),
 
     // ---- q65: multimodal binary scan + WAV header metadata ----------
     QueryDef("q65_wav_metadata",
@@ -44,13 +63,28 @@ object QueriesPipeline {
           .select(
             regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
             col("length"),
-            meta.getField("sample_rate").as("sample_rate"),
-            meta.getField("channels").as("channels"),
+            meta.getField("sample_rate").cast("bigint").as("sample_rate"),
+            meta.getField("channels").cast("bigint").as("channels"),
             meta.getField("n_samples").as("n_samples"),
             round(meta.getField("duration_sec"), 4).as("duration_sec"))
           .orderBy("file")
       },
-      None),
+      // oracle: the committed fixtures' (sample_rate, channels) are
+      // known constants; n_samples and duration re-derive from the
+      // byte length exactly as the chunk-walking parser does — the
+      // fixtures carry the canonical 44-byte header (MultimodalSpec),
+      // so n_samples = (length-44)/2/channels and duration = n/sr
+      Some("""WITH f AS (SELECT * FROM (VALUES
+        |    ('mono16k.wav',   CAST(16044 AS BIGINT), 16000, 1),
+        |    ('short8k.wav',   CAST(4044  AS BIGINT), 8000,  1),
+        |    ('stereo44k.wav', CAST(17684 AS BIGINT), 44100, 2))
+        |  AS t(file, length, sr, ch))
+        |SELECT file, length,
+        |  CAST(sr AS BIGINT) AS sample_rate,
+        |  CAST(ch AS BIGINT) AS channels,
+        |  CAST((length - 44) / 2 / ch AS BIGINT) AS n_samples,
+        |  round(CAST((length - 44) / 2 / ch AS DOUBLE) / sr, 4) AS duration_sec
+        |FROM f ORDER BY file""".stripMargin)),
 
     // ---- q66: session-window utterance assembly (batch form) --------
     // session_window over the events table: the §3.3 Vosk utterance

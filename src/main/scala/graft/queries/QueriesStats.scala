@@ -121,26 +121,73 @@ object QueriesStats {
         |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         |ORDER BY 1, 2""".stripMargin)),
 
-    // ---- q74: HLL approximate distinct (rows-only; bound in tests) --
+    // ---- q74: KMV approximate distinct (hash-verified sketch) -------
+    // The custom TypedImperativeAggregate (functions/KmvDistinct) in
+    // its SQL-reproducible mode: the input is the md5-derived 32-bit
+    // Sampling.hashLong, the buffer carries the k smallest hashes
+    // (O(k) per group, map-side combinable — the 100 TB distinct-count
+    // shape), and the estimate floor((k-1)/u_k) is pure arithmetic on
+    // the k-th minimum, so the DuckDB oracle recomputes it exactly via
+    // an ordered-rank window over the distinct hashes. Spark's
+    // engine-native HLL (approx_count_distinct) stays covered by
+    // StatsSpec's accuracy bounds — its sketch is engine-internal and
+    // can never hash-match another engine; this query pins the sketch
+    // path that CAN be verified end to end.
     QueryDef("q74_approx_distinct",
-      (s, d) => lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"))
-        .orderBy("l_returnflag"),
-      None),
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        lineitem(s, d)
+          .select(col("l_returnflag"), col("l_partkey"),
+            graft.ops.Sampling.hashLong(col("l_partkey")).as("h"))
+          .groupBy("l_returnflag")
+          .agg(expr("graft_kmv_distinct(h, 256, 32)").as("kmv_parts"),
+            countDistinct(col("l_partkey")).as("exact_parts"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""WITH dh AS (SELECT DISTINCT l_returnflag,
+        |    ${DuckSql.hashLong("l_partkey")} AS h FROM lineitem),
+        |r AS (SELECT l_returnflag, h,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS nd FROM dh),
+        |kmv AS (SELECT l_returnflag,
+        |    CASE WHEN nd < 256 THEN CAST(nd AS BIGINT)
+        |      ELSE CAST(floor(255.0 / (CAST(h AS DOUBLE) / 4294967296.0)) AS BIGINT)
+        |    END AS kmv_parts
+        |  FROM r WHERE rn = CASE WHEN nd < 256 THEN nd ELSE 256 END),
+        |ex AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
+        |  FROM lineitem GROUP BY 1)
+        |SELECT kmv.l_returnflag, kmv.kmv_parts, ex.exact_parts
+        |FROM kmv JOIN ex USING (l_returnflag) ORDER BY 1""".stripMargin)),
 
-    // ---- q90: approximate percentiles (single-pass quantile sketch —
-    // the 100 TB path where exact percentile's full sort/collect is
-    // off the table; rows-only, error bound asserted in StatsSpec) ----
+    // ---- q90: approximate percentiles via deterministic sampling ----
+    // The 100 TB percentile path that stays hash-verifiable: a pure
+    // md5-membership sample (1/16 of rows — the threshold prefix is
+    // the knob; at larger scale use more nibbles so the sample stays
+    // ~1e6 rows) feeds an exact interpolated percentile whose memory
+    // is bounded by the SAMPLE, not the table. Both engines select the
+    // identical sample and run the identical interpolation (q71
+    // precedent), so the approximation itself — not just a bound on it
+    // — is oracle-checked. Spark's engine-native quantile sketch
+    // (approx_percentile) stays covered by StatsSpec's error-bound
+    // asserts; its GK summary is merge-order-dependent and can never
+    // hash-match another engine.
     QueryDef("q90_approx_percentile",
       (s, d) => lineitem(s, d)
+        .where(substring(md5(concat_ws(":",
+          col("l_orderkey"), col("l_linenumber"))), 1, 1) === "0")
         .groupBy("l_returnflag")
         .agg(
-          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap50"),
-          expr("approx_percentile(l_extendedprice, array(0.25, 0.75), 1000)")
-            .getItem(0).as("ap25"),
-          expr("percentile(l_extendedprice, 0.5)").as("exact50"))
+          count(lit(1)).as("n_sample"),
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("ap25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("ap50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("ap75"))
         .orderBy("l_returnflag"),
-      None))
+      Some("""SELECT l_returnflag, count(*) AS n_sample,
+        |  round(CAST(quantile_cont(l_extendedprice, 0.25) AS DOUBLE), 4) AS ap25,
+        |  round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4) AS ap50,
+        |  round(CAST(quantile_cont(l_extendedprice, 0.75) AS DOUBLE), 4) AS ap75
+        |FROM lineitem
+        |WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+        |    CAST(l_linenumber AS VARCHAR)), 1, 1) = '0'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)))
 }

@@ -122,17 +122,36 @@ class StatsSpec extends SparkSpec {
     }
   }
 
-  test("approx_percentile within 2% of exact median (q90 accuracy bound)") {
+  test("q90 sampled percentiles within 2% of exact; sketch bound holds") {
+    // exact full-data medians per flag (ground truth for the sample)
+    val exact = Tables.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val rows = queries.Registry.byName("q90_approx_percentile").fn(spark, sf)
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val ap50 = r.getDouble(1)
+      val flag = r.getString(0)
+      val nSample = r.getLong(1)
       val ap25 = r.getDouble(2)
-      val exact50 = r.getDouble(3)
-      assert(math.abs(ap50 - exact50) / exact50 <= 0.02,
-        s"ap50=$ap50 exact=$exact50")
-      assert(ap25 <= ap50, "quantiles must be monotone")
+      val ap50 = r.getDouble(3)
+      val ap75 = r.getDouble(4)
+      // sample-median error scales ~1/sqrt(n): 4/sqrt(n) is ~29% at
+      // the sf0.001 group size (~190) and ~2% by n=40k
+      val tol = math.max(0.02, 4.0 / math.sqrt(nSample.toDouble))
+      assert(math.abs(ap50 - exact(flag)) / exact(flag) <= tol,
+        s"$flag ap50=$ap50 exact=${exact(flag)} n=$nSample")
+      assert(ap25 <= ap50 && ap50 <= ap75, "quantiles must be monotone")
     }
+    // engine-native quantile sketch (approx_percentile): its GK summary
+    // can never hash-match another engine, so its accuracy bound lives
+    // here instead of the oracle gate
+    Tables.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap"),
+        expr("percentile(l_extendedprice, 0.5)").as("ex"))
+      .collect().foreach { r =>
+        assert(math.abs(r.getDouble(1) - r.getDouble(2)) / r.getDouble(2) <= 0.02,
+          s"${r.getString(0)} sketch=${r.getDouble(1)} exact=${r.getDouble(2)}")
+      }
   }
 }

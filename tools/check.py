@@ -96,8 +96,10 @@ def main():
         # the REAL driver crashes sorting array cells (unhashable numpy
         # arrays) — flag them even though this replica tolerates them
         for c in spark_df.columns:
-            if spark_df[c].dtype == object and len(spark_df) and \
-               isinstance(spark_df[c].iloc[0], (np.ndarray, list)):
+            # first NON-NULL cell: a null/scalar first row would hide
+            # array cells further down (ADVICE r3)
+            nn = spark_df[c].dropna() if spark_df[c].dtype == object else []
+            if len(nn) and isinstance(nn.iloc[0], (np.ndarray, list)):
                 print(f"WARN {name}: column '{c}' is array-typed — the "
                       f"driver's comparator cannot sort it; join to string")
         err = compare(name, spark_df, duck_df)
