@@ -282,6 +282,100 @@ object Dedup {
     labels.withColumnRenamed("label", "group_id")
   }
 
+  /** Duplicate groups via alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14) — the provably-bounded variant of
+    * [[duplicateGroups]]: O(log² n) rounds worst-case versus label
+    * propagation's O(component diameter), which matters at corpus
+    * scale when a skewed mega-cluster (boilerplate chains) forms a
+    * long path. Each round is two neighborhood aggregations; the edge
+    * frame only ever holds O(dup-cluster edges).
+    *
+    *  - large-star: every node links its LARGER neighbors to the
+    *    minimum of its neighborhood (incl. itself) — doubles the reach
+    *    of small labels without growing the edge count beyond 2|E|;
+    *  - small-star: every node links its smaller-or-equal neighbors
+    *    and itself to that minimum — flattens local chains into stars.
+    *
+    * The fixpoint is a star forest whose centers are the component
+    * minima, so labels read directly off the final edges. Convergence
+    * is detected by edge-set equality (count + except), one cheap
+    * action per round. Output matches [[duplicateGroups]] exactly:
+    * (id, group_id = component-min id), one row per node in `pairs`. */
+  def duplicateGroupsStar(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    Seq("id_a", "id_b").foreach { c =>
+      val t = pairs.schema(c).dataType
+      require(t == org.apache.spark.sql.types.LongType ||
+        t == org.apache.spark.sql.types.IntegerType ||
+        t == org.apache.spark.sql.types.ShortType,
+        s"duplicateGroupsStar requires integral ids; $c is ${t.sql}")
+    }
+    val nodes = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+      .localCheckpoint(false)
+    // canonical orientation a > b ("points down"), no self-loops;
+    // localCheckpoint each round truncates the iterative lineage
+    // (same rationale as duplicateGroups)
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("a"),
+        least(col("id_a"), col("id_b")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .localCheckpoint(false)
+    var prevCount = edges.count()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // one symmetric adjacency per round, reused by both phases of
+      // the round's neighborhood mins
+      def neighborhoodMin(e: DataFrame): DataFrame = e
+        .select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+        .groupBy("u").agg(min(col("v")).as("nmin"))
+        .select(col("u"), least(col("u"), col("nmin")).as("m"))
+      // large-star: (v, m(u)) for v ∈ Γ(u), v > u
+      val lsMin = neighborhoodMin(edges)
+      val large = edges
+        .select(col("a").as("u"), col("b").as("v"))
+        .union(edges.select(col("b").as("u"), col("a").as("v")))
+        .join(lsMin, Seq("u"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .where(col("a") =!= col("b"))
+        .union( // keep (u, m) so u itself stays attached
+          lsMin.where(col("u") =!= col("m"))
+            .select(col("u").as("a"), col("m").as("b")))
+        .distinct()
+        .localCheckpoint(false)
+      // small-star over the canonical orientation: per larger endpoint
+      // u, m = min of its down-neighbors; link every down-neighbor and
+      // u itself to m
+      val ssMin = large
+        .groupBy(col("a").as("u")).agg(min(col("b")).as("m"))
+      val smallEdges = large.select(col("a").as("u"), col("b").as("v"))
+        .join(ssMin, Seq("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .where(col("a") =!= col("b"))
+        .union(ssMin.where(col("u") =!= col("m"))
+          .select(col("u").as("a"), col("m").as("b")))
+        .distinct()
+        .localCheckpoint(false)
+      val newCount = smallEdges.count()
+      // equality of canonical edge sets = fixpoint (the star forest is
+      // stable under both phases); count first — except only when the
+      // counts already agree
+      converged = newCount == prevCount &&
+        smallEdges.except(edges).isEmpty
+      prevCount = newCount
+      edges = smallEdges
+      iter += 1
+    }
+    // star forest: child -> center (component min); centers and any
+    // node not appearing as a child label themselves
+    nodes.join(edges.select(col("a").as("id"), col("b").as("label")),
+        Seq("id"), "left")
+      .groupBy("id").agg(min(coalesce(col("label"), col("id"))).as("group_id"))
+  }
+
   /** Near-dup survivor selection: drop every group member except the
     * representative (min id). Docs that were never candidates survive
     * untouched — one anti-join against the non-representative set. */

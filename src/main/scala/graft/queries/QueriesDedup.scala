@@ -100,7 +100,7 @@ object QueriesDedup {
 
     // ---- q45: duplicate groups (connected components over LSH pairs)
     QueryDef("q45_duplicate_groups",
-      (s, d) => Dedup.duplicateGroups(
+      (s, d) => Dedup.duplicateGroupsStar(
           Dedup.lshCandidatePairs(documents(s, d), "doc_id", "text", ShingleN, K, Bands),
           maxIter = 20)
         .orderBy("id"),
@@ -112,7 +112,7 @@ object QueriesDedup {
     QueryDef("q46_dedup_survivors",
       (s, d) => {
         val docs = documents(s, d)
-        val groups = Dedup.duplicateGroups(
+        val groups = Dedup.duplicateGroupsStar(
           Dedup.lshCandidatePairs(docs, "doc_id", "text", ShingleN, K, Bands),
           maxIter = 20)
         Dedup.dedupSurvivors(docs, "doc_id", groups)
@@ -141,7 +141,7 @@ object QueriesDedup {
         val base = documents(s, d)
           .where(col("lang").isin("en", "de") &&
             size(Text.tokens(col("text"))) >= 20)
-        val groups = Dedup.duplicateGroups(
+        val groups = Dedup.duplicateGroupsStar(
           Dedup.lshCandidatePairs(base, "doc_id", "text", ShingleN, K, Bands),
           maxIter = 20)
         Sampling.hashSplit(Dedup.dedupSurvivors(base, "doc_id", groups),

@@ -68,6 +68,32 @@ class TextSpec extends SparkSpec {
     assert(!g.contains(4L)) // never a candidate -> not in any group
   }
 
+  test("duplicateGroupsStar matches label propagation on adversarial graphs") {
+    import graft.ops.Dedup
+    // shapes chosen to stress round bounds and merge logic: a long
+    // path (diameter >> log n — the case label propagation is slow
+    // on), a star centered at the MAX id (center must still label to
+    // the component min), two clusters bridged by one edge, and a
+    // dense clique
+    val path = (0L until 40L).sliding(2).map(w => (w(0), w(1))).toSeq
+    val star = (101L to 110L).map(i => (120L, i))
+    val bridged = Seq((200L, 201L), (201L, 202L), (210L, 211L),
+      (211L, 212L), (202L, 210L))
+    val clique = (for { a <- 300L to 305L; b <- 300L to 305L if a < b }
+      yield (a, b)).toSeq
+    val pairs = (path ++ star ++ bridged ++ clique).toDF("id_a", "id_b")
+    val viaStar = Dedup.duplicateGroupsStar(pairs)
+      .as[(Long, Long)].collect().toMap
+    val viaProp = Dedup.duplicateGroups(pairs, maxIter = 50)
+      .as[(Long, Long)].collect().toMap
+    assert(viaStar == viaProp)
+    assert(viaStar(39L) == 0L && viaStar(120L) == 101L &&
+      viaStar(212L) == 200L && viaStar(305L) == 300L)
+    // empty input: no crash, empty output
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.duplicateGroupsStar(empty).count() == 0)
+  }
+
   test("qualityGate labels rows with the FIRST failing rule, null when all pass") {
     val df = Seq(
       ("ok doc with enough words here", 1),
