@@ -109,6 +109,47 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine")
   }
 
+  /** OR-amplified LSH top-k: `nTables` independent SRP bucketings
+    * (seeds seed, seed+1, …); a corpus vector is a candidate for a
+    * query if they share a bucket in ANY table, which raises recall
+    * from p^L-per-table misses to (1-(1-p^nPlanes)^nTables) — the
+    * standard multi-table amplification. Plan shape: each side is
+    * scanned once producing all nTables bucket ids (posexplode), the
+    * candidate join is an equi-join on (table, bucket), and pairs
+    * found by several tables dedup through a (query, neighbor) hash
+    * aggregate BEFORE the top-k window — so the shuffle stays linear
+    * in candidates and nothing is ever all-pairs. */
+  def lshTopKMulti(corpus: DataFrame, queries: DataFrame, k: Int,
+                   nPlanes: Int = 8, nTables: Int = 4, seed: Long = 42,
+                   dim: Int = 64, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    require(nTables >= 1, "nTables must be >= 1")
+    val buckets: Column = array((0 until nTables).map { t =>
+      srpBucket(col(vecCol), hyperplanes(nPlanes, dim, seed + t))
+    }: _*)
+    def withBuckets(df: DataFrame, side: String): DataFrame = df
+      .select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"__${side}v"),
+        normNative(col(vecCol)).as(s"__${side}n"), buckets.as("__bks"))
+      .select(col(s"${side}_id"), col(s"__${side}v"), col(s"__${side}n"),
+        posexplode(col("__bks")).as(Seq("__t", "__bucket")))
+    val c = withBuckets(corpus, "neighbor")
+    val q = withBuckets(queries, "query")
+    val scored = c.join(broadcast(q), Seq("__t", "__bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(dotNative(col("__queryv"), col("__neighborv")) /
+          (col("__queryn") * col("__neighborn")), 4))
+      // dedup multi-table hits (cosine identical per pair — max is a
+      // plain combinable agg, cheaper than distinct over the vectors)
+      .groupBy("query_id", "neighbor_id").agg(max(col("cosine")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select("query_id", "neighbor_id", "cosine")
+  }
+
   /** IVF (inverted-file) approximate top-k — the other classic ANN
     * scale path. The corpus is partitioned into `nCells` Voronoi cells
     * around centroids (deterministic seed pick + one Lloyd refinement,
@@ -160,7 +201,8 @@ object Similarity {
     * which only perturbs cell boundaries, not search correctness. */
   def trainCentroids(corpusIn: DataFrame, nCells: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
-                     exactMeans: Boolean = true): Array[(Int, Array[Float])] = {
+                     exactMeans: Boolean = true,
+                     maxIter: Int = 1): Array[(Int, Array[Float])] = {
     GraftFunctions.register(corpusIn.sparkSession)
     // consumed by count, seed collect, and the Lloyd collect — persist
     // so direct callers don't re-scan the corpus three times (when the
@@ -186,36 +228,42 @@ object Similarity {
       .map { case (r, i) => i -> r.getSeq[Float](1).toArray }
     require(seeds.nonEmpty, "corpus produced no IVF seed centroids")
 
-    // one Lloyd step: assign, then per-cell mean via posexplode.
+    // Lloyd refinement loop (`maxIter` rounds, default 1 — the r3
+    // behavior): assign, then per-cell mean via posexplode. Each round
+    // is one pass over the persisted corpus plus an O(nCells × dim)
+    // driver collect — iteration count never touches shuffle volume.
     // The mean is an ORDERED fold (values summed in ascending id
     // order): plain avg() accumulates doubles in partition order, so
     // its low bits vary with parallelism AND between engines. The
     // ordered fold makes the refined centroids a deterministic
-    // function of the data — reproducible and oracle-verifiable.
-    // (Decimal sums would not work here: Spark casts float->decimal
-    // via the shortest decimal string, other engines via the exact
-    // binary value — they disagree.)
-    val assigned = corpus
-      .select(col(idCol).as("__vid"), col(vecCol), normNative(col(vecCol)).as("__n"))
-      .select(col("__vid"), col(vecCol),
-        nearestCell(col(vecCol), col("__n"), seeds).as("__cell"))
-    val meanAgg =
-      if (exactMeans)
-        (aggregate(
-          transform(sort_array(collect_list(struct(col("__vid"), col("__v")))),
-            s => s("__v").cast("double")),
-          lit(0.0), (a, x) => a + x) / count(lit(1))).as("__m")
-      else avg(col("__v")).as("__m")
-    assigned
-      .select(col("__cell"), col("__vid"),
-        posexplode(col(vecCol)).as(Seq("__pos", "__v")))
-      .groupBy("__cell", "__pos")
-      .agg(meanAgg)
-      .groupBy("__cell")
-      .agg(transform(sort_array(collect_list(struct(col("__pos"), col("__m")))),
-        s => s("__m").cast("float")).as("__centroid"))
-      .collect()
-      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+    // function of the data at EVERY iteration — reproducible and
+    // oracle-verifiable. (Decimal sums would not work here: Spark
+    // casts float->decimal via the shortest decimal string, other
+    // engines via the exact binary value — they disagree.)
+    def lloydStep(cents: Array[(Int, Array[Float])]): Array[(Int, Array[Float])] = {
+      val assigned = corpus
+        .select(col(idCol).as("__vid"), col(vecCol), normNative(col(vecCol)).as("__n"))
+        .select(col("__vid"), col(vecCol),
+          nearestCell(col(vecCol), col("__n"), cents).as("__cell"))
+      val meanAgg =
+        if (exactMeans)
+          (aggregate(
+            transform(sort_array(collect_list(struct(col("__vid"), col("__v")))),
+              s => s("__v").cast("double")),
+            lit(0.0), (a, x) => a + x) / count(lit(1))).as("__m")
+        else avg(col("__v")).as("__m")
+      assigned
+        .select(col("__cell"), col("__vid"),
+          posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+        .groupBy("__cell", "__pos")
+        .agg(meanAgg)
+        .groupBy("__cell")
+        .agg(transform(sort_array(collect_list(struct(col("__pos"), col("__m")))),
+          s => s("__m").cast("float")).as("__centroid"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+    }
+    (0 until math.max(maxIter, 0)).foldLeft(seeds)((c, _) => lloydStep(c))
   }
 
   /** IVF search against a frozen centroid index (see trainCentroids). */

@@ -117,6 +117,40 @@ object QueriesSimilarity {
         |WHERE rn <= 5 ORDER BY query_id, neighbor_id""".stripMargin
       }),
 
+    // ---- q141: OR-amplified multi-table LSH top-k -------------------
+    // The recall-raising variant of q53: nTables independent SRP
+    // bucketings (seeds 42, 43, 44); a pair is a candidate when ANY
+    // table buckets it together. The oracle recomputes all three
+    // bucketings and the candidate-distinct/top-k exactly; measured
+    // recall vs brute force is asserted in SimilaritySpec.
+    QueryDef("q141_lsh_topk_multi",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        Similarity.lshTopKMulti(emb, emb.where(col("vec_id") < 20), k = 5,
+          nPlanes = 6, nTables = 3)
+          .orderBy("query_id", "neighbor_id")
+      },
+      Some {
+        val cos = s"round(${DuckSql.dot("q.embedding", "c.embedding", Dim)} / (q.nrm * c.nrm), 4)"
+        val bks = (0 until 3).map(t =>
+          s"${srpBucketSql("embedding", 42L + t, 6)} AS b$t").mkString(",\n|    ")
+        val anyShared = (0 until 3).map(t => s"q.b$t = c.b$t").mkString(" OR ")
+        s"""WITH bk AS (SELECT vec_id, embedding,
+        |    sqrt(${DuckSql.dot("embedding", "embedding", Dim)}) AS nrm,
+        |    $bks
+        |  FROM embeddings),
+        |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM bk q JOIN bk c ON c.vec_id != q.vec_id AND ($anyShared)
+        |  WHERE q.vec_id < 20)
+        |SELECT query_id, neighbor_id, cosine FROM (
+        |  SELECT cand.query_id, cand.neighbor_id, $cos + 0 AS cosine,
+        |    row_number() OVER (PARTITION BY cand.query_id
+        |      ORDER BY $cos DESC, cand.neighbor_id) AS rn
+        |  FROM cand JOIN bk q ON q.vec_id = cand.query_id
+        |    JOIN bk c ON c.vec_id = cand.neighbor_id)
+        |WHERE rn <= 5 ORDER BY query_id, neighbor_id""".stripMargin
+      }),
+
     // ---- q97: SRP-bucketed embedding near-dup pairs — the scale path
     // for q51's exact all-pairs; same md5-derived planes as q53, so
     // the whole approximate pipeline is oracle-verified ---------------
