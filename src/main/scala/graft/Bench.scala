@@ -71,15 +71,26 @@ object Bench {
       }
     }
     // fixed name order: Map iteration order is effectively random, and
-    // a stable order keeps per-query timings comparable across rounds
+    // a stable order keeps per-query timings comparable across rounds.
+    // min-of-2 timing: JVM-wide JIT/GC attribution lands on whichever
+    // query runs while the compiler/collector is busy (r3 showed the
+    // SAME query at 33 s in-suite vs 4.6 s isolated); the second
+    // back-to-back run is past that query's plan/codegen compile, so
+    // min(t1, t2) measures the query, not where the JIT tax happened
+    // to fall. SPARK_GRAFT_RUNS=1 restores single-shot timing.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt.max(1)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t = try Some((0 until runs).map(_ => once()).min) catch {
         case t: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
-          failed += name; false
+          failed += name; None
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> t.getOrElse(-1.0)
     }
     // 3-dp timings and qNN-prefix keys: the driver captures only the
     // last ~4 KB of stdout and parses the metric line out of that tail,

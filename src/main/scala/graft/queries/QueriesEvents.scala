@@ -197,7 +197,7 @@ object QueriesEvents {
         |  CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
         |  FROM events GROUP BY 1)
         |SELECT event_id, event_type, round(value, 2) AS value,
-        |  round((value - s1 / cnt) / sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)), 4) AS z
+        |  round((value - s1 / cnt) / sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)), 4) + 0 AS z
         |FROM events JOIN s USING (event_type)
         |WHERE abs(value - s1 / cnt) > 3.0 * sqrt((s2 - s1 * s1 / cnt) / (cnt - 1))
         |ORDER BY event_id""".stripMargin)),

@@ -129,7 +129,7 @@ object QueriesQuality {
         .orderBy("label", "dim"),
       Some("""SELECT label, i AS dim, count(*) AS n,
         |  round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE)
-        |    / count(*), 6) AS mean
+        |    / count(*), 6) + 0 AS mean
         |FROM embeddings, (SELECT unnest(generate_series(1, 8)) AS i) g
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
@@ -404,6 +404,41 @@ object QueriesQuality {
     // key once (append mode); on a bounded AvailableNow run the
     // emitted set must equal batch DISTINCT — the state-store dedup
     // path is under the hash check.
+    // ---- q140: STREAMING session-window utterance assembly ----------
+    // q66's semantics driven through a genuine streaming plan (the
+    // q118 pattern): readStream file source -> withWatermark ->
+    // session_window stateful aggregation -> AvailableNow run to
+    // completion; the final table hash-matches q66's batch oracle, so
+    // the reference's §3.3 utterance-assembly shape is pinned
+    // END-TO-END in its streaming form, not just via StreamingSpec.
+    QueryDef("q140_streaming_sessions",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val sch = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        graft.streaming.Sessions.runStreamToBatch(s, d, sch,
+            globFilter = Some("events.parquet"),
+            transform = st => graft.streaming.Sessions.assembleUtterances(
+              st.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+                .select(col("user_id"), col("ts"), col("event_type").as("word")),
+              "user_id", "ts", "word", gapSec = 1800))
+          .select(col("user_id"), col("n_words"),
+            unix_micros(col("utterance_start")).as("start_us"))
+          .orderBy("user_id", "start_us")
+      },
+      Some("""WITH x AS (SELECT user_id, epoch_us(ts) AS tus,
+        |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (SELECT user_id, tus, CAST(sum(new_s) OVER (PARTITION BY user_id
+        |  ORDER BY tus ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM x)
+        |SELECT user_id, count(*) AS n_words, min(tus) AS start_us
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin)),
+
     QueryDef("q119_streaming_dedup",
       (s, d) => {
         import org.apache.spark.sql.types._

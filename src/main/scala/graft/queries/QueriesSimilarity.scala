@@ -109,7 +109,7 @@ object QueriesSimilarity {
         |    ${srpBucketSql("embedding", 42L, 4)} AS bucket
         |  FROM embeddings)
         |SELECT query_id, neighbor_id, cosine FROM (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cos AS cosine,
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cos + 0 AS cosine,
         |    row_number() OVER (PARTITION BY q.vec_id
         |      ORDER BY $cos DESC, c.vec_id) AS rn
         |  FROM bk q JOIN bk c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
@@ -216,7 +216,7 @@ object QueriesSimilarity {
         |        cn.cell DESC) AS pr_rn
         |  FROM emb q CROSS JOIN cn WHERE q.vec_id < 20),
         |cand AS (SELECT p.query_id, a1.vec_id AS neighbor_id,
-        |    round(${DuckSql.dot("qe.embedding", "ce.embedding", Dim)} / (qe.nrm * ce.nrm), 4) AS cosine
+        |    round(${DuckSql.dot("qe.embedding", "ce.embedding", Dim)} / (qe.nrm * ce.nrm), 4) + 0 AS cosine
         |  FROM pr p
         |  JOIN a1 ON a1.cell = p.cell AND p.pr_rn <= 4
         |  JOIN emb ce ON ce.vec_id = a1.vec_id
