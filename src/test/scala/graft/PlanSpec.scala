@@ -171,4 +171,25 @@ class PlanSpec extends SparkSpec {
     val aggIdx = lines.indexWhere(_.contains("HashAggregate"))
     assert(wIdx >= 0 && aggIdx > wIdx, p)
   }
+
+  test("q136: no full-table value-buffering aggregate (the r3 scale-killer)") {
+    val p = planOf("q136_equidepth")
+    // the decile boundaries must come from the cent histogram, never
+    // from exact percentile() — whose ObjectHashAggregate buffers every
+    // value of the table in ONE aggregation buffer (executor OOM at
+    // 100x). collect_list exists only on the 9-row boundary frame.
+    assert(!p.contains("percentile("), p.take(4000))
+    // the fact-table aggregations stay codegen'd hash aggregates
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("q141: multi-table LSH candidates join on (table, bucket), never cross") {
+    val p = planOf("q141_lsh_topk_multi")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // the pair dedup is a combinable hash aggregate before the top-k window
+    val lines = p.linesIterator.toSeq
+    val wIdx = lines.indexWhere(_.contains("Window"))
+    val aggIdx = lines.indexWhere(l => l.contains("HashAggregate") && l.contains("max"))
+    assert(aggIdx > wIdx && wIdx >= 0, p.take(3000))
+  }
 }
