@@ -215,4 +215,47 @@ object Text {
     df.select(col(idCol),
       array_min(rollingShingleHashes(tokens(col(textCol)), n)).as("rolling_fp"))
   }
+
+  /** Count-Min sketch of token frequencies: `d` hash rows × `w`
+    * buckets, hashes md5-derived (engine-portable, deterministic — the
+    * same trick that makes the KMV and SRP sketches oracle-verifiable).
+    * The sketch is a FIXED d×w-row table regardless of corpus size:
+    * one explode + hash-aggregate whose shuffle carries at most d×w
+    * partial counters per map task — the 100 TB shape for frequency
+    * estimation where a full term groupBy's cardinality is unbounded.
+    * Output: (row, bucket, cnt). */
+  def countMinSketch(df: DataFrame, textCol: String, d: Int, w: Int): DataFrame = {
+    val terms = df
+      .select(col(textCol)).repartition(col(textCol)) // projection barrier (see shingleRows)
+      .select(explode(tokens(col(textCol))).as("term"))
+    val rows = terms.select(posexplode(array((0 until d).map { j =>
+      (Sampling.hashLong(concat(col("term"), lit(s"#$j"))) % w).as(s"b$j")
+    }: _*)).as(Seq("row", "bucket")))
+    rows.groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Heavy hitters via the Count-Min sketch: estimate each candidate
+    * term's count as the MIN of its d bucket counters (classic CMS
+    * upper bound: est >= true count, overestimate bounded by collision
+    * mass), keep candidates with est >= minCount. The d sketch joins
+    * broadcast (the sketch is d×w rows — config-file sized); the only
+    * corpus-sized work is the candidate-term distinct. Returns (term,
+    * est, cnt) with the exact count for calibration. */
+  def cmsHeavyHitters(df: DataFrame, textCol: String, d: Int, w: Int,
+                      minCount: Long): DataFrame = {
+    val sketch = countMinSketch(df, textCol, d, w)
+    val exact = df
+      .select(col(textCol)).repartition(col(textCol))
+      .select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val withEst = (0 until d).foldLeft(exact) { (acc, j) =>
+      acc.withColumn(s"__b$j", Sampling.hashLong(concat(col("term"), lit(s"#$j"))) % w)
+        .join(broadcast(sketch.where(col("row") === j)
+          .select(col("bucket").as(s"__b$j"), col("cnt").as(s"__c$j"))), Seq(s"__b$j"))
+    }
+    withEst
+      .select(col("term"), least((0 until d).map(j => col(s"__c$j")): _*).as("est"),
+        col("cnt"))
+      .where(col("est") >= minCount)
+  }
 }

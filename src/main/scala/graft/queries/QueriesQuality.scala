@@ -439,6 +439,50 @@ object QueriesQuality {
         |SELECT user_id, count(*) AS n_words, min(tus) AS start_us
         |FROM y GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin)),
 
+    // ---- q143: STREAMING stream-stream interval join ----------------
+    // click->purchase attribution as a genuine stream-stream inner
+    // join: both sides carry watermarks and the time-range conjuncts
+    // bound the join state (Sessions.joinWithinInterval), driven to
+    // completion with AvailableNow; the final pair counts hash-match
+    // the batch self-join oracle. Completes the hash-verified
+    // streaming surface: stateful agg (q118), state-store dedup
+    // (q119), session windows (q140), and now the join.
+    QueryDef("q143_streaming_interval_join",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val sch = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        graft.streaming.Sessions.runStreamToBatch(s, d, sch,
+            globFilter = Some("events.parquet"),
+            outputMode = "append",
+            transform = st => {
+              val ev = st.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+              val clicks = ev.where(col("event_type") === "click")
+                .select(col("user_id"), col("ts").as("c_ts"),
+                  col("event_id").as("c_id"))
+              val purchases = ev.where(col("event_type") === "purchase")
+                .select(col("user_id"), col("ts").as("p_ts"),
+                  col("event_id").as("p_id"))
+              graft.streaming.Sessions.joinWithinInterval(
+                clicks, purchases, "user_id", "c_ts", "p_ts",
+                lowerSec = 0, upperSec = 1800)
+            })
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("p_id")).as("n_purchases"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT c.user_id, count(*) AS n_pairs,
+        |  count(DISTINCT p.event_id) AS n_purchases
+        |FROM events c JOIN events p ON p.user_id = c.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND epoch_us(p.ts) >= epoch_us(c.ts)
+        |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     QueryDef("q119_streaming_dedup",
       (s, d) => {
         import org.apache.spark.sql.types._

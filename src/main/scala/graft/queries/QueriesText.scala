@@ -226,6 +226,39 @@ object QueriesText {
         |  round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |    list_transform(cs, x -> (x/total) * log2(x/total))),
         |    (acc, x) -> acc + x), 6) + 0 AS entropy
-        |FROM a ORDER BY doc_id""".stripMargin))
+        |FROM a ORDER BY doc_id""".stripMargin)),
+
+    // ---- q142: Count-Min heavy hitters (hash-verified sketch) -------
+    // The CMS is d=3 x w=256 md5-hashed counters — a FIXED-size table
+    // regardless of corpus size (the 100 TB frequency-estimation shape
+    // where a full term groupBy is unbounded) — and, like the KMV/SRP
+    // sketches, its md5 derivation lets the oracle recompute every
+    // counter and the min-estimate exactly. est >= cnt always (CMS
+    // upper bound, spec-asserted); the exact count rides along for
+    // calibration.
+    QueryDef("q142_cms_heavy_hitters",
+      (s, d) => graft.ops.Text.cmsHeavyHitters(
+          documents(s, d), "text", d = 3, w = 256, minCount = 20L)
+        .orderBy("term"),
+      Some {
+        val h = (j: Int) => s"(${DuckSql.hashLong(s"term || '#$j'")} % 256)"
+        s"""WITH terms AS (SELECT unnest(${DuckSql.toks("text")}) AS term
+        |  FROM documents),
+        |js AS (SELECT unnest(generate_series(0, 2)) AS j),
+        |occ AS (SELECT term, j,
+        |    CASE j WHEN 0 THEN ${h(0)} WHEN 1 THEN ${h(1)}
+        |      ELSE ${h(2)} END AS bucket
+        |  FROM terms, js),
+        |sk AS (SELECT j, bucket, count(*) AS cnt FROM occ GROUP BY 1, 2),
+        |ex AS (SELECT term, count(*) AS cnt FROM terms GROUP BY 1),
+        |db AS (SELECT term, j,
+        |    CASE j WHEN 0 THEN ${h(0)} WHEN 1 THEN ${h(1)}
+        |      ELSE ${h(2)} END AS bucket
+        |  FROM ex, js),
+        |est AS (SELECT db.term, min(sk.cnt) AS est
+        |  FROM db JOIN sk USING (j, bucket) GROUP BY 1)
+        |SELECT e.term, e.est, ex.cnt FROM est e JOIN ex USING (term)
+        |WHERE e.est >= 20 ORDER BY term""".stripMargin
+      })
   )
 }

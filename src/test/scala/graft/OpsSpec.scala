@@ -68,6 +68,21 @@ class TextSpec extends SparkSpec {
     assert(!g.contains(4L)) // never a candidate -> not in any group
   }
 
+  test("Count-Min sketch: est >= exact always; no heavy hitter missed") {
+    val docs = Tables.documents(spark, sf)
+    val hh = Text.cmsHeavyHitters(docs, "text", d = 3, w = 256, minCount = 20L)
+      .as[(String, Long, Long)].collect()
+    assert(hh.nonEmpty)
+    // CMS is an upper bound: collisions only ADD mass
+    hh.foreach { case (t, est, cnt) => assert(est >= cnt, s"$t est=$est cnt=$cnt") }
+    // no false negatives: every term with true count >= threshold appears
+    val truth = docs.select(explode(Text.tokens(col("text"))).as("t"))
+      .groupBy("t").count().where(col("count") >= 20)
+      .as[(String, Long)].collect().map(_._1).toSet
+    val got = hh.map(_._1).toSet
+    assert(truth.subsetOf(got), s"missing: ${truth.diff(got).take(5)}")
+  }
+
   test("duplicateGroupsStar matches label propagation on adversarial graphs") {
     import graft.ops.Dedup
     // shapes chosen to stress round bounds and merge logic: a long
