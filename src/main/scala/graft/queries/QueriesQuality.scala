@@ -346,6 +346,7 @@ object QueriesQuality {
         // the file source needs a DIRECTORY; glob-filter to the one table
         graft.streaming.Sessions.runStreamToBatch(s, d, sch,
             globFilter = Some("events.parquet"),
+            shufflePartitions = Some(4),
             transform = st => st
               .withColumn("ts", timestamp_micros(expr("ts div 1000")))
               .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
@@ -421,6 +422,7 @@ object QueriesQuality {
           StructField("value", DoubleType), StructField("props", StringType)))
         graft.streaming.Sessions.runStreamToBatch(s, d, sch,
             globFilter = Some("events.parquet"),
+            shufflePartitions = Some(4),
             transform = st => graft.streaming.Sessions.assembleUtterances(
               st.withColumn("ts", timestamp_micros(expr("ts div 1000")))
                 .select(col("user_id"), col("ts"), col("event_type").as("word")),
@@ -458,6 +460,7 @@ object QueriesQuality {
         graft.streaming.Sessions.runStreamToBatch(s, d, sch,
             globFilter = Some("events.parquet"),
             outputMode = "append",
+            shufflePartitions = Some(4),
             transform = st => {
               val ev = st.withColumn("ts", timestamp_micros(expr("ts div 1000")))
               val clicks = ev.where(col("event_type") === "click")
@@ -494,6 +497,7 @@ object QueriesQuality {
         graft.streaming.Sessions.runStreamToBatch(s, d, sch,
             globFilter = Some("events.parquet"),
             outputMode = "append",
+            shufflePartitions = Some(4),
             transform = st => st.select(col("user_id"), col("event_type"))
               .dropDuplicates("user_id", "event_type"))
           .orderBy("user_id", "event_type")

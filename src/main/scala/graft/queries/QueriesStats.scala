@@ -189,5 +189,59 @@ object QueriesStats {
         |FROM lineitem
         |WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
         |    CAST(l_linenumber AS VARCHAR)), 1, 1) = '0'
-        |GROUP BY 1 ORDER BY 1""".stripMargin)))
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- q144: mode + discrete percentiles off ONE histogram --------
+    // percentile_disc and mode both read off the same domain-bounded
+    // integer-cent histogram (the q136 pattern): the groupBy's
+    // cardinality is capped by the value range — never the row count —
+    // so unlike engine-native percentile_disc (an ObjectHashAggregate
+    // buffering every value) this shape survives a 100x scale-up. The
+    // discrete quantile picks an ACTUAL value at rank ceil(p*n) and
+    // mode is an arg-max with a smallest-value tie-break, so there is
+    // no floating-point interpolation anywhere — bit-exact across
+    // engines by construction.
+    QueryDef("q144_mode_percentile_disc",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hist = lineitem(s, d)
+          .select(col("l_returnflag"),
+            expr("CAST(round(l_quantity * 100) AS BIGINT)").as("c"))
+          .groupBy("l_returnflag", "c").agg(count(lit(1)).as("cnt"))
+        val wMode = Window.partitionBy("l_returnflag")
+          .orderBy(col("cnt").desc, col("c").asc)
+        val mode = hist
+          .withColumn("rn", row_number().over(wMode)).where(col("rn") === 1)
+          .select(col("l_returnflag"), (col("c").cast("double") / 100.0).as("mode_qty"))
+        val wCum = Window.partitionBy("l_returnflag").orderBy("c")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = hist.select(col("l_returnflag"), col("c"), col("cnt"),
+          sum("cnt").over(wCum).as("cum"),
+          sum("cnt").over(Window.partitionBy("l_returnflag")).as("n"))
+        def disc(p: Double) = min(when(
+          col("cum") >= ceil(lit(p) * col("n").cast("double")), col("c")))
+        val qs = cum.groupBy("l_returnflag")
+          .agg(max(col("n")).as("n"),
+            (disc(0.25).cast("double") / 100.0).as("p25_qty"),
+            (disc(0.5).cast("double") / 100.0).as("p50_qty"),
+            (disc(0.9).cast("double") / 100.0).as("p90_qty"))
+        mode.join(qs, "l_returnflag").orderBy("l_returnflag")
+      },
+      Some("""WITH h AS (SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS c, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (SELECT l_returnflag, CAST(c AS DOUBLE) / 100.0 AS mode_qty FROM
+        |  (SELECT l_returnflag, c, row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY cnt DESC, c ASC) AS rn FROM h) WHERE rn = 1),
+        |cm AS (SELECT l_returnflag, c, cnt,
+        |    sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY c
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cnt) OVER (PARTITION BY l_returnflag) AS n FROM h),
+        |q AS (SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+        |    CAST(min(CASE WHEN cum >= ceil(0.25 * CAST(n AS DOUBLE)) THEN c END) AS DOUBLE) / 100.0 AS p25_qty,
+        |    CAST(min(CASE WHEN cum >= ceil(0.5 * CAST(n AS DOUBLE)) THEN c END) AS DOUBLE) / 100.0 AS p50_qty,
+        |    CAST(min(CASE WHEN cum >= ceil(0.9 * CAST(n AS DOUBLE)) THEN c END) AS DOUBLE) / 100.0 AS p90_qty
+        |  FROM cm GROUP BY 1)
+        |SELECT m.l_returnflag, m.mode_qty, q.n, q.p25_qty, q.p50_qty, q.p90_qty
+        |FROM m JOIN q USING (l_returnflag) ORDER BY 1""".stripMargin)))
 }
