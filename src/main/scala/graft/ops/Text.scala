@@ -243,7 +243,11 @@ object Text {
     * est, cnt) with the exact count for calibration. */
   def cmsHeavyHitters(df: DataFrame, textCol: String, d: Int, w: Int,
                       minCount: Long): DataFrame = {
+    // persisted: each of the d broadcast joins below consumes the
+    // sketch, and without this the corpus-sized explode+agg would run
+    // d times (the frame itself is only d×w counter rows)
     val sketch = countMinSketch(df, textCol, d, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exact = df
       .select(col(textCol)).repartition(col(textCol))
       .select(explode(tokens(col(textCol))).as("term"))

@@ -104,6 +104,14 @@ class TextSpec extends SparkSpec {
     assert(viaStar == viaProp)
     assert(viaStar(39L) == 0L && viaStar(120L) == 101L &&
       viaStar(212L) == 200L && viaStar(305L) == 300L)
+    // the round bound is real: a 120-node path (diameter 119) resolves
+    // within 8 star rounds, where label propagation moves the min
+    // label only one hop per round and would need ~119
+    val longPath = (0L until 120L).sliding(2).map(w => (w(0), w(1))).toSeq
+      .toDF("id_a", "id_b")
+    val fast = Dedup.duplicateGroupsStar(longPath, maxIter = 8)
+      .as[(Long, Long)].collect()
+    assert(fast.length == 120 && fast.forall(_._2 == 0L))
     // empty input: no crash, empty output
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.duplicateGroupsStar(empty).count() == 0)
