@@ -172,7 +172,7 @@ object QueriesQuality {
         .orderBy("priority", "doc_id"),
       Some(s"""SELECT doc_id, lang, n_chars,
         |  round(-ln((${DuckSql.hashLong("doc_id")} + 1.0) / 4294967296.0)
-        |    / n_chars, 8) AS priority
+        |    / n_chars, 8) + 0 AS priority
         |FROM documents WHERE n_chars > 0
         |ORDER BY priority, doc_id LIMIT 50""".stripMargin)),
 
