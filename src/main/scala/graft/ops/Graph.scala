@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge lists (id-pair DataFrames) — the shapes a
+  * corpus-curation pipeline needs beyond connected components
+  * (`Dedup.duplicateGroups`/`starContractionGroups`) and triangle
+  * counting (`Dedup.triangleCount`): link-analysis scoring of a
+  * citation/co-occurrence graph to weight or filter documents.
+  *
+  * Everything here is iterative-join Spark with the same discipline as
+  * the CC operators: `localCheckpoint` truncates the per-round lineage
+  * (the classic iterative-Spark plan-blowup trap), each round is one
+  * equi-join plus one partial-combining hash-aggregation over the edge
+  * frame, and the iteration count is a bounded knob — O(iters) rounds,
+  * each O(|E|) shuffle, never a per-node driver loop.
+  */
+object Graph {
+
+  /** PageRank with INTEGER-EXACT arithmetic: scores live in micro-units
+    * (a node starts at 1,000,000) and every step is BIGINT math —
+    * contribution = r div outDegree (floor), next = base +
+    * (dampNum * Σ contributions) div 100. Floating-point PageRank sums
+    * contributions in arrival order, so two runs of the same job can
+    * disagree in the last ulp and ranking ties can flip; the integer
+    * formulation is partition-order-independent and bit-identical on
+    * any engine — the property that makes a 100 TB ranking job
+    * reproducible (and lets DuckDB replay it for the oracle, q145).
+    *
+    * Dangling mass: nodes appear in the rank table iff they touch an
+    * edge; a node with in-edges but no out-edges keeps receiving rank
+    * and contributes nothing (its mass decays — the standard
+    * non-renormalized treatment). Every edge list built from symmetric
+    * co-occurrence (src↔dst both present) has no dangling nodes.
+    *
+    * Scale posture: ranks and degrees are O(|V|) frames hash-joined to
+    * the O(|E|) edge frame each round — both shuffles key on the same
+    * src/dst ids, AQE handles hub skew (a mega-hub is one hot key in
+    * the contribution aggregation, split by skew-join rules). The edge
+    * frame is checkpointed once and reused; iteration count is fixed
+    * (default 3), not convergence-polled, so the job's shape is known
+    * in advance.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 3, base: Long = 150000L,
+               dampNum: Long = 85L): DataFrame = {
+    require(iters >= 1, "pageRank needs at least one iteration")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+    // edge + out-degree, materialized once — every round re-reads this
+    val eDeg = e.join(deg, "src").localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint()
+
+    var ranks = nodes.withColumn("rank_micro", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = eDeg
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"),
+          expr("rank_micro div __deg").as("__c"))
+      val sums = contrib.groupBy("id").agg(sum(col("__c")).as("__s"))
+      ranks = nodes
+        .join(sums, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr(s"($dampNum * coalesce(__s, 0L)) div 100"))
+            .as("rank_micro"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+}

@@ -280,4 +280,79 @@ object Relational {
         round(min(col(valueCol)), 2).as("lo_seen"),
         round(max(col(valueCol)), 2).as("hi_seen"))
   }
+
+  // ---- explicit Bloom-filter runtime pre-filter ---------------------
+  // The user-level form of the runtime-filter optimization (Spark's
+  // own InjectRuntimeFilter makes the same trade automatically when
+  // statistics allow): condense the small side's join keys into an
+  // mBits-bit filter, broadcast it as ONE row, and drop non-matching
+  // fact rows AT THE SCAN — before the shuffle — so the 100 TB side
+  // pays the exchange only for rows that can possibly join. The
+  // membership test never has false negatives, so a normal (semi)
+  // join afterwards gives the exact result; false positives only cost
+  // the shuffle they failed to save. All hashing is md5
+  // (Sampling.hashLong) so any engine recomputes the identical filter
+  // — which is what lets q146 hash-verify the whole mechanism,
+  // including the measured false-positive rate.
+
+  /** Bit positions of `key` in an mBits Bloom filter with kHashes
+    * probes: hash i = md5(key || "#i") as a 32-bit uniform, mod mBits. */
+  private def bloomPositions(key: Column, mBits: Int, kHashes: Int): Seq[Column] =
+    (0 until kHashes).map { i =>
+      (graft.ops.Sampling.hashLong(concat(key.cast("string"), lit(s"#$i"))) % mBits)
+        .cast("int")
+    }
+
+  /** Build the filter from the small side's keys: one row holding
+    * mBits/32 lanes (32-bit masks in BIGINTs — shifts stay < 32 so the
+    * identical expression runs on engines whose `<<` overflows at 63).
+    * The build is one explode + one partial-combining bit_or aggregate:
+    * shuffle volume is nLanes rows TOTAL, regardless of key count. */
+  def bloomLanes(keys: DataFrame, keyCol: String, mBits: Int,
+                 kHashes: Int): DataFrame = {
+    require(mBits % 32 == 0, s"mBits must be a multiple of 32, got $mBits")
+    val nLanes = mBits / 32
+    val positioned = keys
+      .select(explode(array(bloomPositions(col(keyCol), mBits, kHashes): _*))
+        .as("__pos"))
+      .select(shiftright(col("__pos"), 5).as("__lane"),
+        // variable-distance shift: the (Column, Int) shiftleft overload
+        // can't express it, so call the SQL function directly
+        call_function("shiftleft", lit(1L),
+          col("__pos").bitwiseAND(lit(31))).as("__mask"))
+    val laneAggs = (0 until nLanes).map { j =>
+      coalesce(bit_or(when(col("__lane") === j, col("__mask"))), lit(0L))
+        .as(s"__b$j")
+    }
+    positioned
+      .agg(laneAggs.head, laneAggs.tail: _*)
+      .select(array((0 until nLanes).map(j => col(s"__b$j")): _*).as("bloom_lanes"))
+  }
+
+  /** Membership test against a `bloom_lanes` column (all kHashes bits
+    * set). Pure row-local arithmetic — codegen-friendly, no join. */
+  def bloomMightContain(lanes: Column, key: Column, mBits: Int,
+                        kHashes: Int): Column =
+    bloomPositions(key, mBits, kHashes).map { pos =>
+      element_at(lanes, shiftright(pos, 5) + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          pos.bitwiseAND(lit(31)))) =!= lit(0L)
+    }.reduce(_ && _)
+
+  /** Bloom-pre-filtered semi join: filter `big` by the Bloom filter of
+    * `keys`, then exact-semi-join to discard false positives. Returns
+    * the filtered frame plus a `__bloom_pass` marker frame count built
+    * in; callers wanting the exact rows only can ignore the plumbing.
+    * The broadcast is ONE row (the lanes array). */
+  def bloomSemiJoin(big: DataFrame, bigKeyCol: String,
+                    keys: DataFrame, keyCol: String,
+                    mBits: Int = 2048, kHashes: Int = 3): DataFrame = {
+    val lanes = bloomLanes(keys, keyCol, mBits, kHashes)
+    val passed = big
+      .crossJoin(broadcast(lanes))
+      .where(bloomMightContain(col("bloom_lanes"), col(bigKeyCol), mBits, kHashes))
+      .drop("bloom_lanes")
+    passed.join(keys.select(col(keyCol).as(bigKeyCol)).distinct(),
+      Seq(bigKeyCol), "left_semi")
+  }
 }

@@ -359,4 +359,63 @@ object Similarity {
       .agg(count(lit(1)).as("n"),
         round((sum(col("col").cast("double").cast("decimal(28,8)"))
           .cast("double") / count(lit(1))), 6).as("mean"))
+
+  // ---- SQ8 scalar quantization --------------------------------------
+
+  /** Per-vector symmetric int8 quantization: scale = max |component|,
+    * q_i = round(x_i / scale * 127) ∈ [-127, 127]. Returned as
+    * array<float> (small integers are float-exact) so the codegen'd
+    * graft_dot drives the quantized inner loop too. The id column
+    * rides along; `__qn2` is the quantized squared norm — an exact
+    * integer (|q|≤127, dim≤64 ⇒ every product and partial sum < 2^24,
+    * exact in ANY float/double accumulation order).
+    *
+    * The projection after the scale is exchange-separated
+    * (`repartition`) from the scale computation: CollapseProject would
+    * otherwise inline the array_max scale INTO the per-element
+    * quantization lambda and recompute it dim times per row (the
+    * lambda-CSE hazard, DESIGN.md). */
+  def sq8Quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val scale = greatest(
+      array_max(transform(col(vecCol), x => abs(x.cast("double")))),
+      lit(1e-30))
+    df.select(col(idCol), col(vecCol).as("__v"), scale.as("__s"))
+      .repartition(col(idCol))
+      .select(col(idCol),
+        transform(col("__v"),
+          x => round(x.cast("double") / col("__s") * 127.0, 0)
+            .cast("int").cast("float")).as("__q"))
+      .select(col(idCol), col("__q"),
+        dotNative(col("__q"), col("__q")).as("__qn2"))
+  }
+
+  /** Brute-force top-k in SQ8 space: the memory-bandwidth scale path.
+    * At 100 TB the quantized corpus is 4x smaller than float32 — the
+    * scan, the broadcast, and the cache working set all shrink by 4x
+    * while the dot products stay exact INTEGER arithmetic (so results
+    * are bit-stable across engines and partition orders, unlike
+    * float32 dots whose sums drift with accumulation order — that is
+    * what makes an approximate-representation index oracle-verifiable,
+    * q147). In a persisted deployment `sq8Quantize` runs once at write
+    * time and the scan reads int8 arrays; here it runs in-plan.
+    * Ranking uses the quantized cosine (q_a·q_b / (|q_a||q_b|)) —
+    * recall vs exact cosine is measured in SimilaritySpec. */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val c = sq8Quantize(corpus, idCol, vecCol)
+      .withColumnsRenamed(Map(idCol -> "neighbor_id", "__q" -> "__cq", "__qn2" -> "__cn2"))
+    val q = broadcast(sq8Quantize(queries, idCol, vecCol)
+      .withColumnsRenamed(Map(idCol -> "query_id", "__q" -> "__qq", "__qn2" -> "__qn2")))
+    val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine_q8",
+        round(dotNative(col("__cq"), col("__qq")) /
+          sqrt(col("__cn2") * col("__qn2")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_q8").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select("query_id", "neighbor_id", "cosine_q8")
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables._
-import graft.ops.{Dedup, Events, Relational, Sampling, Similarity, Text}
+import graft.ops.{Dedup, Events, Graph, Relational, Sampling, Similarity, Text}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -288,6 +288,45 @@ object QueriesQuality {
         |FROM e e1 JOIN e e2 ON e1.id_b = e2.id_a
         |JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b""".stripMargin)),
 
+    // ---- q145: integer-exact PageRank over the co-purchase graph ----
+    // Link-analysis scoring (corpus-curation weighting shape): parts
+    // co-occurring in an order are bidirectional edges; 3 bounded
+    // rounds of Graph.pageRank in BIGINT micro-units. Floor-division
+    // integer arithmetic makes every score partition-order-independent
+    // and engine-identical, so the oracle replays all three rounds as
+    // chained CTEs and the hash check covers the whole iteration, not
+    // a rounded summary.
+    QueryDef("q145_pagerank",
+      (s, d) => {
+        val li = lineitem(s, d).select("l_orderkey", "l_partkey")
+        val e = li.withColumnRenamed("l_partkey", "src")
+          .join(li.withColumnRenamed("l_partkey", "dst"), "l_orderkey")
+          .where(col("src") =!= col("dst"))
+          .select("src", "dst")
+        Relational.topK(Graph.pageRank(e, "src", "dst", iters = 3),
+          Seq(col("rank_micro").desc, col("id").asc), 100)
+          .select(col("id").as("part_id"), col("rank_micro"))
+      },
+      Some {
+        def iter(prev: String, curr: String) =
+          s"""$curr AS (SELECT n.id, 150000 + (85 * coalesce(s.s, 0)) // 100 AS r
+          |  FROM nodes n LEFT JOIN (
+          |    SELECT e.dst AS id, CAST(sum($prev.r // deg.d) AS BIGINT) AS s
+          |    FROM e JOIN $prev ON $prev.id = e.src
+          |    JOIN deg ON deg.src = e.src GROUP BY 1) s ON s.id = n.id)"""
+        s"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |      AND a.l_partkey != b.l_partkey),
+        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |${iter("r0", "r1")},
+        |${iter("r1", "r2")},
+        |${iter("r2", "r3")}
+        |SELECT id AS part_id, r AS rank_micro FROM r3
+        |ORDER BY rank_micro DESC, part_id LIMIT 100""".stripMargin
+      }),
+
     // ---- q115: the reference's fallback DAG, fully oracle-verified --
     // The q64 pipeline (transcript attempt → err rows reroute through
     // ASR → union; main.py stages 2-4) driven from the documents
@@ -482,6 +521,66 @@ object QueriesQuality {
         |  count(DISTINCT p.event_id) AS n_purchases
         |FROM events c JOIN events p ON p.user_id = c.user_id
         |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND epoch_us(p.ts) >= epoch_us(c.ts)
+        |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- q148: STREAMING left-outer interval join -------------------
+    // q143's attribution join in its outer form: the unmatched click
+    // emits a null-padded row only when the watermark PROVES no
+    // purchase can still arrive — the state-eviction semantics that
+    // distinguish a streaming outer join from a batch one. The left
+    // side is bounded 10+ days before the stream's end, so the final
+    // no-data micro-batch's watermark clears every pending click and
+    // the emitted set equals the batch LEFT JOIN — putting the
+    // eviction-driven null path itself under the hash check.
+    QueryDef("q148_streaming_left_outer",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val sch = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        graft.streaming.Sessions.runStreamToBatch(s, d, sch,
+            globFilter = Some("events.parquet"),
+            outputMode = "append",
+            shufflePartitions = Some(4),
+            transform = st => {
+              // watermark on the SOURCE, before the selective filters:
+              // the global watermark is the min over watermark nodes,
+              // and a node downstream of `event_type = 'click'` would
+              // stall at the last click — stranding the final
+              // interval's unmatched outer state (see joinWithinInterval)
+              val ev = st.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+                .withWatermark("ts", "30 seconds")
+              val clicks = ev.where(col("event_type") === "click" &&
+                  col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
+                .select(col("user_id"), col("ts").as("c_ts"),
+                  col("event_id").as("c_id"))
+              val purchases = ev.where(col("event_type") === "purchase")
+                .select(col("user_id"), col("ts").as("p_ts"),
+                  col("event_id").as("p_id"))
+              graft.streaming.Sessions.joinWithinInterval(
+                clicks, purchases, "user_id", "c_ts", "p_ts",
+                lowerSec = 0, upperSec = 1800, joinType = "left_outer",
+                applyWatermarks = false)
+            })
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("p_id")).as("n_matched"),
+            sum(when(col("p_id").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT c.user_id, count(*) AS n_rows,
+        |  count(p.event_id) AS n_matched,
+        |  CAST(sum(CASE WHEN p.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unmatched
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'click'
+        |  AND ts < TIMESTAMP '2024-01-20 00:00:00') c
+        |LEFT JOIN (SELECT user_id, ts, event_id FROM events
+        |  WHERE event_type = 'purchase') p
+        |  ON p.user_id = c.user_id
         |  AND epoch_us(p.ts) >= epoch_us(c.ts)
         |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
         |GROUP BY 1 ORDER BY 1""".stripMargin)),

@@ -181,5 +181,84 @@ object QueriesRelationalExt {
         |  dayofweek(o_orderdate) + 1 AS dow,
         |  weekofyear(o_orderdate) AS iso_week
         |FROM orders WHERE o_orderkey % 200 = 0
-        |ORDER BY o_orderkey""".stripMargin)))
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- q146: explicit Bloom-filter runtime pre-filter -------------
+    // The user-level runtime-filter pattern: the dimension-side keys
+    // condense into a 2048-bit md5-derived Bloom filter broadcast as
+    // ONE row; the fact scan drops rows map-side BEFORE any shuffle;
+    // the exact semi join afterwards removes the (measured) false
+    // positives. Hash-verified end to end — the oracle rebuilds every
+    // lane bit and replays the membership tests, so n_bloom_pass (the
+    // sketch's actual behavior) and fp_rate are under the hash check,
+    // not just the exact result.
+    QueryDef("q146_bloom_join", {
+      val (mBits, kHashes) = (2048, 3)
+      (s, d) => {
+        val keys = orders(s, d)
+          .where(col("o_orderpriority") === "1-URGENT" &&
+            col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1995-02-01").cast("timestamp"))
+          .select("o_orderkey")
+        val lanes = bloomLanes(keys, "o_orderkey", mBits, kHashes)
+        val passed = lineitem(s, d)
+          .select("l_orderkey", "l_extendedprice")
+          .crossJoin(broadcast(lanes))
+          .where(bloomMightContain(col("bloom_lanes"), col("l_orderkey"),
+            mBits, kHashes))
+        passed
+          .join(broadcast(keys.withColumnRenamed("o_orderkey", "l_orderkey")
+            .withColumn("__hit", lit(1))), Seq("l_orderkey"), "left")
+          .agg(count(lit(1)).as("n_bloom_pass"),
+            count(col("__hit")).as("n_exact"),
+            round(sum(when(col("__hit").isNotNull,
+              col("l_extendedprice").cast("decimal(18,2)"))).cast("double"), 2)
+              .as("revenue_exact"),
+            round((count(lit(1)) - count(col("__hit"))).cast("double") /
+              count(lit(1)), 4).as("fp_rate"))
+      }
+    },
+      Some {
+        val (mBits, kHashes) = (2048, 3)
+        val nLanes = mBits / 32
+        def pos(key: String, i: Int) =
+          s"${DuckSql.hashLong(s"$key || '#$i'")} % $mBits"
+        val laneAggs = (0 until nLanes).map(j =>
+          s"coalesce(bit_or(CASE WHEN lane = $j THEN mask END), 0) AS b$j")
+          .mkString(",\n|    ")
+        val laneList = (0 until nLanes).map(j => s"b$j").mkString(", ")
+        val posUnion = (0 until kHashes).map(i =>
+          s"SELECT ${pos("key", i)} AS pos FROM ks").mkString("\n|  UNION ALL ")
+        def test(p: String) =
+          s"(lanes.lanes[$p // 32 + 1] & (CAST(1 AS BIGINT) << ($p % 32))) != 0"
+        s"""WITH ks AS (SELECT o_orderkey AS key FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1995-02-01'),
+        |ps AS ($posUnion),
+        |pm AS (SELECT pos // 32 AS lane,
+        |    (CAST(1 AS BIGINT) << (pos % 32)) AS mask FROM ps),
+        |lv AS (SELECT $laneAggs
+        |  FROM pm),
+        |lanes AS (SELECT list_value($laneList) AS lanes FROM lv),
+        |pp AS (SELECT l_orderkey, l_extendedprice,
+        |    ${pos("l_orderkey", 0)} AS p0,
+        |    ${pos("l_orderkey", 1)} AS p1,
+        |    ${pos("l_orderkey", 2)} AS p2
+        |  FROM lineitem),
+        |flt AS (SELECT p.l_orderkey, p.l_extendedprice FROM pp p, lanes
+        |  WHERE ${test("p.p0")}
+        |    AND ${test("p.p1")}
+        |    AND ${test("p.p2")}),
+        |fx AS (SELECT f.l_extendedprice, k.key IS NOT NULL AS hit
+        |  FROM flt f LEFT JOIN ks k ON f.l_orderkey = k.key)
+        |SELECT count(*) AS n_bloom_pass,
+        |  count(CASE WHEN hit THEN 1 END) AS n_exact,
+        |  round(CAST(sum(CASE WHEN hit
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE), 2)
+        |    AS revenue_exact,
+        |  round(CAST(count(*) - count(CASE WHEN hit THEN 1 END) AS DOUBLE)
+        |    / count(*), 4) AS fp_rate
+        |FROM fx""".stripMargin
+      }))
 }

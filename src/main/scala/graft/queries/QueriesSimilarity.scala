@@ -226,5 +226,41 @@ object QueriesSimilarity {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY cosine DESC, neighbor_id) AS rn FROM cand)
         |WHERE rn <= 5 ORDER BY query_id, neighbor_id""".stripMargin
+      }),
+
+    // ---- q147: SQ8 scalar-quantized top-k — the memory-bandwidth
+    // scale path (int8 corpus is 4x smaller than float32). Every
+    // quantized dot is exact INTEGER arithmetic (|q| <= 127, dim 64:
+    // all partials < 2^24), so the approximate-representation search
+    // is bit-reproducible and the oracle recomputes quantization,
+    // norms, and ranking exactly. Recall vs exact cosine is measured
+    // in SimilaritySpec. -----------------------------------------------
+    QueryDef("q147_sq8_topk",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        Similarity.sq8TopK(emb, emb.where(col("vec_id") < 20), k = 5)
+          .orderBy("query_id", "neighbor_id")
+      },
+      Some {
+        val qdot = s"list_sum(list_transform(generate_series(1, $Dim), " +
+          "i -> c.q[i] * q2.q[i]))"
+        val cos = s"round($qdot / sqrt(c.n2 * q2.n2), 4)"
+        s"""WITH sc AS (SELECT vec_id, embedding,
+        |    greatest(list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS s
+        |  FROM embeddings),
+        |qz AS (SELECT vec_id, list_transform(generate_series(1, $Dim),
+        |    i -> round(CAST(embedding[i] AS DOUBLE) / s * 127.0, 0)) AS q
+        |  FROM sc),
+        |qn AS (SELECT vec_id, q,
+        |    list_sum(list_transform(q, x -> x * x)) AS n2 FROM qz)
+        |SELECT query_id, neighbor_id, cosine_q8 FROM (
+        |  SELECT q2.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    $cos + 0 AS cosine_q8,
+        |    row_number() OVER (PARTITION BY q2.vec_id
+        |      ORDER BY $cos DESC, c.vec_id) AS rn
+        |  FROM qn c JOIN qn q2 ON c.vec_id != q2.vec_id
+        |  WHERE q2.vec_id < 20)
+        |WHERE rn <= 5 ORDER BY query_id, neighbor_id""".stripMargin
       }))
 }

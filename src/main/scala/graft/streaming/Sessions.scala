@@ -218,17 +218,38 @@ object Sessions {
     * Spark can discard buffered rows once the watermark passes the
     * interval, so state is O(rate × interval), not O(stream). Without
     * the range bounds a stream-stream join would buffer forever. */
+  /** `applyWatermarks = false` is for sides that ALREADY carry a
+    * watermark assigned upstream — specifically on the shared source
+    * BEFORE a selective filter. The global watermark is the MIN over
+    * the plan's watermark nodes, each fed only by the rows that reach
+    * it; a watermark assigned after `where(type = 'click')` stops at
+    * the last click, and in an OUTER join that permanently strands the
+    * final interval's unmatched state (their null rows never emit).
+    * Watermark-on-source, filter-after keeps every node seeing the
+    * full event stream (q148 pins the end-to-end consequence). */
   def joinWithinInterval(left: DataFrame, right: DataFrame, keyCol: String,
                          leftTs: String, rightTs: String,
                          lowerSec: Long, upperSec: Long,
-                         watermark: String = "30 seconds"): DataFrame = {
-    val l = left.withWatermark(leftTs, watermark)
-    val r = right.withWatermark(rightTs, watermark)
+                         watermark: String = "30 seconds",
+                         joinType: String = "inner",
+                         applyWatermarks: Boolean = true): DataFrame = {
+    val l = if (applyWatermarks) left.withWatermark(leftTs, watermark) else left
+    // rename-then-join: when both sides derive from the SAME stream
+    // (self-join), Column-reference disambiguation (r(keyCol)) can
+    // resolve to the left attribute and silently keep the RIGHT key —
+    // null on outer-unmatched rows. A by-name rename is unambiguous.
+    val r = (if (applyWatermarks) right.withWatermark(rightTs, watermark) else right)
+      .withColumnRenamed(keyCol, "__rkey")
+    // outer variants emit the null-padded row only once the watermark
+    // proves no match can still arrive (state eviction time); the
+    // trailing no-data micro-batch after the last data batch is what
+    // flushes them on a bounded AvailableNow run (q148 pins this)
     l.join(r,
-      l(keyCol) === r(keyCol) &&
+      l(keyCol) === r("__rkey") &&
         r(rightTs) >= l(leftTs) - expr(s"interval $lowerSec seconds") &&
-        r(rightTs) <= l(leftTs) + expr(s"interval $upperSec seconds"))
-      .drop(r(keyCol))
+        r(rightTs) <= l(leftTs) + expr(s"interval $upperSec seconds"),
+      joinType)
+      .drop("__rkey")
   }
 
   /** foreachBatch idempotent key-append sink: each micro-batch is
