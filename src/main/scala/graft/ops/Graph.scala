@@ -75,4 +75,40 @@ object Graph {
     }
     ranks
   }
+
+  /** Bounded-round multi-source BFS: hop distance from the nearest
+    * seed, capped at `hops` rounds. Returns (id, dist) for reached
+    * nodes only. Integer distances + `min` folds make every value
+    * partition-order-independent (same reproducibility discipline as
+    * `pageRank`), so an oracle can replay the rounds as chained CTEs.
+    *
+    * Each round joins the FULL distance table to the edge frame rather
+    * than just the latest frontier: with hop counts this small the
+    * simpler shape wins (no frontier-diff anti-join per round), and
+    * the `min(dist)` re-aggregation makes re-discovered nodes free.
+    * Scale: one equi-join on src + one hash-agg on id per round, both
+    * partial-combining; the edge frame is checkpointed once; rounds
+    * are a compile-time bound, so the job shape is known in advance.
+    */
+  def boundedBfs(edges: DataFrame, srcCol: String, dstCol: String,
+                 seeds: DataFrame, hops: Int): DataFrame = {
+    require(hops >= 0, "boundedBfs needs a non-negative hop bound")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    var dist = seeds.select(col(seeds.columns.head).cast("long").as("id"))
+      .distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint()
+    for (_ <- 1 to hops) {
+      val next = dist.join(e, dist("id") === e("src"))
+        .select(col("dst").as("id"), (col("dist") + 1).as("dist"))
+      dist = dist.union(next)
+        .groupBy("id").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
 }

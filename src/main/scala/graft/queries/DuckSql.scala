@@ -36,9 +36,14 @@ object DuckSql {
 
   /** Mirror of Sampling.hashLong: first 8 hex chars of md5(CAST(c AS
     * VARCHAR)) as a BIGINT (DuckDB 1.0 has no conv(); sum nibbles). */
-  def hashLong(c: String): String =
+  def hashLong(c: String): String = hexLong(s"md5(CAST($c AS VARCHAR))")
+
+  /** First 8 hex chars of an EXISTING hex-string expression as a
+    * BIGINT in [0, 2^32) — the Spark twin is
+    * `conv(substring(h, 1, 8), 16, 10).cast("long")`. */
+  def hexLong(c: String): String =
     (0 until 8).map { i =>
-      s"(strpos('0123456789abcdef', substr(md5(CAST($c AS VARCHAR)), ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}"
+      s"(strpos('0123456789abcdef', substr($c, ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}"
     }.mkString("(", " + ", ")")
 
   /** Mirror of functions.RollingHashShingles + array_min (q37): Karp-

@@ -17,7 +17,8 @@ object Registry {
       QueriesIngest.defs ++
       QueriesPipeline.defs ++
       QueriesSampling.defs ++
-      QueriesQuality.defs
+      QueriesQuality.defs ++
+      QueriesScaleExt.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,115 @@
+package graft
+
+import graft.ops.Graph
+import graft.queries.Registry
+import org.apache.spark.sql.functions._
+
+/** Round-4 widening batch (QueriesScaleExt): BFS, KMV set algebra,
+  * reaggregation, Z-order, bigram LM scoring, containment. The DuckDB
+  * oracle is the primary gate for each; these specs pin the algebraic
+  * properties the oracle can't express (error bounds, span bounds,
+  * partition-order independence).
+  */
+class ScaleExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(name: String) = Registry.byName(name).fn(spark, sf)
+
+  test("boundedBfs: hop distances on a path graph, hops cap respected") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val d3 = Graph.boundedBfs(e, "src", "dst", seeds, hops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(d3 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L)) // 5 unreached
+    val d0 = Graph.boundedBfs(e, "src", "dst", seeds, hops = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(d0 == Map(1L -> 0L))
+  }
+
+  test("boundedBfs: multi-seed takes the minimum distance") {
+    val e = Seq((1L, 2L), (2L, 3L), (10L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L, 10L).toDF("id")
+    val d = Graph.boundedBfs(e, "src", "dst", seeds, hops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(d(3L) == 1L) // via 10, not the 2-hop path via 1
+  }
+
+  test("boundedBfs is partition-order-independent") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").limit(2000)
+    val e = li.withColumnRenamed("l_partkey", "src")
+      .join(li.withColumnRenamed("l_partkey", "dst"), "l_orderkey")
+      .where(col("src") =!= col("dst"))
+      .select("src", "dst")
+    val seeds = e.select(col("src").as("id")).where(col("id") % 97 === 0)
+    val a = Graph.boundedBfs(e, "src", "dst", seeds, 2)
+      .as[(Long, Long)].collect().toSet
+    val b = Graph.boundedBfs(e.repartition(7), "src", "dst", seeds, 2)
+      .as[(Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("q150: KMV estimates land within 4 sigma of the exact counts") {
+    val r = run("q150_kmv_setops").collect().head
+    val (estEn, estDe, estU) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    val (exEn, exDe, exU) = (r.getLong(5), r.getLong(6), r.getLong(7))
+    // k=64: relative sigma ~ 1/sqrt(k-2) ~ 12.7%; 4-sigma ~ 51%
+    def ok(est: Double, exact: Long) =
+      math.abs(est - exact) <= 0.51 * exact
+    assert(ok(estEn, exEn), s"en: $estEn vs $exEn")
+    assert(ok(estDe, exDe), s"de: $estDe vs $exDe")
+    assert(ok(estU, exU), s"union: $estU vs $exU")
+    // sketch-algebra sanity: union estimate >= each side's, and the
+    // intersection estimate can't exceed the union's
+    assert(r.getDouble(4) <= estU + 1e-9)
+  }
+
+  test("q151: merged monthly stats equal the direct computation exactly") {
+    val p = col("o_totalprice").cast("decimal(18,2)")
+    val direct = Tables.orders(spark, sf)
+      .groupBy(trunc(to_date(col("o_orderdate")), "month").as("month"))
+      .agg(count(lit(1)).cast("bigint").as("n_orders"),
+        round(sum(p).cast("double") / count(lit(1)).cast("double"), 6).as("mean_price"))
+      .select("month", "n_orders", "mean_price")
+    val merged = run("q151_reaggregation").select("month", "n_orders", "mean_price")
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+  }
+
+  test("q152: every Z-range bucket bounds BOTH dimensions to a 64-wide span") {
+    val rows = run("q152_zorder_layout").collect()
+    assert(rows.nonEmpty && rows.length <= 16)
+    rows.foreach { r =>
+      val (minX, maxX) = (r.getLong(2), r.getLong(3))
+      val (minY, maxY) = (r.getLong(4), r.getLong(5))
+      // bucket = z div 4096 fixes the top 2 bits of each 8-bit dim
+      assert(maxX - minX <= 63, s"x span ${maxX - minX} in bucket ${r.getLong(0)}")
+      assert(maxY - minY <= 63, s"y span ${maxY - minY} in bucket ${r.getLong(0)}")
+    }
+  }
+
+  test("q153: bigram NLL is non-negative and zero only for deterministic sequences") {
+    val rows = run("q153_bigram_score")
+      .select("n_bigrams", "bigram_nll").as[(Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, nll) =>
+      assert(n >= 1)
+      assert(nll >= 0.0, s"negative NLL $nll")
+    }
+  }
+
+  test("q154: containment pairs are a superset signal of high-Jaccard pairs") {
+    val cont = run("q154_shingle_containment")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val jac = run("q43_ngram_jaccard")
+      .where(col("jaccard") >= 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // Jaccard >= 0.5 forces both containments >= 0.5; the reverse
+    // (quote/subset duplication) is what containment adds
+    assert(jac.subsetOf(cont))
+    val vals = run("q154_shingle_containment")
+      .select("cont_in_a", "cont_in_b").as[(Double, Double)].collect()
+    vals.foreach { case (a, b) =>
+      assert(a > 0 && a <= 1.0 + 1e-9 && b > 0 && b <= 1.0 + 1e-9)
+      assert(math.max(a, b) >= 0.5)
+    }
+  }
+}
