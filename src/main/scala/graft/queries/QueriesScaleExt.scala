@@ -362,6 +362,225 @@ object QueriesScaleExt {
         |    JOIN sz zb ON zb.doc_id = i.id_b)
         |SELECT * FROM cont
         |WHERE greatest(cont_in_a, cont_in_b) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin))
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- q155: per-group OLS regression from exact sums -------------
+    // Slope / intercept / R² of price-on-quantity per supplier nation —
+    // the feature-engineering shape (one regression per key, millions
+    // of keys at 100 TB) done as ONE hash-aggregation of exact decimal
+    // power sums (q70's discipline: no engine-native corr/regr whose
+    // partition-order double accumulation drifts) followed by pure
+    // double arithmetic. Supplier dim joins broadcast.
+    QueryDef("q155_group_regression",
+      (s, d) => {
+        val x = col("l_quantity").cast("decimal(18,2)")
+        val y = col("l_extendedprice").cast("decimal(18,2)")
+        val m = lineitem(s, d)
+          .join(broadcast(supplier(s, d).select("s_suppkey", "s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_nationkey").agg(
+            count(lit(1)).cast("double").as("n"),
+            sum(x).cast("double").as("sx"),
+            sum(y).cast("double").as("sy"),
+            sum(x * x).cast("double").as("sxx"),
+            sum(y * y).cast("double").as("syy"),
+            sum(x * y).cast("double").as("sxy"))
+        val n = col("n")
+        val cov = n * col("sxy") - col("sx") * col("sy")
+        val varX = n * col("sxx") - col("sx") * col("sx")
+        val varY = n * col("syy") - col("sy") * col("sy")
+        val slope = cov / varX
+        m.select(col("s_nationkey"),
+            col("n").cast("bigint").as("n_rows"),
+            round(slope, 6).as("slope"),
+            round((col("sy") - slope * col("sx")) / n, 6).as("intercept"),
+            round(cov * cov / (varX * varY), 6).as("r2"))
+          .orderBy("s_nationkey")
+      },
+      Some("""WITH m AS (SELECT s_nationkey,
+        |  CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1)
+        |SELECT s_nationkey, CAST(n AS BIGINT) AS n_rows,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0 AS slope,
+        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) + 0 AS intercept,
+        |  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0 AS r2
+        |FROM m ORDER BY s_nationkey""".stripMargin)),
+
+    // ---- q156: key-skew audit (Gini + discrete tail percentiles) ----
+    // The pre-flight diagnostic for every shuffle in this inventory:
+    // how skewed is the key distribution, and how heavy is the tail?
+    // Computed from the COUNT-OF-COUNTS table (#keys per frequency) —
+    // a few hundred rows regardless of key cardinality — so the Gini
+    // rank sum Σ i·cᵢ collapses to one pass over frequency runs:
+    // ranks of a run of m keys at frequency c contribute
+    // c·(m·start + m(m-1)/2) in EXACT integers. Only the final Gini
+    // ratio is floating point. Tail percentiles are rank-based
+    // (ceil(p·n), integer formula) — no interpolation anywhere.
+    QueryDef("q156_skew_audit",
+      (s, d) => {
+        val counts = lineitem(s, d).groupBy("l_partkey")
+          .agg(count(lit(1)).as("c"))
+        val cc = counts.groupBy("c").agg(count(lit(1)).as("m"))
+        // global window over count-of-counts: O(distinct frequencies)
+        // rows (~hundreds) — bounded, not the O(keys) anti-pattern
+        val w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+        val runs = cc
+          .withColumn("start", coalesce(sum("m").over(w), lit(0L)) + 1)
+          .withColumn("cum", col("start") + col("m") - 1)
+          .withColumn("contrib",
+            col("c") * (col("m") * col("start") +
+              expr("m * (m - 1) div 2")))
+        val tot = runs.agg(sum("m").as("n_keys"),
+          sum(col("c") * col("m")).as("total_rows"),
+          sum("contrib").as("rank_sum"), max("c").as("max_count"))
+        val joined = runs.crossJoin(broadcast(tot))
+        val p = (q: Int) => min(when(
+          col("cum") >= expr(s"($q * n_keys + 99) div 100"), col("c")))
+        joined.groupBy("n_keys", "total_rows", "rank_sum", "max_count")
+          .agg(p(50).as("p50_count"), p(99).as("p99_count"))
+          .select(col("n_keys"), col("total_rows"), col("max_count"),
+            col("p50_count"), col("p99_count"),
+            round(lit(2.0) * col("rank_sum")
+                / (col("n_keys").cast("double") * col("total_rows").cast("double"))
+              - (col("n_keys") + lit(1L)).cast("double") / col("n_keys").cast("double"),
+              6).as("gini"))
+      },
+      Some("""WITH counts AS (SELECT l_partkey, count(*) AS c
+        |    FROM lineitem GROUP BY 1),
+        |cc AS (SELECT c, count(*) AS m FROM counts GROUP BY 1),
+        |runs AS (SELECT c, m,
+        |    coalesce(sum(m) OVER (ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS start
+        |  FROM cc),
+        |runs2 AS (SELECT *, start + m - 1 AS cum,
+        |    c * (m * start + m * (m - 1) // 2) AS contrib FROM runs),
+        |tot AS (SELECT sum(m) AS n_keys, sum(c * m) AS total_rows,
+        |    sum(contrib) AS rank_sum, max(c) AS max_count FROM runs2)
+        |SELECT CAST(n_keys AS BIGINT) AS n_keys,
+        |  CAST(total_rows AS BIGINT) AS total_rows,
+        |  CAST(max_count AS BIGINT) AS max_count,
+        |  CAST((SELECT min(c) FROM runs2, tot
+        |    WHERE cum >= (50 * n_keys + 99) // 100) AS BIGINT) AS p50_count,
+        |  CAST((SELECT min(c) FROM runs2, tot
+        |    WHERE cum >= (99 * n_keys + 99) // 100) AS BIGINT) AS p99_count,
+        |  round(2.0 * CAST(rank_sum AS DOUBLE)
+        |      / (CAST(n_keys AS DOUBLE) * CAST(total_rows AS DOUBLE))
+        |    - CAST(n_keys + 1 AS DOUBLE) / CAST(n_keys AS DOUBLE), 6) + 0 AS gini
+        |FROM tot""".stripMargin)),
+
+    // ---- q157: multi-touch attribution with exact credit split ------
+    // Linear attribution: each purchase's revenue is split across the
+    // user's clicks in the prior 3 days. Credit is INTEGER cents with
+    // floor-division + remainder-to-earliest (ordered by click time,
+    // id) — Σ credits == cents exactly, no float pennies, partition-
+    // order-independent — the money-grade determinism a revenue report
+    // needs. The time-bounded join keys on user_id (never a clock
+    // cross join); per-purchase windows are tiny (a user's clicks in 3
+    // days).
+    QueryDef("q157_attribution",
+      (s, d) => {
+        val ev = events(s, d)
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"),
+            col("ts").as("p_ts"),
+            round(col("value") * 100).cast("bigint").as("cents"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id"),
+            col("ts").as("c_ts"),
+            (graft.ops.Events.jsonInt(col("props"), "$.k") % 4).as("channel"))
+        val j = purchases.join(clicks, Seq("user_id"))
+          .where(col("c_ts") <= col("p_ts") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 3 DAYS"))
+        val w = Window.partitionBy("p_id")
+        val wOrd = w.orderBy(col("c_ts"), col("c_id"))
+        j.withColumn("k", count(lit(1)).over(w))
+          .withColumn("rn", row_number().over(wOrd))
+          .withColumn("credit",
+            expr("cents div k") + when(col("rn") <= expr("cents % k"), 1L).otherwise(0L))
+          .groupBy("channel").agg(
+            count(lit(1)).as("n_credited_clicks"),
+            count_distinct(col("p_id")).as("n_purchases"),
+            sum("credit").as("credit_cents"))
+          .orderBy("channel")
+      },
+      Some("""WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_id, user_id, ts AS c_ts,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 AS channel
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.p_id, p.cents, c.c_id, c.c_ts, c.channel
+        |  FROM p JOIN c USING (user_id)
+        |  WHERE c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 3 DAY),
+        |cr AS (SELECT channel, p_id,
+        |    cents // (count(*) OVER (PARTITION BY p_id))
+        |      + CASE WHEN row_number() OVER (PARTITION BY p_id ORDER BY c_ts, c_id)
+        |          <= cents % (count(*) OVER (PARTITION BY p_id))
+        |        THEN 1 ELSE 0 END AS credit
+        |  FROM j)
+        |SELECT channel, count(*) AS n_credited_clicks,
+        |  count(DISTINCT p_id) AS n_purchases,
+        |  CAST(sum(credit) AS BIGINT) AS credit_cents
+        |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- q158: kNN label-agreement audit ----------------------------
+    // Training-data QA: does each probe vector's own label agree with
+    // the majority label of its 3 nearest neighbors? Disagreements
+    // flag mislabeled examples. Rides the verified brute-force top-k
+    // (bounded probe set broadcast, corpus streamed once, map-side
+    // only); majority = vote count with smallest-label tie-break, all
+    // integer.
+    QueryDef("q158_knn_label_check",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val knn = graft.ops.Similarity.bruteForceTopK(
+          emb, emb.where(col("vec_id") % 25 === 0), k = 3)
+        val votes = knn
+          .join(emb.select(col("vec_id").as("neighbor_id"),
+            col("label").as("n_label")), "neighbor_id")
+          .groupBy("query_id", "n_label").agg(count(lit(1)).as("votes"))
+        val maj = votes.withColumn("rn", row_number().over(
+            Window.partitionBy("query_id")
+              .orderBy(col("votes").desc, col("n_label").asc)))
+          .where(col("rn") === 1)
+          .select(col("query_id").as("vec_id"),
+            col("n_label").as("knn_label"), col("votes"))
+        maj.join(embeddings(s, d).select(col("vec_id"), col("label").as("own_label")),
+            "vec_id")
+          .select(col("vec_id"), col("own_label"),
+            col("knn_label").cast("bigint").as("knn_label"),
+            col("votes"),
+            (col("knn_label") === col("own_label")).as("agree"))
+          .orderBy("vec_id")
+      },
+      Some {
+        val cos = DuckSql.cosine("q.embedding", "c.embedding", 64)
+        s"""WITH knn AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round($cos, 4) DESC, c.vec_id) AS rn
+        |    FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        |    WHERE q.vec_id % 25 = 0)
+        |  WHERE rn <= 3),
+        |votes AS (SELECT k.query_id, e.label AS n_label, count(*) AS votes
+        |  FROM knn k JOIN embeddings e ON e.vec_id = k.neighbor_id
+        |  GROUP BY 1, 2),
+        |maj AS (SELECT query_id AS vec_id, n_label AS knn_label, votes FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY votes DESC, n_label) AS rn FROM votes)
+        |  WHERE rn = 1)
+        |SELECT m.vec_id, e.label AS own_label,
+        |  CAST(m.knn_label AS BIGINT) AS knn_label, m.votes,
+        |  m.knn_label = e.label AS agree
+        |FROM maj m JOIN embeddings e ON e.vec_id = m.vec_id
+        |ORDER BY m.vec_id""".stripMargin
+      })
   )
 }

@@ -96,6 +96,68 @@ class ScaleExtSpec extends SparkSpec {
     }
   }
 
+  test("q155: exact-sum OLS agrees with Spark's native regr_slope") {
+    // the native aggregate accumulates doubles in partition order — fine
+    // as a 3-decimal sanity bound, not as the oracle
+    val ours = run("q155_group_regression")
+      .select("s_nationkey", "slope").as[(Long, Double)].collect().toMap
+    val native = Tables.lineitem(spark, sf)
+      .join(Tables.supplier(spark, sf).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_nationkey")
+      .agg(expr("regr_slope(l_extendedprice, l_quantity)").as("sl"))
+      .as[(Long, Double)].collect().toMap
+    assert(ours.nonEmpty && ours.keySet == native.keySet)
+    ours.foreach { case (k, v) =>
+      assert(math.abs(v - native(k)) < 1e-3, s"nation $k: $v vs ${native(k)}")
+    }
+    run("q155_group_regression").select("r2").as[Double].collect()
+      .foreach(r2 => assert(r2 >= 0.0 && r2 <= 1.0))
+  }
+
+  test("q156: count-of-counts Gini equals the direct sorted-rank formula") {
+    val counts = Tables.lineitem(spark, sf).groupBy("l_partkey")
+      .agg(count(lit(1)).as("c")).select("c").as[Long].collect().sorted
+    val n = counts.length.toLong
+    val total = counts.sum
+    val rankSum = counts.zipWithIndex.map { case (c, i) => c * (i + 1L) }.sum
+    val direct = 2.0 * rankSum / (n.toDouble * total.toDouble) -
+      (n + 1L).toDouble / n.toDouble
+    val row = run("q156_skew_audit").collect().head
+    assert(math.abs(row.getAs[Double]("gini") - direct) < 1e-6)
+    assert(row.getAs[Long]("p50_count") <= row.getAs[Long]("p99_count"))
+    assert(row.getAs[Long]("p99_count") <= row.getAs[Long]("max_count"))
+    assert(row.getAs[Long]("n_keys") == n && row.getAs[Long]("total_rows") == total)
+  }
+
+  test("q157: attributed credit conserves every purchase's cents exactly") {
+    val ev = Tables.events(spark, sf)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+    val attributed = p.join(c, Seq("user_id"))
+      .where(col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 3 DAYS"))
+      .select("p_id", "cents").distinct()
+      .agg(sum("cents")).as[Long].collect().head
+    val credited = run("q157_attribution")
+      .agg(sum("credit_cents")).as[Long].collect().head
+    assert(credited == attributed, s"$credited != $attributed — pennies leaked")
+  }
+
+  test("q158: majority vote is consistent and bounded by k=3") {
+    val rows = run("q158_knn_label_check").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val votes = r.getAs[Long]("votes")
+      assert(votes >= 1 && votes <= 3)
+      assert(r.getAs[Boolean]("agree") ==
+        (r.getAs[Long]("knn_label") == r.getAs[Int]("own_label").toLong))
+    }
+  }
+
   test("q154: containment pairs are a superset signal of high-Jaccard pairs") {
     val cont = run("q154_shingle_containment")
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
