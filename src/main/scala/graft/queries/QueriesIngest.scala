@@ -212,5 +212,43 @@ object QueriesIngest {
         |  CAST(50 + p_partkey % 100 AS DOUBLE) / (8000 + (p_partkey % 3)*4000)
         |    AS duration_sec,
         |  TRUE AS valid
-        |FROM part WHERE p_partkey <= 100 ORDER BY 1""".stripMargin)))
+        |FROM part WHERE p_partkey <= 100 ORDER BY 1""".stripMargin)),
+
+    // ---- q159: frame-sampling plan over parsed media durations ------
+    // The q135 chain extended one stage: synthesize WAV bytes in-plan,
+    // parse the header back, and expand each blob into its planned
+    // frame-sample offsets (every 2 ms up to 5 frames — scaled to the
+    // tiny synthetic clips). Pins `Multimodal.planFrameSamples` — the
+    // real Spark-side scheduling around the stubbed frame EXTRACTION —
+    // end-to-end under the oracle hash: the duration comes from actual
+    // byte parsing, and the offset arithmetic (floor-div frame count,
+    // i*everySec offsets) is replayed exactly in SQL.
+    QueryDef("q159_frame_plan",
+      (s, d) => {
+        val mk = udf((sr: Int, ch: Int, n: Int) =>
+          graft.ops.Multimodal.makeWav(sr, ch, new Array[Short](n)))
+        val meta = graft.Tables.part(s, d)
+          .where(col("p_partkey") <= 100)
+          .select(col("p_partkey"),
+            (lit(8000) + (col("p_partkey") % 3) * 4000).cast("int").as("sr"),
+            (lit(1) + col("p_partkey") % 2).cast("int").as("ch"),
+            (lit(50) + col("p_partkey") % 100).cast("int").as("frames"))
+          .select(col("p_partkey"),
+            graft.ops.Multimodal.wavMetadata(
+              mk(col("sr"), col("ch"), col("ch") * col("frames"))).as("m"))
+          .select(col("p_partkey"), col("m.duration_sec").as("duration_sec"))
+        graft.ops.Multimodal.planFrameSamples(meta, "duration_sec",
+            everySec = 0.002, maxFrames = 5)
+          .select(col("p_partkey"), col("duration_sec"), col("frame_offset_sec"))
+          .orderBy("p_partkey", "frame_offset_sec")
+      },
+      Some("""WITH m AS (SELECT p_partkey,
+        |    CAST(50 + p_partkey % 100 AS DOUBLE)
+        |      / (8000 + (p_partkey % 3)*4000) AS duration_sec
+        |  FROM part WHERE p_partkey <= 100)
+        |SELECT p_partkey, duration_sec,
+        |  unnest(list_transform(
+        |    generate_series(0, CAST(least(floor(duration_sec / 0.002), 4) AS BIGINT)),
+        |    i -> i * 0.002)) AS frame_offset_sec
+        |FROM m ORDER BY p_partkey, frame_offset_sec""".stripMargin)))
 }

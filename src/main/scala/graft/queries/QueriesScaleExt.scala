@@ -581,6 +581,48 @@ object QueriesScaleExt {
         |  m.knn_label = e.label AS agree
         |FROM maj m JOIN embeddings e ON e.vec_id = m.vec_id
         |ORDER BY m.vec_id""".stripMargin
-      })
+      }),
+
+    // ---- q160/q161: text + columnar format round trips ---------------
+    // CSV and ORC written by the engine and read straight back with a
+    // declared schema, hash-matched against the parquet source — the
+    // lossless-ingest claim every heterogeneous 100 TB lake needs:
+    // doubles survive via shortest-repr printing, timestamps via
+    // session-UTC ISO strings (CSV) / native logical types (ORC). The
+    // write is to a fresh per-SF directory (the caller-swap discipline
+    // of Layout.compactParquet); the read declares the schema rather
+    // than inferring it — schema inference is a full extra pass at
+    // scale, never the default.
+    QueryDef("q160_csv_roundtrip",
+      (s, d) => {
+        val base = lineitem(s, d).where(col("l_orderkey") % 100 === 0)
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_returnflag", "l_shipdate")
+        val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_csv_rt_${math.abs(d.hashCode)}").getPath
+        base.write.mode("overwrite").option("header", "true").csv(dir)
+        s.read.schema(base.schema).option("header", "true").csv(dir)
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+        |  l_extendedprice, l_returnflag, l_shipdate
+        |FROM lineitem WHERE l_orderkey % 100 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    QueryDef("q161_orc_roundtrip",
+      (s, d) => {
+        val base = orders(s, d).where(col("o_orderkey") % 100 === 0)
+          .select("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate")
+        val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_orc_rt_${math.abs(d.hashCode)}").getPath
+        base.write.mode("overwrite").orc(dir)
+        s.read.schema(base.schema).orc(dir)
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  o_totalprice, o_orderdate
+        |FROM orders WHERE o_orderkey % 100 = 0
+        |ORDER BY o_orderkey""".stripMargin))
   )
 }

@@ -158,6 +158,31 @@ class ScaleExtSpec extends SparkSpec {
     }
   }
 
+  test("q159: frame plan caps at maxFrames and spaces offsets by everySec") {
+    val rows = run("q159_frame_plan")
+      .select("p_partkey", "frame_offset_sec").as[(Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (k, offs) =>
+      assert(offs.length <= 5, s"part $k planned ${offs.length} frames")
+      offs.map(_._2).sorted.zipWithIndex.foreach { case (o, i) =>
+        assert(math.abs(o - i * 0.002) < 1e-12, s"offset $o at index $i")
+      }
+    }
+  }
+
+  test("q160/q161: format round trips preserve row counts and schemas") {
+    val csv = run("q160_csv_roundtrip")
+    val src = Tables.lineitem(spark, sf).where(col("l_orderkey") % 100 === 0)
+    assert(csv.count() == src.count())
+    assert(csv.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      src.select("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_returnflag", "l_shipdate")
+        .schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val orc = run("q161_orc_roundtrip")
+    assert(orc.count() ==
+      Tables.orders(spark, sf).where(col("o_orderkey") % 100 === 0).count())
+  }
+
   test("q154: containment pairs are a superset signal of high-Jaccard pairs") {
     val cont = run("q154_shingle_containment")
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
