@@ -76,22 +76,92 @@ object Graph {
     ranks
   }
 
+  /** PageRank with DANGLING-MASS REDISTRIBUTION — the renormalized
+    * treatment `pageRank` documents as missing: each round the rank
+    * held by dangling nodes (in-edges but no out-edges) is summed into
+    * ONE scalar and redistributed equally to every node, so total rank
+    * is conserved the way the standard formulation demands:
+    * next = base + damp * (Σ in-contributions + danglingSum div N).
+    *
+    * Arithmetic stays INTEGER-EXACT (micro-units, BIGINT floor
+    * division) — partition-order-independent, bit-identical across
+    * engines, oracle-replayable as chained CTEs (q162). The dangling
+    * share each node receives is danglingSum div N (floor), so a
+    * sub-micro remainder < N decays per round instead of being
+    * assigned arbitrarily — deterministic by construction.
+    *
+    * Scale posture: identical to `pageRank` plus, per round, one
+    * partial-combining global aggregate over the O(dangling) rank rows
+    * (a single-row frame) cross-joined back BROADCAST — a scalar
+    * broadcast, never a shuffle. Dangling membership is a static
+    * anti-join computed once. */
+  def pageRankRedistributed(edges: DataFrame, srcCol: String, dstCol: String,
+                            iters: Int = 3, base: Long = 150000L,
+                            dampNum: Long = 85L): DataFrame = {
+    require(iters >= 1, "pageRankRedistributed needs at least one iteration")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+    val eDeg = e.join(deg, "src").localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint()
+    // dangling membership and node count never change across rounds
+    val dangling = nodes
+      .join(e.select(col("src").as("id")), Seq("id"), "left_anti")
+      .localCheckpoint()
+    val nCnt = nodes.agg(count(lit(1)).as("__n")).localCheckpoint()
+
+    var ranks = nodes.withColumn("rank_micro", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = eDeg
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"),
+          expr("rank_micro div __deg").as("__c"))
+      val sums = contrib.groupBy("id").agg(sum(col("__c")).as("__s"))
+      val dsum = ranks.join(dangling, Seq("id"), "left_semi")
+        .agg(coalesce(sum("rank_micro"), lit(0L)).as("__d"))
+      ranks = nodes
+        .join(sums, Seq("id"), "left")
+        .crossJoin(broadcast(dsum))
+        .crossJoin(broadcast(nCnt))
+        .select(col("id"),
+          (lit(base) +
+            expr(s"($dampNum * (coalesce(__s, 0L) + (__d div __n))) div 100"))
+            .as("rank_micro"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   /** Bounded-round multi-source BFS: hop distance from the nearest
     * seed, capped at `hops` rounds. Returns (id, dist) for reached
     * nodes only. Integer distances + `min` folds make every value
     * partition-order-independent (same reproducibility discipline as
     * `pageRank`), so an oracle can replay the rounds as chained CTEs.
     *
-    * Each round joins the FULL distance table to the edge frame rather
-    * than just the latest frontier: with hop counts this small the
-    * simpler shape wins (no frontier-diff anti-join per round), and
-    * the `min(dist)` re-aggregation makes re-discovered nodes free.
-    * Scale: one equi-join on src + one hash-agg on id per round, both
-    * partial-combining; the edge frame is checkpointed once; rounds
-    * are a compile-time bound, so the job shape is known in advance.
-    */
+    * Default shape: each round joins the FULL distance table to the
+    * edge frame rather than just the latest frontier — with hop counts
+    * this small the simpler shape wins (no frontier-diff anti-join per
+    * round), and the `min(dist)` re-aggregation makes re-discovered
+    * nodes free. Scale: one equi-join on src + one hash-agg on id per
+    * round, both partial-combining; the edge frame is checkpointed
+    * once; rounds are a compile-time bound, so the job shape is known
+    * in advance.
+    *
+    * `frontierOnly = true` switches to the frontier-propagation shape
+    * for LARGER hop bounds: each round expands only the nodes first
+    * reached in the previous round and anti-joins out already-settled
+    * ids, so round cost is O(frontier edges), not O(V) — in unweighted
+    * BFS a node's first-discovery distance is already minimal, so the
+    * two shapes produce identical results (pinned in GraphSpec). */
   def boundedBfs(edges: DataFrame, srcCol: String, dstCol: String,
-                 seeds: DataFrame, hops: Int): DataFrame = {
+                 seeds: DataFrame, hops: Int,
+                 frontierOnly: Boolean = false): DataFrame = {
     require(hops >= 0, "boundedBfs needs a non-negative hop bound")
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
@@ -102,12 +172,25 @@ object Graph {
       .distinct()
       .withColumn("dist", lit(0L))
       .localCheckpoint()
-    for (_ <- 1 to hops) {
-      val next = dist.join(e, dist("id") === e("src"))
-        .select(col("dst").as("id"), (col("dist") + 1).as("dist"))
-      dist = dist.union(next)
-        .groupBy("id").agg(min("dist").as("dist"))
-        .localCheckpoint()
+    if (frontierOnly) {
+      var frontier = dist
+      for (_ <- 1 to hops) {
+        val fresh = frontier.join(e, frontier("id") === e("src"))
+          .select(col("dst").as("id"), (col("dist") + 1).as("dist"))
+          .groupBy("id").agg(min("dist").as("dist"))
+          .join(dist, Seq("id"), "left_anti")
+          .localCheckpoint()
+        dist = dist.union(fresh).localCheckpoint()
+        frontier = fresh
+      }
+    } else {
+      for (_ <- 1 to hops) {
+        val next = dist.join(e, dist("id") === e("src"))
+          .select(col("dst").as("id"), (col("dist") + 1).as("dist"))
+        dist = dist.union(next)
+          .groupBy("id").agg(min("dist").as("dist"))
+          .localCheckpoint()
+      }
     }
     dist
   }

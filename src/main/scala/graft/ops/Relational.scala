@@ -169,6 +169,62 @@ object Relational {
       }: _*)
   }
 
+  /** MERGE INTO convenience — the one-call upsert/delete every modern
+    * lakehouse engine exposes, composed from the applyChangelog
+    * semantics: source rows matched on `keyCol` replace the base row,
+    * unmatched source rows insert, and source rows where `deleteWhen`
+    * holds remove the key. `source` must carry the base's columns and
+    * be key-unique (the SQL MERGE precondition — duplicate matches are
+    * ambiguous); base rows untouched by the source pass through.
+    *
+    * Shape: ONE full-outer equi-join on the key — the base is never
+    * windowed, sorted, or scanned twice, so merging a day's changes
+    * into a 100 TB snapshot costs a single join, broadcast when the
+    * source side fits. */
+  def mergeInto(base: DataFrame, source: DataFrame, keyCol: String,
+                deleteWhen: Column = lit(false)): DataFrame = {
+    val dataCols = base.columns.filter(_ != keyCol).toSeq
+    val src = source.select(col(keyCol) +:
+      when(deleteWhen, lit("delete")).otherwise(lit("upsert")).as("__op") +:
+      dataCols.map(c => col(c).as(s"__src_$c")): _*)
+    base.join(src, Seq(keyCol), "full_outer")
+      .where(col("__op").isNull || col("__op") =!= "delete")
+      .select(col(keyCol) +: dataCols.map { c =>
+        when(col("__op") === "upsert", col(s"__src_$c"))
+          .otherwise(col(c)).as(c)
+      }: _*)
+  }
+
+  /** Two-level cumulative sum over a histogram: adds `cum` = running
+    * total of `cntCol` in `keyCol` order WITHOUT a global-order window
+    * (a single-partition exchange that serializes the whole frame
+    * through one task). Rows are bucketed into coarse ranges of
+    * `coarseWidth` keys; the running total inside each range is a
+    * PARTITIONED window, and each range's starting offset is a prefix
+    * sum over the O(domain/coarseWidth) range totals — a frame small
+    * enough that its global window is a few-hundred-row task — joined
+    * back broadcast. Bit-identical to the naive global window (pinned
+    * in OpsSpec); the largest single-task structure is the coarse
+    * offsets frame, never the histogram. */
+  def twoLevelCumSum(hist: DataFrame, keyCol: String, cntCol: String,
+                     coarseWidth: Long): DataFrame = {
+    require(coarseWidth >= 1, s"coarseWidth must be positive, got $coarseWidth")
+    // `div` truncates toward zero, so the bucket around zero is twice
+    // as wide — harmless: the algorithm only needs the bucket id to be
+    // MONOTONE in the key (contiguous key ranges), which truncation
+    // preserves for negatives too (pinned in RelationalExtSpec)
+    val hg = hist.withColumn("__g", expr(s"$keyCol div ${coarseWidth}L"))
+    val wIn = Window.partitionBy("__g").orderBy(keyCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = hg.withColumn("__w", sum(cntCol).over(wIn))
+    val wPre = Window.orderBy("__g").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hg.groupBy("__g").agg(sum(cntCol).as("__gt"))
+      .select(col("__g"), coalesce(sum("__gt").over(wPre), lit(0L)).as("__off"))
+    within.join(broadcast(offsets), "__g")
+      .withColumn("cum", col("__w") + col("__off"))
+      .drop("__g", "__w", "__off")
+  }
+
   /** Snapshot diff — the INVERSE of applyChangelog: compare two
     * snapshots of the same schema and emit the changelog that turns
     * `old` into `new`: inserts (key only in new), deletes (key only

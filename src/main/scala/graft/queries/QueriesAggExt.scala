@@ -311,16 +311,20 @@ object QueriesAggExt {
     // interpolation between the cents covering ranks k+1 and k+2 in
     // the cumulative histogram — bit-identical arithmetic to the
     // oracle, which spells the same computation, so quantile_cont
-    // semantics are reproduced EXACTLY with bounded memory. (The one
-    // global-ordered window runs over the histogram — cardinality
-    // bounded by the value domain, never by N.)
+    // semantics are reproduced EXACTLY with bounded memory. The
+    // cumulative sum is TWO-LEVEL (Relational.twoLevelCumSum): a
+    // partitioned window inside 10k-cent coarse ranges plus a
+    // broadcast prefix of the ~1k range totals — no global-order
+    // exchange ever sees the histogram itself, so the largest
+    // single-task structure is the range-offsets frame, never the
+    // value domain.
     QueryDef("q136_equidepth",
       (s, d) => {
         val hist = lineitem(s, d)
           .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
           .groupBy("c").agg(count(lit(1)).as("cnt"))
-        val wc = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val cum = hist.select(col("c"), col("cnt"), sum("cnt").over(wc).as("cum"))
+        val cum = Relational.twoLevelCumSum(hist, "c", "cnt", 10000L)
+          .select(col("c"), col("cnt"), col("cum"))
         val n = hist.agg(sum("cnt").as("n")) // single row
         // rank of decile p: pos = p*(n-1) (0-based), k = floor(pos);
         // value at 1-based rank r is the cent c with cum-cnt < r <= cum

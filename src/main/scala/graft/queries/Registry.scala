@@ -18,7 +18,8 @@ object Registry {
       QueriesPipeline.defs ++
       QueriesSampling.defs ++
       QueriesQuality.defs ++
-      QueriesScaleExt.defs
+      QueriesScaleExt.defs ++
+      QueriesRound5.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

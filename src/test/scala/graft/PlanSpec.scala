@@ -1,6 +1,7 @@
 package graft
 
 import graft.queries.Registry
+import org.apache.spark.sql.functions._
 
 /** Physical-plan assertions: the properties that make these queries
   * scale (pushdown, pruning, broadcast, top-k operator, map-side
@@ -181,6 +182,59 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("percentile("), p.take(4000))
     // the fact-table aggregations stay codegen'd hash aggregates
     assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("q136: the cumulative window never sees a single-partition exchange of the histogram") {
+    val p = planOf("q136_equidepth")
+    // two-level cumsum: the window over the cent histogram is
+    // PARTITIONED by the coarse range; the only global-order window
+    // runs over the ~1k coarse offsets. A regression back to a global
+    // window over the histogram would put a Sort directly under an
+    // Exchange SinglePartition feeding a Window whose partition spec
+    // is empty on the c/cnt frame — pin the partitioned spec instead.
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    val overC = winLines.filter(l => l.contains("c#") && l.contains("cnt"))
+    assert(overC.forall(_.contains("__g")), winLines.mkString("\n"))
+  }
+
+  test("AQE splits a deliberately skewed sort-merge join (skew=true)") {
+    // the scale-posture comments in Graph/Dedup lean on AQE's skew
+    // split for hub keys — verify it actually fires in this build:
+    // 80% of the big side lands on one key, thresholds lowered so the
+    // local fixture crosses them, broadcast disabled to force SMJ.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> scala.util.Try(conf.get(k)).toOption)
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32k")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val big = spark.range(0, 200000).select(
+        when(col("id") % 5 === 0, col("id")).otherwise(lit(0L)).as("k"),
+        col("id").as("v"))
+      val small = spark.range(0, 2000).select(col("id").as("k"),
+        (col("id") * 2).as("w"))
+      val joined = big.join(small, "k")
+      // execute THIS frame's own QueryExecution (count() would build a
+      // separate one) — AQE finalizes the plan only after execution
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(4000))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
   }
 
   test("q141: multi-table LSH candidates join on (table, bucket), never cross") {

@@ -1,0 +1,56 @@
+package graft
+
+import graft.ops.Relational
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 relational helpers: twoLevelCumSum is pinned bit-identical
+  * to the naive global-order window it replaces, and mergeInto's
+  * upsert/insert/delete/passthrough quadrants are each exercised.
+  */
+class RelationalExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("twoLevelCumSum equals a global-order running sum (incl. negative keys)") {
+    // keys straddle coarse-bucket boundaries and zero (floor-division
+    // bucketing of negatives); counts vary to catch offset mistakes
+    val hist = Seq((-23L, 5L), (-10L, 1L), (-1L, 7L), (0L, 2L), (3L, 4L),
+      (9L, 1L), (10L, 9L), (11L, 2L), (25L, 3L), (99L, 8L), (100L, 1L))
+      .toDF("c", "cnt")
+    val w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = hist.select(col("c"), sum("cnt").over(w).as("cum"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val two = Relational.twoLevelCumSum(hist, "c", "cnt", 10L)
+      .select("c", "cum")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two == naive)
+  }
+
+  test("twoLevelCumSum keeps the original columns") {
+    val hist = Seq((1L, 2L, "x"), (7L, 3L, "y")).toDF("c", "cnt", "tag")
+    val out = Relational.twoLevelCumSum(hist, "c", "cnt", 5L)
+    assert(out.columns.toSet == Set("c", "cnt", "tag", "cum"))
+  }
+
+  test("mergeInto: upsert, insert, delete, passthrough") {
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "name", "v")
+    val source = Seq(
+      (2L, "b2", 21L),   // matched upsert
+      (4L, "d", 40L),    // unmatched insert
+      (3L, "c", 0L))     // delete (v == 0 marks it below)
+      .toDF("k", "name", "v")
+    val out = Relational.mergeInto(base, source, "k",
+        deleteWhen = col("v") === 0L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set((1L, "a", 10L), (2L, "b2", 21L), (4L, "d", 40L)))
+  }
+
+  test("mergeInto: delete of an absent key is a no-op") {
+    val base = Seq((1L, "a")).toDF("k", "name")
+    val source = Seq((9L, "gone")).toDF("k", "name")
+    val out = Relational.mergeInto(base, source, "k", deleteWhen = lit(true))
+    assert(out.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a")))
+  }
+}

@@ -36,6 +36,56 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(a == b && a.nonEmpty)
   }
+
+  // directed DAG: 4 has in-edges but no out-edges (dangling sink),
+  // 5 is a pure source, 1→2→3 chains into the sink
+  private val dag = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (5L, 4L))
+
+  test("pageRankRedistributed matches a sequential reference on a dangling DAG") {
+    val got = Graph.pageRankRedistributed(dag.toDF("src", "dst"), "src", "dst",
+        iters = 3)
+      .as[(Long, Long)].collect().toMap
+
+    // driver-side replay of the same BIGINT floor-division arithmetic
+    val nodes = dag.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+    val out = dag.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var r = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val contribs = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      for ((s0, ds) <- out; d0 <- ds) contribs(d0) += r(s0) / ds.size
+      val dsum = nodes.filterNot(out.contains).map(r).sum
+      r = nodes.map(n =>
+        n -> (150000L + (85L * (contribs(n) + dsum / nodes.size)) / 100L)).toMap
+    }
+    assert(got == r, s"got $got, expected $r")
+    // with decay-only treatment node 5 (no in-edges) would sit at the
+    // base value; redistribution lifts it by the dangling share
+    assert(got(5L) > 150000L)
+  }
+
+  test("pageRankRedistributed equals pageRank when no node is dangling") {
+    val sym = (dag ++ dag.map(t => (t._2, t._1))).toDF("src", "dst")
+    val plain = Graph.pageRank(sym, "src", "dst", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val redis = Graph.pageRankRedistributed(sym, "src", "dst", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(plain == redis)
+  }
+
+  test("frontierOnly BFS equals the full re-aggregation shape") {
+    // deterministic pseudo-random digraph: 200 nodes, 600 edges; hop
+    // bound past the diameter so late rounds run with an EMPTY frontier
+    // (exercises the anti-join/no-new-nodes path)
+    val edges = spark.range(0, 600).select(
+      (col("id") * 37 % 200).as("src"), ((col("id") * 91 + 13) % 200).as("dst"))
+    val seeds = spark.range(0, 3).select((col("id") * 50).as("id"))
+    val full = Graph.boundedBfs(edges, "src", "dst", seeds, hops = 8)
+    val fron = Graph.boundedBfs(edges, "src", "dst", seeds, hops = 8,
+      frontierOnly = true)
+    assert(full.except(fron).count() == 0 && fron.except(full).count() == 0)
+    assert(full.count() == fron.count())
+  }
 }
 
 class BloomSpec extends SparkSpec {
