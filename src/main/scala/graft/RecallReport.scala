@@ -1,0 +1,79 @@
+package graft
+
+import graft.ops.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Regenerates RECALL.md: measured recall@10 for every ANN variant vs
+  * exact brute-force cosine on the sf0.1 embeddings table. Everything
+  * in the ANN stack is md5-deterministic (hyperplanes, seed picks,
+  * ordered-fold Lloyd means), so each number is a CONSTANT of the
+  * data — rerunning reproduces the table bit-for-bit, which is what
+  * makes the quality claims reviewable per round.
+  *
+  * Usage: sbt "runMain graft.RecallReport"   (writes ./RECALL.md)
+  */
+object RecallReport {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val emb = Tables.embeddings(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nVec = emb.count()
+    val queries = emb.where(col("vec_id") < 20)
+
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("neighbor_id"))
+        .as[(Long, Long)].collect().toSet
+    val truth = pairs(Similarity.bruteForceTopK(emb, queries, 10))
+    def recall(got: Set[(Long, Long)]): Double =
+      truth.intersect(got).size.toDouble / truth.size
+
+    val rows = scala.collection.mutable.ListBuffer.empty[(String, String, Double)]
+    rows += (("brute force (exact)", "—", 1.0))
+    rows += (("SRP-LSH single table", "8 planes",
+      recall(pairs(Similarity.lshTopK(emb, queries, 10, nPlanes = 8)))))
+    for (t <- Seq(4, 8, 16))
+      rows += ((s"SRP-LSH multi-table", s"3 planes x $t tables",
+        recall(pairs(Similarity.lshTopKMulti(emb, queries, 10,
+          nPlanes = 3, nTables = t)))))
+    val corp = emb.select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = Similarity.trainCentroids(corp, 16, maxIter = 3)
+    for (p <- Seq(4, 8, 10))
+      rows += ((s"IVF (16 cells, 3 Lloyd iters)", s"nProbe $p",
+        recall(pairs(Similarity.ivfTopKWith(corp, queries, 10, cents,
+          nProbe = p)))))
+    rows += (("SQ8 int8 quantized (full scan)", "symmetric per-vector scale",
+      recall(pairs(Similarity.sq8TopK(emb, queries, 10)))))
+
+    val md = new StringBuilder
+    md ++= "# Measured ANN recall\n\n"
+    md ++= s"recall@10 against exact brute-force cosine; corpus = `$sfDir/embeddings.parquet`\n"
+    md ++= s"($nVec vectors x 64 dims, 20 query vectors). All variants are\n"
+    md ++= "md5-deterministic end to end, so these numbers are constants of the\n"
+    md ++= "data — regenerate with `sbt \"runMain graft.RecallReport\"` and the\n"
+    md ++= "table reproduces exactly. The sf0.1 corpus is only weakly clustered\n"
+    md ++= "(near-orthogonal vectors), which is ADVERSE for ANN pruning — these\n"
+    md ++= "are honest lower bounds for real embedding corpora.\n\n"
+    md ++= "| variant | knobs | recall@10 |\n|---|---|---|\n"
+    rows.foreach { case (v, k, r) =>
+      md ++= f"| $v | $k | $r%.3f |\n"
+    }
+    md ++= "\nSpec pins (sbt test): LSH multi >= 0.95, IVF >= 0.85 (OpsSpec\n"
+    md ++= "\"measured ANN recall@10\"), SQ8 recall@5 >= 0.8 + per-pair cosine\n"
+    md ++= "drift <= 0.02 (Sq8Spec).\n"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("RECALL.md"),
+      md.toString)
+    println(md.toString)
+    spark.stop()
+  }
+}

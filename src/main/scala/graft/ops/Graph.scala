@@ -14,9 +14,42 @@ import org.apache.spark.sql.functions._
   * (the classic iterative-Spark plan-blowup trap), each round is one
   * equi-join plus one partial-combining hash-aggregation over the edge
   * frame, and the iteration count is a bounded knob — O(iters) rounds,
-  * each O(|E|) shuffle, never a per-node driver loop.
+  * each O(|E|) scan, never a per-node driver loop.
+  *
+  * Edge-frame discipline shared by all three operators: the edge list
+  * is REPARTITIONED BY src AND SORTED once, before its one-time
+  * checkpoint (LogicalRDD preserves both partitioning and ordering),
+  * so every round's src-keyed equi-join reuses that layout — the
+  * O(|E|) side is scanned in place each round and only the O(|V|)
+  * rank/frontier frame moves (and when THAT side is small enough the
+  * planner broadcasts it instead — either way the edges never
+  * re-shuffle or re-sort inside the loop).
   */
 object Graph {
+
+  /** Edge normalization + the one-time layout all rounds reuse:
+    * distinct (src, dst) pairs, hash-partitioned on src, sorted within
+    * partitions, checkpointed. ONE shuffle total: repartitioning on
+    * src comes FIRST, and HashPartitioning(src) already satisfies the
+    * (src, dst) clustering the dedup aggregate needs (equal pairs are
+    * equal on src), so the distinct adds no second exchange.
+    *
+    * Callers that derive other frames from the same edge list (seeds,
+    * degree audits) should build it once via this function and pass
+    * `assumeLaidOut = true` to the operator — re-laying-out an already
+    * checkpointed frame would double-materialize the O(|E|) data. */
+  def layoutEdges(edges: DataFrame, srcCol: String,
+                  dstCol: String): DataFrame = edges
+    .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    .where(col("src").isNotNull && col("dst").isNotNull)
+    .repartition(col("src"))
+    .distinct()
+    .sortWithinPartitions("src")
+    .localCheckpoint()
+
+  private def edgeFrame(edges: DataFrame, srcCol: String, dstCol: String,
+                        assumeLaidOut: Boolean): DataFrame =
+    if (assumeLaidOut) edges else layoutEdges(edges, srcCol, dstCol)
 
   /** PageRank with INTEGER-EXACT arithmetic: scores live in micro-units
     * (a node starts at 1,000,000) and every step is BIGINT math —
@@ -31,29 +64,24 @@ object Graph {
     * Dangling mass: nodes appear in the rank table iff they touch an
     * edge; a node with in-edges but no out-edges keeps receiving rank
     * and contributes nothing (its mass decays — the standard
-    * non-renormalized treatment). Every edge list built from symmetric
+    * non-renormalized treatment; see `pageRankRedistributed` for the
+    * conserving variant). Every edge list built from symmetric
     * co-occurrence (src↔dst both present) has no dangling nodes.
     *
-    * Scale posture: ranks and degrees are O(|V|) frames hash-joined to
-    * the O(|E|) edge frame each round — both shuffles key on the same
-    * src/dst ids, AQE handles hub skew (a mega-hub is one hot key in
-    * the contribution aggregation, split by skew-join rules). The edge
-    * frame is checkpointed once and reused; iteration count is fixed
-    * (default 3), not convergence-polled, so the job's shape is known
-    * in advance.
+    * Scale posture: the per-edge contribution is folded into the
+    * O(|V|) rank frame FIRST (rank div deg — one row per source), so
+    * the per-round join moves only that frame onto the pre-partitioned
+    * edge layout; the contribution aggregation is partial-combining on
+    * dst with AQE handling hub skew. Iteration count is fixed (default
+    * 3), not convergence-polled, so the job's shape is known in
+    * advance.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 3, base: Long = 150000L,
-               dampNum: Long = 85L): DataFrame = {
+               dampNum: Long = 85L, assumeLaidOut: Boolean = false): DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
-    val e = edges
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .where(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
-      .localCheckpoint()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
-    // edge + out-degree, materialized once — every round re-reads this
-    val eDeg = e.join(deg, "src").localCheckpoint()
+    val e = edgeFrame(edges, srcCol, dstCol, assumeLaidOut)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("__deg")).localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
@@ -61,10 +89,11 @@ object Graph {
 
     var ranks = nodes.withColumn("rank_micro", lit(1000000L))
     for (_ <- 1 to iters) {
-      val contrib = eDeg
-        .join(ranks.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"),
-          expr("rank_micro div __deg").as("__c"))
+      val perSrc = ranks.withColumnRenamed("id", "src")
+        .join(deg, "src")
+        .select(col("src"), expr("rank_micro div __deg").as("__c"))
+      val contrib = e.join(perSrc, "src")
+        .select(col("dst").as("id"), col("__c"))
       val sums = contrib.groupBy("id").agg(sum(col("__c")).as("__s"))
       ranks = nodes
         .join(sums, Seq("id"), "left")
@@ -97,15 +126,11 @@ object Graph {
     * anti-join computed once. */
   def pageRankRedistributed(edges: DataFrame, srcCol: String, dstCol: String,
                             iters: Int = 3, base: Long = 150000L,
-                            dampNum: Long = 85L): DataFrame = {
+                            dampNum: Long = 85L,
+                            assumeLaidOut: Boolean = false): DataFrame = {
     require(iters >= 1, "pageRankRedistributed needs at least one iteration")
-    val e = edges
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .where(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
-      .localCheckpoint()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
-    val eDeg = e.join(deg, "src").localCheckpoint()
+    val e = edgeFrame(edges, srcCol, dstCol, assumeLaidOut)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("__deg")).localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
@@ -118,10 +143,11 @@ object Graph {
 
     var ranks = nodes.withColumn("rank_micro", lit(1000000L))
     for (_ <- 1 to iters) {
-      val contrib = eDeg
-        .join(ranks.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"),
-          expr("rank_micro div __deg").as("__c"))
+      val perSrc = ranks.withColumnRenamed("id", "src")
+        .join(deg, "src")
+        .select(col("src"), expr("rank_micro div __deg").as("__c"))
+      val contrib = e.join(perSrc, "src")
+        .select(col("dst").as("id"), col("__c"))
       val sums = contrib.groupBy("id").agg(sum(col("__c")).as("__s"))
       val dsum = ranks.join(dangling, Seq("id"), "left_semi")
         .agg(coalesce(sum("rank_micro"), lit(0L)).as("__d"))
@@ -149,9 +175,9 @@ object Graph {
     * this small the simpler shape wins (no frontier-diff anti-join per
     * round), and the `min(dist)` re-aggregation makes re-discovered
     * nodes free. Scale: one equi-join on src + one hash-agg on id per
-    * round, both partial-combining; the edge frame is checkpointed
-    * once; rounds are a compile-time bound, so the job shape is known
-    * in advance.
+    * round, both partial-combining; the edge frame is laid out once;
+    * rounds are a compile-time bound, so the job shape is known in
+    * advance.
     *
     * `frontierOnly = true` switches to the frontier-propagation shape
     * for LARGER hop bounds: each round expands only the nodes first
@@ -161,13 +187,10 @@ object Graph {
     * two shapes produce identical results (pinned in GraphSpec). */
   def boundedBfs(edges: DataFrame, srcCol: String, dstCol: String,
                  seeds: DataFrame, hops: Int,
-                 frontierOnly: Boolean = false): DataFrame = {
+                 frontierOnly: Boolean = false,
+                 assumeLaidOut: Boolean = false): DataFrame = {
     require(hops >= 0, "boundedBfs needs a non-negative hop bound")
-    val e = edges
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .where(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
-      .localCheckpoint()
+    val e = edgeFrame(edges, srcCol, dstCol, assumeLaidOut)
     var dist = seeds.select(col(seeds.columns.head).cast("long").as("id"))
       .distinct()
       .withColumn("dist", lit(0L))
@@ -175,7 +198,7 @@ object Graph {
     if (frontierOnly) {
       var frontier = dist
       for (_ <- 1 to hops) {
-        val fresh = frontier.join(e, frontier("id") === e("src"))
+        val fresh = e.join(frontier.withColumnRenamed("id", "src"), "src")
           .select(col("dst").as("id"), (col("dist") + 1).as("dist"))
           .groupBy("id").agg(min("dist").as("dist"))
           .join(dist, Seq("id"), "left_anti")
@@ -185,7 +208,7 @@ object Graph {
       }
     } else {
       for (_ <- 1 to hops) {
-        val next = dist.join(e, dist("id") === e("src"))
+        val next = e.join(dist.withColumnRenamed("id", "src"), "src")
           .select(col("dst").as("id"), (col("dist") + 1).as("dist"))
         dist = dist.union(next)
           .groupBy("id").agg(min("dist").as("dist"))

@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.Tables._
-import graft.ops.{Graph, Relational}
+import graft.ops.{Dedup, Graph, Relational, Sampling, Text}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-5 widening: renormalized (dangling-mass) PageRank over a
@@ -99,5 +100,191 @@ object QueriesRound5 {
         |      AS bal_cents
         |  FROM b FULL OUTER JOIN s ON b.c_custkey = s.c_custkey)
         |SELECT c_custkey, c_name, CAST(bal_cents AS BIGINT) AS bal_cents
-        |FROM m WHERE op IS NULL OR op != 'delete' ORDER BY 1""".stripMargin)))
+        |FROM m WHERE op IS NULL OR op != 'delete' ORDER BY 1""".stripMargin)),
+
+    // ---- q164: merged-interval coverage (sweep-line over windows) ---
+    // Each event opens a 600-second activity interval; overlapping
+    // intervals per user merge, and the output is each user's busy-
+    // period count, total covered seconds, and longest busy period —
+    // the utilization/coverage shape (machine busy time, speaker
+    // activity, GPU occupancy). One partitioned window pass: an
+    // interval starts a new busy period iff its start exceeds the
+    // running max of prior ends — equal-length intervals make the
+    // tie order irrelevant, so integer epoch arithmetic keeps every
+    // value engine-exact.
+    QueryDef("q164_interval_coverage",
+      (s, d) => {
+        val iv = events(s, d)
+          .select(col("user_id"), col("ts").cast("long").as("st"))
+          .withColumn("en", col("st") + 600L)
+        val wPrev = Window.partitionBy("user_id").orderBy("st", "en")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wRun = Window.partitionBy("user_id").orderBy("st", "en")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val islands = iv
+          .withColumn("__new",
+            when(col("st") > coalesce(max("en").over(wPrev), lit(Long.MinValue)),
+              1L).otherwise(0L))
+          .withColumn("__isl", sum("__new").over(wRun))
+          .groupBy("user_id", "__isl")
+          .agg(min("st").as("a"), max("en").as("b"))
+        islands.groupBy("user_id")
+          .agg(count(lit(1)).as("n_busy_periods"),
+            sum(col("b") - col("a")).as("covered_sec"),
+            max(col("b") - col("a")).as("longest_sec"))
+          .orderBy("user_id")
+      },
+      Some("""WITH iv AS (SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS st,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + 600 AS en FROM events),
+        |f AS (SELECT user_id, st, en,
+        |    CASE WHEN st > coalesce(max(en) OVER (PARTITION BY user_id
+        |        ORDER BY st, en ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      -9223372036854775808) THEN 1 ELSE 0 END AS nw
+        |  FROM iv),
+        |i AS (SELECT user_id, st, en,
+        |    sum(nw) OVER (PARTITION BY user_id ORDER BY st, en
+        |      ROWS UNBOUNDED PRECEDING) AS isl FROM f),
+        |g AS (SELECT user_id, isl, min(st) AS a, max(en) AS b
+        |  FROM i GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_busy_periods,
+        |  CAST(sum(b - a) AS BIGINT) AS covered_sec,
+        |  CAST(max(b - a) AS BIGINT) AS longest_sec
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- q165: market-basket support + lift -------------------------
+    // Co-purchase association metrics: for the 50 most-supported part
+    // pairs, support count, each side's order count, and lift =
+    // P(a,b) / (P(a)P(b)) — the association-rule shape (feature
+    // co-occurrence mining). Everything is an integer count until the
+    // final division; the pair frame is the q145/q162 equi-self-join
+    // (never all-pairs across orders).
+    QueryDef("q165_basket_lift",
+      (s, d) => {
+        val op = lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val pairs = op.withColumnRenamed("pk", "pa")
+          .join(op.withColumnRenamed("pk", "pb"), "ok")
+          .where(col("pa") < col("pb"))
+          .groupBy("pa", "pb").agg(count(lit(1)).as("pair_cnt"))
+        val parts = op.groupBy("pk").agg(count(lit(1)).as("cnt"))
+        val n = op.agg(countDistinct("ok").as("n_orders"))
+        val scored = pairs
+          .join(parts.select(col("pk").as("pa"), col("cnt").as("cnt_a")), "pa")
+          .join(parts.select(col("pk").as("pb"), col("cnt").as("cnt_b")), "pb")
+          .crossJoin(broadcast(n))
+          .select(col("pa"), col("pb"), col("pair_cnt"), col("cnt_a"),
+            col("cnt_b"),
+            round((col("pair_cnt") * col("n_orders")).cast("double") /
+              (col("cnt_a") * col("cnt_b")).cast("double"), 6).as("lift"))
+        Relational.topK(scored,
+          Seq(col("pair_cnt").desc, col("pa").asc, col("pb").asc), 50)
+      },
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |    FROM lineitem),
+        |pairs AS (SELECT a.pk AS pa, b.pk AS pb, count(*) AS pair_cnt
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+        |parts AS (SELECT pk, count(*) AS cnt FROM op GROUP BY 1),
+        |nn AS (SELECT count(DISTINCT ok) AS n_orders FROM op)
+        |SELECT pa, pb, pair_cnt, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+        |  round(CAST(pair_cnt * n_orders AS DOUBLE)
+        |    / CAST(ca.cnt * cb.cnt AS DOUBLE), 6) AS lift
+        |FROM pairs JOIN parts ca ON ca.pk = pa
+        |JOIN parts cb ON cb.pk = pb, nn
+        |ORDER BY pair_cnt DESC, pa, pb LIMIT 50""".stripMargin)),
+
+    // ---- q166: chi-square independence (lang x length bucket) -------
+    // Contingency-table independence test over exact integer counts;
+    // the chi-square statistic is the only float and is computed as an
+    // ORDER-PINNED fold over cells sorted by (lang, bucket) — the q132
+    // entropy discipline — so both engines add identical doubles in
+    // identical order and the statistic itself hash-verifies.
+    QueryDef("q166_chi_square",
+      (s, d) => {
+        val obs = documents(s, d)
+          .groupBy(col("lang"), expr("n_chars div 400").as("b"))
+          .agg(count(lit(1)).as("o"))
+        val rowT = obs.groupBy("lang").agg(sum("o").as("rt"))
+        val colT = obs.groupBy("b").agg(sum("o").as("ct"))
+        val n = obs.agg(sum("o").cast("double").as("n"))
+        val cells = obs.join(rowT, "lang").join(colT, "b")
+          .crossJoin(broadcast(n))
+          .select(col("lang"), col("b"), col("o").cast("double").as("od"),
+            ((col("rt") * col("ct")).cast("double") / col("n")).as("ex"))
+        cells
+          .agg(count(lit(1)).as("n_cells"),
+            countDistinct("lang").as("nr"), countDistinct("b").as("nc"),
+            sort_array(collect_list(struct(col("lang"), col("b"),
+              (((col("od") - col("ex")) * (col("od") - col("ex"))) / col("ex"))
+                .as("term")))).as("cs"))
+          .select(col("n_cells"),
+            ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+            round(aggregate(col("cs"), lit(0.0),
+              (acc, c) => acc + c.getField("term")), 6).as("chi2"))
+      },
+      Some("""WITH obs AS (SELECT lang, n_chars // 400 AS b, count(*) AS o
+        |    FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, sum(o) AS rt FROM obs GROUP BY 1),
+        |ct AS (SELECT b, sum(o) AS ct FROM obs GROUP BY 1),
+        |nn AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM obs),
+        |cells AS (SELECT lang, b, CAST(o AS DOUBLE) AS od,
+        |    CAST(rt.rt * ct.ct AS DOUBLE) / n AS ex
+        |  FROM obs JOIN rt USING (lang) JOIN ct USING (b), nn)
+        |SELECT count(*) AS n_cells,
+        |  CAST((count(DISTINCT lang) - 1) * (count(DISTINCT b) - 1) AS BIGINT)
+        |    AS dof,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list((od - ex) * (od - ex) / ex ORDER BY lang, b)),
+        |    (acc, x) -> acc + x), 6) AS chi2
+        |FROM cells""".stripMargin)),
+
+    // ---- q167: train/holdout n-gram contamination -------------------
+    // The eval-integrity gate every training pipeline needs: split the
+    // corpus by id hash (the q81 convention), collect the TRAIN side's
+    // distinct 8-gram shingles, and measure what fraction of HOLDOUT
+    // documents share at least one shingle with train — per language.
+    // Shape: shingle-keyed semi-join (shuffle on shingle hash, never
+    // doc x doc), distinct-doc hit set, two exact counts and one final
+    // division.
+    QueryDef("q167_contamination",
+      (s, d) => {
+        val d0 = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
+          (Sampling.hashLong(col("doc_id")) % 100).as("hm"))
+        def sh(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+          col("lang"),
+          explode(Dedup.wordShingles(Text.tokens(col("text")), 8)).as("sh"))
+        val trainSh = sh(d0.where(col("hm") < 80)).select("sh").distinct()
+        val hits = sh(d0.where(col("hm") >= 80))
+          .join(trainSh, Seq("sh"), "left_semi")
+          .select("doc_id", "lang").distinct()
+          .groupBy("lang").agg(count(lit(1)).as("n_contaminated"))
+        val hold = d0.where(col("hm") >= 80)
+          .groupBy("lang").agg(count(lit(1)).as("n_holdout"))
+        hold.join(hits, Seq("lang"), "left")
+          .select(col("lang"), col("n_holdout"),
+            coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+            round(coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+              col("n_holdout").cast("double"), 6).as("rate"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH d0 AS (SELECT doc_id, lang, text,
+        |    ${DuckSql.hashLong("doc_id")} % 100 AS hm FROM documents),
+        |tr AS (SELECT DISTINCT unnest(
+        |    ${DuckSql.shingles(DuckSql.toks("text"), 8)}) AS sh
+        |  FROM d0 WHERE hm < 80),
+        |ho AS (SELECT doc_id, lang, unnest(
+        |    ${DuckSql.shingles(DuckSql.toks("text"), 8)}) AS sh
+        |  FROM d0 WHERE hm >= 80),
+        |hits AS (SELECT lang, count(*) AS n_contaminated FROM
+        |  (SELECT DISTINCT doc_id, lang FROM ho SEMI JOIN tr USING (sh))
+        |  GROUP BY 1),
+        |hd AS (SELECT lang, count(*) AS n_holdout FROM d0
+        |  WHERE hm >= 80 GROUP BY 1)
+        |SELECT hd.lang, n_holdout,
+        |  CAST(coalesce(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+        |  round(CAST(coalesce(n_contaminated, 0) AS DOUBLE)
+        |    / CAST(n_holdout AS DOUBLE), 6) AS rate
+        |FROM hd LEFT JOIN hits ON hd.lang = hits.lang
+        |ORDER BY hd.lang""".stripMargin)))
 }

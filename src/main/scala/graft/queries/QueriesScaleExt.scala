@@ -51,15 +51,17 @@ object QueriesScaleExt {
     QueryDef("q149_bfs_distance",
       (s, d) => {
         val li = lineitem(s, d).select("l_orderkey", "l_partkey")
-        // checkpoint the self-join once — seeds AND the BFS both read it
-        val e = li.withColumnRenamed("l_partkey", "src")
-          .join(li.withColumnRenamed("l_partkey", "dst"), "l_orderkey")
-          .where(col("src") =!= col("dst"))
-          .select("src", "dst")
-          .distinct()
-          .localCheckpoint()
+        // lay the edge frame out ONCE (Graph.layoutEdges) — seeds and
+        // the BFS rounds all read the same checkpointed layout; passing
+        // it back through boundedBfs without assumeLaidOut would
+        // materialize the O(|E|) frame twice
+        val e = Graph.layoutEdges(
+          li.withColumnRenamed("l_partkey", "src")
+            .join(li.withColumnRenamed("l_partkey", "dst"), "l_orderkey")
+            .where(col("src") =!= col("dst")),
+          "src", "dst")
         val seeds = e.select(col("src").as("id")).where(col("id") % 97 === 0)
-        Graph.boundedBfs(e, "src", "dst", seeds, hops = 3)
+        Graph.boundedBfs(e, "src", "dst", seeds, hops = 3, assumeLaidOut = true)
           .select(col("id").as("part_id"), col("dist"))
           .orderBy("part_id")
       },
