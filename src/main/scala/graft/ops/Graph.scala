@@ -164,6 +164,55 @@ object Graph {
     ranks
   }
 
+  /** PERSONALIZED PageRank (random-walk-with-restart): rank mass
+    * starts at — and teleports back to — the SEED set only, so scores
+    * measure proximity to the seeds rather than global importance
+    * ("documents related to this set", label propagation from a
+    * curated pool, expanding a seed corpus). Same INTEGER-EXACT
+    * micro-unit arithmetic as `pageRank` (oracle-replayable, q168):
+    * r0 = 1,000,000 for seeds else 0;
+    * next = (seed ? base : 0) + (dampNum * Σ contributions) div 100.
+    * Non-seed mass decays unless re-fed through the graph — the
+    * standard non-renormalized personalized formulation.
+    *
+    * Scale posture: identical to `pageRank`; the seed flag is a
+    * left-semi-derived O(|V|) column, never a driver-side set. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, iters: Int = 3,
+                           base: Long = 150000L, dampNum: Long = 85L,
+                           assumeLaidOut: Boolean = false): DataFrame = {
+    require(iters >= 1, "personalizedPageRank needs at least one iteration")
+    val e = edgeFrame(edges, srcCol, dstCol, assumeLaidOut)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("__deg")).localCheckpoint()
+    val seedIds = seeds.select(col(seeds.columns.head).cast("long").as("id"))
+      .distinct()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .join(seedIds.withColumn("__seed", lit(1L)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__seed"), lit(0L)).as("__seed"))
+      .localCheckpoint()
+
+    var ranks = nodes.withColumn("rank_micro",
+      when(col("__seed") === 1L, lit(1000000L)).otherwise(lit(0L)))
+    for (_ <- 1 to iters) {
+      val perSrc = ranks.withColumnRenamed("id", "src")
+        .join(deg, "src")
+        .select(col("src"), expr("rank_micro div __deg").as("__c"))
+      val contrib = e.join(perSrc, "src")
+        .select(col("dst").as("id"), col("__c"))
+      val sums = contrib.groupBy("id").agg(sum(col("__c")).as("__s"))
+      ranks = nodes
+        .join(sums, Seq("id"), "left")
+        .select(col("id"), col("__seed"),
+          (when(col("__seed") === 1L, lit(base)).otherwise(lit(0L)) +
+            expr(s"($dampNum * coalesce(__s, 0L)) div 100"))
+            .as("rank_micro"))
+        .localCheckpoint()
+    }
+    ranks.select("id", "rank_micro")
+  }
+
   /** Bounded-round multi-source BFS: hop distance from the nearest
     * seed, capped at `hops` rounds. Returns (id, dist) for reached
     * nodes only. Integer distances + `min` folds make every value

@@ -286,5 +286,106 @@ object QueriesRound5 {
         |  round(CAST(coalesce(n_contaminated, 0) AS DOUBLE)
         |    / CAST(n_holdout AS DOUBLE), 6) AS rate
         |FROM hd LEFT JOIN hits ON hd.lang = hits.lang
-        |ORDER BY hd.lang""".stripMargin)))
+        |ORDER BY hd.lang""".stripMargin)),
+
+    // ---- q168: personalized PageRank (random-walk-with-restart) -----
+    // Proximity-to-seed-set scoring — the "expand this curated pool"
+    // shape: rank starts at and teleports back to seed parts (id % 89
+    // = 0) only; everything else holds mass solely through graph
+    // adjacency. Integer-exact like q145/q162, so the oracle replays
+    // both rounds as chained CTEs; seed membership is a pure function
+    // of the id, replayed identically in SQL.
+    QueryDef("q168_personalized_pagerank",
+      (s, d) => {
+        val li = lineitem(s, d).where(col("l_orderkey") % 3 === 0)
+          .select("l_orderkey", "l_partkey")
+        val e = Graph.layoutEdges(
+          li.withColumnRenamed("l_partkey", "src")
+            .join(li.withColumnRenamed("l_partkey", "dst"), "l_orderkey")
+            .where(col("src") =!= col("dst")),
+          "src", "dst")
+        val seeds = e.select(col("src").as("id")).where(col("id") % 89 === 0)
+        Relational.topK(
+            Graph.personalizedPageRank(e, "src", "dst", seeds, iters = 2,
+              assumeLaidOut = true),
+            Seq(col("rank_micro").desc, col("id").asc), 100)
+          .select(col("id").as("part_id"), col("rank_micro"))
+      },
+      Some {
+        def round_(prev: String, curr: String) =
+          s"""$curr AS (SELECT n.id, CAST(
+          |    (CASE WHEN n.id % 89 = 0 THEN 150000 ELSE 0 END)
+          |    + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS r
+          |  FROM nodes n LEFT JOIN (
+          |    SELECT e.dst AS id, CAST(sum($prev.r // deg.d) AS BIGINT) AS s
+          |    FROM e JOIN $prev ON $prev.id = e.src
+          |    JOIN deg ON deg.src = e.src GROUP BY 1) s ON s.id = n.id)"""
+        s"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |      AND a.l_partkey != b.l_partkey
+        |    WHERE a.l_orderkey % 3 = 0),
+        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |r0 AS (SELECT id, CAST(CASE WHEN id % 89 = 0 THEN 1000000 ELSE 0 END
+        |    AS BIGINT) AS r FROM nodes),
+        |${round_("r0", "r1")},
+        |${round_("r1", "r2")}
+        |SELECT id AS part_id, r AS rank_micro FROM r2
+        |ORDER BY rank_micro DESC, part_id LIMIT 100""".stripMargin
+      }),
+
+    // ---- q169: PII redaction (emails / phones / long ids) -----------
+    // The curation scrub every training corpus needs: replace emails,
+    // phone-shaped numbers, and 9+-digit identifiers with typed
+    // placeholder tokens and count each redaction class per document.
+    // PII is synthesized deterministically per doc (both engines build
+    // the identical input), patterns stay in the Java-regex ∩ RE2
+    // dialect (no lookaround/backrefs — the q139 parity discipline),
+    // and the redacted text rides as md5 so the full rewrite is
+    // hash-verified without shipping wide strings.
+    QueryDef("q169_pii_redaction",
+      (s, d) => {
+        val pEmail = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val pPhone = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+        val pId = "\\b[0-9]{9,}\\b"
+        val dirty = documents(s, d).where(col("doc_id") < 400)
+          .select(col("doc_id"),
+            concat(col("text"),
+              lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com or 555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 3, "0"),
+              lit("-1234 ref "),
+              lpad(col("doc_id").cast("string"), 11, "0")).as("t"))
+        // lit() patterns (DataFrame API): a SQL-literal '\b' would be
+        // parsed as a backspace escape before the regex engine sees it
+        dirty.select(col("doc_id"),
+            size(regexp_extract_all(col("t"), lit(pEmail), lit(0)))
+              .cast("bigint").as("n_emails"),
+            size(regexp_extract_all(col("t"), lit(pPhone), lit(0)))
+              .cast("bigint").as("n_phones"),
+            size(regexp_extract_all(col("t"), lit(pId), lit(0)))
+              .cast("bigint").as("n_ids"),
+            md5(regexp_replace(regexp_replace(regexp_replace(col("t"),
+              pEmail, "<EMAIL>"), pPhone, "<PHONE>"), pId, "<ID>"))
+              .as("redacted_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH dirty AS (SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com or 555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 3, '0')
+        |      || '-1234 ref ' || lpad(CAST(doc_id AS VARCHAR), 11, '0') AS t
+        |  FROM documents WHERE doc_id < 400)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\b[0-9]{9,}\b')) AS BIGINT) AS n_ids,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'),
+        |    '\b[0-9]{9,}\b', '<ID>', 'g')) AS redacted_md5
+        |FROM dirty ORDER BY doc_id""".stripMargin)))
 }
