@@ -217,6 +217,46 @@ object Dedup {
       .select("id_a", "id_b", "n_inter", "sz_a", "sz_b", "jaccard")
   }
 
+  /** EXACT shared-long-n-gram pairs — the "documents sharing a long
+    * verbatim span" detector (the exact-substring dedup family of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022, reduced to fixed-length token windows): any
+    * two documents that share at least one verbatim `n`-token window
+    * become a pair, with the count of distinct shared windows. Unlike
+    * MinHash this has NO false negatives at the window length — the
+    * gate for "did my eval set leak verbatim into training".
+    *
+    * Shape: one row per (doc, distinct window FINGERPRINT) — the
+    * md5 of the window rides in place of the window text, so the
+    * shuffle carries 32-byte keys instead of n-token strings — then a
+    * fingerprint self-equi-join (never doc × doc) and a pair hash-agg.
+    * `maxDocsPerShingle` is the same degenerate-bucket cap as
+    * `lshCandidatePairs`: a boilerplate window shared by m docs would
+    * contribute m² pairs, so windows above the cap are dropped via a
+    * broadcast anti-join (deterministic, replayed identically by the
+    * oracle, q170). */
+  def sharedShinglePairs(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, maxDocsPerShingle: Int = 10000): DataFrame = {
+    val fps = shingleRows(df, idCol, textCol, n)
+      .select(col(idCol), md5(col("shingle")).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capped =
+      if (maxDocsPerShingle <= 0) fps
+      else {
+        val big = fps.groupBy("fp")
+          .agg(count(lit(1)).as("__m")).where(col("__m") > maxDocsPerShingle)
+          .select("fp")
+        fps.join(broadcast(big), Seq("fp"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+    val a = capped.select(col("fp"), col(idCol).as("id_a"))
+    val b = capped.select(col("fp"), col(idCol).as("id_b"))
+    a.join(b, Seq("fp"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Duplicate GROUPS from candidate pairs via iterative label
     * propagation (connected components): every id starts as its own
     * label; each round, a node adopts the minimum label among itself

@@ -213,6 +213,57 @@ object Graph {
     ranks.select("id", "rank_micro")
   }
 
+  /** Bounded-round k-core peeling: iteratively remove nodes whose
+    * degree in the surviving induced subgraph is below `k`, for
+    * `rounds` rounds, then return the survivors with their final
+    * induced-subgraph degree. The k-core is the classic
+    * density/centrality filter (spam-farm detection, keeping only
+    * well-connected documents in a citation graph); full peeling runs
+    * to a fixpoint, but a bounded round count keeps the job shape
+    * known in advance (the `pageRank` discipline) and each extra round
+    * only tightens the approximation from above — after r rounds the
+    * survivor set is a superset of the true k-core that already
+    * excludes everything peelable within r steps.
+    *
+    * The edge list is treated as UNDIRECTED: it is symmetrized once
+    * (src↔dst union, distinct) behind the one-time layout, so degree =
+    * out-degree on the symmetrized frame. Everything is integer counts
+    * and set membership — partition-order-independent, replayable as
+    * chained CTEs by a SQL oracle (q171).
+    *
+    * Scale posture: each round is two semi-joins (restrict edges to
+    * surviving endpoints — the dst-side restriction broadcasts when
+    * the survivor set is small) plus one partial-combining hash-agg
+    * for degrees; the symmetrized edge frame is laid out and
+    * checkpointed once and never re-shuffles. Round cost is O(|E|)
+    * scan + O(surviving V) state, never per-node driver work. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, rounds: Int = 3): DataFrame = {
+    require(k >= 1, "kCore needs k >= 1")
+    require(rounds >= 1, "kCore needs at least one round")
+    val directed = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    val e = layoutEdges(
+      directed.union(directed.select(col("dst").as("src"), col("src").as("dst"))),
+      "src", "dst")
+    var alive = e.select(col("src").as("id")).distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val deg = e
+        .join(alive.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(alive.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        .groupBy("src").agg(count(lit(1)).as("__deg"))
+      alive = deg.where(col("__deg") >= k)
+        .select(col("src").as("id"))
+        .localCheckpoint()
+    }
+    // final degree within the survivor-induced subgraph
+    e.join(alive.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .join(alive.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      .groupBy("src").agg(count(lit(1)).as("degree"))
+      .select(col("src").as("id"), col("degree"))
+  }
+
   /** Bounded-round multi-source BFS: hop distance from the nearest
     * seed, capped at `hops` rounds. Returns (id, dist) for reached
     * nodes only. Integer distances + `min` folds make every value

@@ -45,6 +45,40 @@ object Layout {
     n
   }
 
+  /** Compaction bin-packing PLAN: assign ordered items (files, row
+    * groups, partitions — anything with a size) to sequential
+    * ~`target`-sized bins via an exclusive running sum:
+    * bin = floor(cumsum_before / target). This is the streaming
+    * first-fit approximation every table-maintenance service uses to
+    * plan rewrite groups — deterministic given the ordering columns
+    * (which must form a total order), integer-exact, and replayable by
+    * a SQL oracle (q174). An item larger than `target` gets a bin of
+    * its own plus the overflow carried into the running sum, matching
+    * the "never split a file" compaction rule.
+    *
+    * The running sum is a single window over `orderCols` — acceptable
+    * when the item list is domain-bounded (one row per FILE, not per
+    * data row; a 100 TB table at 128 MB files is ~800k rows). For
+    * per-partition planning, prepend the partition column via
+    * `partitionBy` so each directory packs independently and the
+    * window never sees a global order. */
+  def binPack(items: DataFrame, orderCols: Seq[String], sizeCol: String,
+              target: Long, partitionBy: Seq[String] = Nil): DataFrame = {
+    require(target > 0, "binPack needs a positive target size")
+    val w0 = if (partitionBy.isEmpty)
+      org.apache.spark.sql.expressions.Window.orderBy(orderCols.map(col): _*)
+    else
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(partitionBy.map(col): _*)
+        .orderBy(orderCols.map(col): _*)
+    val w = w0.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    items
+      .withColumn("__cum", coalesce(sum(col(sizeCol).cast("long")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"__cum div ${target}L"))
+      .drop("__cum")
+  }
+
   /** Clustered write: hash-distribute rows by the partition column,
     * sort within each task by `sortCols`, write with directory
     * partitioning. Readers then get BOTH pruning levels: directory

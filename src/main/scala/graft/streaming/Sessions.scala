@@ -34,6 +34,10 @@ case class EwmaState(n: Long, ewma: Double)
 /** The running EWMA after a micro-batch touched the key. */
 case class EwmaPoint(key: Long, n: Long, ewma: Double)
 
+/** streamingRunningMax state/output (one double per key). */
+case class MaxState(mx: Double)
+case class MaxPoint(key: Long, ts_us: Long, seq: Long, running_max: Double)
+
 /** Structured Streaming operators (SURVEY §2A-9, §3.3).
   *
   * The reference's streaming shapes map 1:1:
@@ -366,6 +370,40 @@ object Sessions {
     }
     events.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Streaming running MAX per key, emitting the full per-event trace:
+    * every input event produces one output row carrying the max seen
+    * so far for its key (Append mode — rows are final on emit). The
+    * batch twin is the cumulative-max window
+    * `max(value) OVER (PARTITION BY key ORDER BY ts, seq)`, so the
+    * ENTIRE stream output — not just final state — hash-verifies
+    * against a SQL oracle (q178); max-of-doubles is pure comparison,
+    * no accumulation error to manage.
+    *
+    * State is ONE double per key — the minimal stateful-fold shape
+    * (high-water marks, best-score-so-far, monotone progress
+    * tracking). Events sort by (ts_us, seq) within each micro-batch;
+    * cross-batch order is arrival order (the streamingEwma
+    * discipline), so bounded out-of-orderness is upstream's job. */
+  def streamingRunningMax(events: Dataset[ValEvent]): Dataset[MaxPoint] = {
+    import events.sparkSession.implicits._
+    def update(key: Long, rows: Iterator[ValEvent],
+               state: GroupState[MaxState]): Iterator[MaxPoint] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.seq))
+      if (sorted.isEmpty) Iterator.empty
+      else {
+        var cur = state.getOption.map(_.mx)
+        val out = sorted.map { e =>
+          cur = Some(cur.fold(e.value)(m => math.max(m, e.value)))
+          MaxPoint(key, e.ts_us, e.seq, cur.get)
+        }
+        state.update(MaxState(cur.get))
+        out.iterator
+      }
+    }
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
   /** Silence split column for batch backfill of utterance assembly:
