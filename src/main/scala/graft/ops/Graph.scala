@@ -37,15 +37,25 @@ object Graph {
     * Callers that derive other frames from the same edge list (seeds,
     * degree audits) should build it once via this function and pass
     * `assumeLaidOut = true` to the operator — re-laying-out an already
-    * checkpointed frame would double-materialize the O(|E|) data. */
-  def layoutEdges(edges: DataFrame, srcCol: String,
-                  dstCol: String): DataFrame = edges
-    .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-    .where(col("src").isNotNull && col("dst").isNotNull)
-    .repartition(col("src"))
-    .distinct()
-    .sortWithinPartitions("src")
-    .localCheckpoint()
+    * checkpointed frame would double-materialize the O(|E|) data.
+    *
+    * `reliable = true` checkpoints to the SparkContext's checkpoint
+    * directory (`sc.setCheckpointDir` must have been called) instead
+    * of executor-local blocks: `localCheckpoint` is non-resilient — an
+    * executor loss kills the truncated lineage and with it the whole
+    * job — so on a preemptible 1000-executor cluster the laid-out
+    * frame should live in reliable storage. The local variant stays
+    * the default for throughput (no DFS round-trip). */
+  def layoutEdges(edges: DataFrame, srcCol: String, dstCol: String,
+                  reliable: Boolean = false): DataFrame = {
+    val laid = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .repartition(col("src"))
+      .distinct()
+      .sortWithinPartitions("src")
+    if (reliable) laid.checkpoint() else laid.localCheckpoint()
+  }
 
   private def edgeFrame(edges: DataFrame, srcCol: String, dstCol: String,
                         assumeLaidOut: Boolean): DataFrame =
@@ -95,13 +105,21 @@ object Graph {
       val contrib = e.join(perSrc, "src")
         .select(col("dst").as("id"), col("__c"))
       val sums = contrib.groupBy("id").agg(sum(col("__c")).as("__s"))
+      val old = ranks
       ranks = nodes
         .join(sums, Seq("id"), "left")
         .select(col("id"),
           (lit(base) + expr(s"($dampNum * coalesce(__s, 0L)) div 100"))
             .as("rank_micro"))
         .localCheckpoint()
+      // round r+1's checkpoint no longer references round r's blocks
+      Checkpoints.free(old)
     }
+    // the returned frame is a self-contained checkpoint: the loop
+    // scaffolding's blocks are dead and must not outlive the call
+    Checkpoints.free(deg)
+    Checkpoints.free(nodes)
+    if (!assumeLaidOut) Checkpoints.free(e)
     ranks
   }
 
@@ -151,6 +169,7 @@ object Graph {
       val sums = contrib.groupBy("id").agg(sum(col("__c")).as("__s"))
       val dsum = ranks.join(dangling, Seq("id"), "left_semi")
         .agg(coalesce(sum("rank_micro"), lit(0L)).as("__d"))
+      val old = ranks
       ranks = nodes
         .join(sums, Seq("id"), "left")
         .crossJoin(broadcast(dsum))
@@ -160,7 +179,13 @@ object Graph {
             expr(s"($dampNum * (coalesce(__s, 0L) + (__d div __n))) div 100"))
             .as("rank_micro"))
         .localCheckpoint()
+      Checkpoints.free(old)
     }
+    Checkpoints.free(deg)
+    Checkpoints.free(nodes)
+    Checkpoints.free(dangling)
+    Checkpoints.free(nCnt)
+    if (!assumeLaidOut) Checkpoints.free(e)
     ranks
   }
 
@@ -202,6 +227,7 @@ object Graph {
       val contrib = e.join(perSrc, "src")
         .select(col("dst").as("id"), col("__c"))
       val sums = contrib.groupBy("id").agg(sum(col("__c")).as("__s"))
+      val old = ranks
       ranks = nodes
         .join(sums, Seq("id"), "left")
         .select(col("id"), col("__seed"),
@@ -209,14 +235,21 @@ object Graph {
             expr(s"($dampNum * coalesce(__s, 0L)) div 100"))
             .as("rank_micro"))
         .localCheckpoint()
+      Checkpoints.free(old)
     }
+    Checkpoints.free(deg)
+    Checkpoints.free(nodes)
+    if (!assumeLaidOut) Checkpoints.free(e)
     ranks.select("id", "rank_micro")
   }
 
   /** Bounded-round k-core peeling: iteratively remove nodes whose
     * degree in the surviving induced subgraph is below `k`, for
-    * `rounds` rounds, then return the survivors with their final
-    * induced-subgraph degree. The k-core is the classic
+    * `rounds` rounds, then return EVERY survivor with its final
+    * induced-subgraph degree (zero included — a survivor can lose all
+    * neighbors in the last peel; its reported degree may also sit
+    * below `k`, which is exactly the signal that one more round would
+    * peel it). The k-core is the classic
     * density/centrality filter (spam-farm detection, keeping only
     * well-connected documents in a citation graph); full peeling runs
     * to a fixpoint, but a bounded round count keeps the job shape
@@ -253,15 +286,28 @@ object Graph {
         .join(alive.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
         .join(alive.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
         .groupBy("src").agg(count(lit(1)).as("__deg"))
+      val old = alive
       alive = deg.where(col("__deg") >= k)
         .select(col("src").as("id"))
         .localCheckpoint()
+      Checkpoints.free(old)
     }
-    // final degree within the survivor-induced subgraph
-    e.join(alive.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+    // final degree within the survivor-induced subgraph; the left join
+    // keeps survivors whose last peel removed every neighbor (degree 0)
+    // — the output is "the survivors", not "the survivors that still
+    // have an edge". Checkpointed so the O(|E|) scaffolding can be
+    // freed before return (the result is O(survivors) small).
+    val deg = e
+      .join(alive.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
       .join(alive.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
-      .groupBy("src").agg(count(lit(1)).as("degree"))
-      .select(col("src").as("id"), col("degree"))
+      .groupBy("src").agg(count(lit(1)).as("__deg"))
+    val out = alive
+      .join(deg.select(col("src").as("id"), col("__deg")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__deg"), lit(0L)).as("degree"))
+      .localCheckpoint()
+    Checkpoints.free(alive)
+    Checkpoints.free(e)
+    out
   }
 
   /** Bounded-round multi-source BFS: hop distance from the nearest
@@ -303,18 +349,29 @@ object Graph {
           .groupBy("id").agg(min("dist").as("dist"))
           .join(dist, Seq("id"), "left_anti")
           .localCheckpoint()
+        val oldDist = dist
+        val oldFrontier = frontier
         dist = dist.union(fresh).localCheckpoint()
         frontier = fresh
+        Checkpoints.free(oldDist)
+        // round 1's frontier IS the seed dist frame (already freed);
+        // unpersist is idempotent so the double call is harmless
+        Checkpoints.free(oldFrontier)
       }
+      // hops = 0 leaves frontier aliased to the returned seed frame
+      if (!(frontier eq dist)) Checkpoints.free(frontier)
     } else {
       for (_ <- 1 to hops) {
         val next = e.join(dist.withColumnRenamed("id", "src"), "src")
           .select(col("dst").as("id"), (col("dist") + 1).as("dist"))
+        val old = dist
         dist = dist.union(next)
           .groupBy("id").agg(min("dist").as("dist"))
           .localCheckpoint()
+        Checkpoints.free(old)
       }
     }
+    if (!assumeLaidOut) Checkpoints.free(e)
     dist
   }
 }

@@ -52,9 +52,13 @@ object Layout {
     * first-fit approximation every table-maintenance service uses to
     * plan rewrite groups — deterministic given the ordering columns
     * (which must form a total order), integer-exact, and replayable by
-    * a SQL oracle (q174). An item larger than `target` gets a bin of
-    * its own plus the overflow carried into the running sum, matching
-    * the "never split a file" compaction rule.
+    * a SQL oracle (q174). The guarantee is exactly: a bin holds less
+    * than `target` bytes BEFORE its last item (each item lands in the
+    * bin its exclusive cumsum points at, and is never split). An item
+    * larger than `target` can therefore co-reside with the small items
+    * that preceded it in its bin, and bin ids may skip values after an
+    * oversized item (the overflow advances the running sum past whole
+    * bins).
     *
     * The running sum is a single window over `orderCols` — acceptable
     * when the item list is domain-bounded (one row per FILE, not per

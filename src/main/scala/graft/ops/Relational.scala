@@ -411,4 +411,38 @@ object Relational {
     passed.join(keys.select(col(keyCol).as(bigKeyCol)).distinct(),
       Seq(bigKeyCol), "left_semi")
   }
+
+  /** Co-occurrence pairs within baskets: for each basket (order, cart,
+    * document) emit every unordered item pair with its support count —
+    * the association-mining / co-purchase-graph primitive (q165's pair
+    * stage, the q145/q162 edge builders). The join is basket-keyed
+    * (never all-pairs across baskets), but a single degenerate basket
+    * of m items still contributes m² rows, so `maxBasket` drops
+    * baskets above the cap via a semi-join against the under-cap
+    * basket list BEFORE the self-join — the `lshCandidatePairs`
+    * maxBucket discipline (ops/Dedup.scala). A boilerplate mega-basket
+    * (a crawler cart, a catalog-wide order) is noise for association
+    * metrics anyway: its pairs say "listed together", not "chosen
+    * together". The guard anti-joins against the OVER-cap basket list
+    * — tiny (usually empty) and broadcast, where semi-joining the
+    * under-cap list would shuffle every row. Disabled when
+    * maxBasket <= 0.
+    *
+    * Input must be DISTINCT (basket, item) rows. Output:
+    * (pa, pb, pair_cnt) with pa < pb. */
+  def basketPairs(op: DataFrame, basketCol: String, itemCol: String,
+                  maxBasket: Int = 10000): DataFrame = {
+    val in =
+      if (maxBasket <= 0) op
+      else {
+        val big = op.groupBy(basketCol)
+          .agg(count(lit(1)).as("__bsz")).where(col("__bsz") > maxBasket)
+          .select(basketCol)
+        op.join(broadcast(big), Seq(basketCol), "left_anti")
+      }
+    in.select(col(basketCol), col(itemCol).as("pa"))
+      .join(in.select(col(basketCol), col(itemCol).as("pb")), basketCol)
+      .where(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("pair_cnt"))
+  }
 }

@@ -101,4 +101,18 @@ object DuckSql {
     s"CAST((CASE WHEN $total >= 9223372036854775808 " +
       s"THEN $total - 18446744073709551616 ELSE $total END) AS BIGINT)"
   }
+
+  /** Recursive-CTE connected components over a prior `cand(id_a,
+    * id_b)` CTE — the oracle twin of `Dedup.duplicateGroups*` (q45/
+    * q46/q91/q172 share this grouping rule; it must live in exactly
+    * one place). Yields `grp(id, group_id = component-min id)`. The
+    * enclosing WITH must be RECURSIVE. */
+  val ccGroupCtes: String =
+    """edges AS (SELECT id_a AS a, id_b AS b FROM cand
+      |  UNION SELECT id_b, id_a FROM cand),
+      |reach AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |grp AS (SELECT a AS id, least(a, min(b)) AS group_id FROM reach GROUP BY a)""".stripMargin
 }

@@ -239,34 +239,90 @@ object QueriesAggExt {
         |WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 7) FROM orders)
         |ORDER BY variant""".stripMargin)),
 
-    // ---- q129: EWMA per user (ordered left fold over event history) -
-    // Recursive smoothing is not expressible as a window aggregate, so
-    // collect the per-user history (bounded per-key state — the
-    // time-series analog of sessionization) and fold it in event order:
-    // acc' = 0.3*x + 0.7*acc, seeded with the first value. Spark's
-    // aggregate() over slice(2..) and DuckDB's list_reduce are both
-    // left folds seeded by the first element, and the identical IEEE
-    // op order makes the result bit-deterministic across engines.
+    // ---- q129: EWMA per user (chunked two-level ordered fold) --------
+    // Recursive smoothing is not expressible as a window aggregate, and
+    // the r5 formulation buffered each key's FULL history in one
+    // collect_list — the unbounded-value-buffering scale-killer. The
+    // fix is the twoLevelCumSum discipline: number events per key (one
+    // window pass), fold each 256-event CHUNK independently into a
+    // summary pair (g = chunk fold from a zero seed; f = 0.7^m, the
+    // factor the chunk applies to incoming state), then fold the
+    // O(n/256) summaries in chunk order: acc' = g + f*acc. Buffers are
+    // bounded at 256 values (level 1) and n/256 summaries (level 2) —
+    // a 1M-event key holds 4k summaries, not 1M doubles; truly
+    // unbounded keys belong to the streaming twin
+    // (Sessions.streamingEwma, O(1) state).
+    //
+    // Chunking re-associates IEEE arithmetic, so this is a DIFFERENT
+    // (equally valid) smoothing definition in the last bits; the
+    // oracle replays the identical chunked fold — same seeds, same
+    // left-to-right op order via list_reduce — so every value is
+    // bit-deterministic across engines, not merely close.
     QueryDef("q129_ewma",
       (s, d) => {
-        val seq = sort_array(collect_list(struct(col("ts"), col("event_id"),
-          col("value").cast("double").as("v"))))
-        events(s, d)
-          .groupBy("user_id")
-          .agg(transform(seq, e => e.getField("v")).as("vals"))
-          .select(col("user_id"),
-            size(col("vals")).cast("bigint").as("n"),
+        val C = 256
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val chunked = events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("value").cast("double").as("v"))
+          .withColumn("__rn", row_number().over(w).cast("long") - 1)
+          .withColumn("__c", expr(s"__rn div $C"))
+          .drop("__rn")
+        // level 1: per (user, chunk) ordered fold. HashPartitioning
+        // (user_id) from the window already clusters (user_id, __c) —
+        // no second exchange (pinned in PlanSpec).
+        val vals = sort_array(collect_list(struct(col("ts"), col("event_id"),
+          col("v"))))
+        val sums = chunked
+          .groupBy("user_id", "__c")
+          .agg(transform(vals, e => e.getField("v")).as("vs"))
+          .select(col("user_id"), col("__c"),
+            size(col("vs")).cast("bigint").as("m"),
+            // chunk 0 seeds with its first value (the EWMA base case);
+            // later chunks fold from 0.0 and hand the incoming state
+            // through f = 0.7^m (left-to-right product, init 1.0)
+            when(col("__c") === 0L,
+              aggregate(slice(col("vs"), lit(2), size(col("vs")) - 1),
+                element_at(col("vs"), 1),
+                (acc, x) => lit(0.3) * x + lit(0.7) * acc))
+              .otherwise(aggregate(col("vs"), lit(0.0),
+                (acc, x) => lit(0.3) * x + lit(0.7) * acc)).as("g"),
+            aggregate(col("vs"), lit(1.0), (acc, _) => acc * lit(0.7)).as("f"))
+        // level 2: fold the chunk summaries in chunk order
+        val arr = sort_array(collect_list(struct(col("__c"), col("g"), col("f"))))
+        sums.groupBy("user_id")
+          .agg(sum("m").as("n"), arr.as("ch"))
+          .select(col("user_id"), col("n"),
             round(aggregate(
-              slice(col("vals"), lit(2), size(col("vals")) - 1),
-              element_at(col("vals"), 1),
-              (acc, x) => lit(0.3) * x + lit(0.7) * acc), 6).as("ewma"))
+              slice(col("ch"), lit(2), size(col("ch")) - 1),
+              element_at(col("ch"), 1).getField("g"),
+              (acc, x) => x.getField("g") + x.getField("f") * acc), 6)
+              .as("ewma"))
           .orderBy("user_id")
       },
-      Some("""SELECT user_id, CAST(len(vals) AS BIGINT) AS n,
-        |  round(list_reduce(vals, (acc, x) -> 0.3*x + 0.7*acc), 6) + 0 AS ewma
-        |FROM (SELECT user_id,
-        |    list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
-        |  FROM events GROUP BY 1) ORDER BY user_id""".stripMargin)),
+      Some("""WITH ev AS (SELECT user_id, CAST(value AS DOUBLE) AS v,
+        |    (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      - 1) // 256 AS c,
+        |    ts, event_id
+        |  FROM events),
+        |ck AS (SELECT user_id, c, list(v ORDER BY ts, event_id) AS vs
+        |  FROM ev GROUP BY 1, 2),
+        |sm AS (SELECT user_id, c, len(vs) AS m,
+        |    CASE WHEN c = 0 THEN list_reduce(vs, (acc, x) -> 0.3*x + 0.7*acc)
+        |      ELSE list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vs),
+        |        (acc, x) -> 0.3*x + 0.7*acc) END AS g,
+        |    list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+        |      list_transform(vs, x -> CAST(0.7 AS DOUBLE))),
+        |      (acc, x) -> acc * x) AS f
+        |  FROM ck),
+        |fold AS (SELECT user_id, CAST(sum(m) AS BIGINT) AS n,
+        |    list_reduce(list(struct_pack(g := g, f := f) ORDER BY c),
+        |      (acc, x) -> struct_pack(g := x.g + x.f * acc.g,
+        |        f := CAST(1.0 AS DOUBLE))) AS fin
+        |  FROM sm GROUP BY 1)
+        |SELECT user_id, n, round(fin.g, 6) + 0 AS ewma
+        |FROM fold ORDER BY user_id""".stripMargin)),
 
     // ---- q130: bitwise aggregates (event-type presence bitmaps) -----
     // The compact distinct-set encoding for low-cardinality categories:

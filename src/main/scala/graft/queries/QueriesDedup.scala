@@ -34,15 +34,8 @@ object QueriesDedup {
   }
 
   /** DuckDB recursive-CTE connected components over `cand` — shared by
-    * q45/q46/q91 so the grouping rule lives in exactly one place. */
-  private val groupCtes: String =
-    """edges AS (SELECT id_a AS a, id_b AS b FROM cand
-      |  UNION SELECT id_b, id_a FROM cand),
-      |reach AS (
-      |  SELECT a, b FROM edges
-      |  UNION
-      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-      |grp AS (SELECT a AS id, least(a, min(b)) AS group_id FROM reach GROUP BY a)""".stripMargin
+    * q45/q46/q91 (and q172 in QueriesRound6 via DuckSql). */
+  private val groupCtes: String = DuckSql.ccGroupCtes
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -158,16 +158,18 @@ object QueriesRound5 {
     // P(a,b) / (P(a)P(b)) — the association-rule shape (feature
     // co-occurrence mining). Everything is an integer count until the
     // final division; the pair frame is the q145/q162 equi-self-join
-    // (never all-pairs across orders).
+    // (never all-pairs across orders) behind Relational.basketPairs'
+    // mega-basket guard (a basket of m items contributes m² pairs;
+    // baskets above the cap drop via a broadcast anti-join — inert at
+    // TPC-H basket sizes, replayed by the oracle). Per-item counts and
+    // the order total stay over the UNcapped frame: they are marginals,
+    // not pair artifacts.
     QueryDef("q165_basket_lift",
       (s, d) => {
         val op = lineitem(s, d)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
-        val pairs = op.withColumnRenamed("pk", "pa")
-          .join(op.withColumnRenamed("pk", "pb"), "ok")
-          .where(col("pa") < col("pb"))
-          .groupBy("pa", "pb").agg(count(lit(1)).as("pair_cnt"))
+        val pairs = Relational.basketPairs(op, "ok", "pk", maxBasket = 1000)
         val parts = op.groupBy("pk").agg(count(lit(1)).as("cnt"))
         val n = op.agg(countDistinct("ok").as("n_orders"))
         val scored = pairs
@@ -183,8 +185,10 @@ object QueriesRound5 {
       },
       Some("""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |    FROM lineitem),
+        |big AS (SELECT ok FROM op GROUP BY ok HAVING count(*) > 1000),
+        |opc AS (SELECT * FROM op ANTI JOIN big USING (ok)),
         |pairs AS (SELECT a.pk AS pa, b.pk AS pb, count(*) AS pair_cnt
-        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+        |  FROM opc a JOIN opc b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
         |parts AS (SELECT pk, count(*) AS cnt FROM op GROUP BY 1),
         |nn AS (SELECT count(DISTINCT ok) AS n_orders FROM op)
         |SELECT pa, pb, pair_cnt, ca.cnt AS cnt_a, cb.cnt AS cnt_b,

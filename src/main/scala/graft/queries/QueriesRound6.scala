@@ -1,0 +1,162 @@
+package graft.queries
+
+import graft.Tables._
+import graft.ops.{Dedup, Graph, Layout}
+import org.apache.spark.sql.functions._
+
+/** Round-6 widening: oracle coverage for the four operators that
+  * landed in round 5's snapshot commit without CORRECTNESS entries —
+  * exact shared-n-gram pairs (the Lee et al. exact-substring dedup
+  * gate), bounded k-core peeling, bin-pack compaction planning, and
+  * the streaming running-max trace — plus the exact-substring dedup
+  * pipeline end-to-end (q172).
+  */
+object QueriesRound6 {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q170: exact shared-n-gram pairs (verbatim-span dedup) ------
+    // Dedup.sharedShinglePairs: any two documents sharing at least one
+    // verbatim 5-token window become a pair with the count of distinct
+    // shared windows — the exact-substring counterpart to MinHash
+    // (q42) and the strict form of the q167 contamination gate. The
+    // shuffle rides 32-byte md5 window fingerprints, never the window
+    // text; the degenerate-window cap (here far above any sf's
+    // frequencies, so semantically inert) is replayed by the oracle.
+    QueryDef("q170_shared_shingles",
+      (s, d) => Dedup.sharedShinglePairs(documents(s, d), "doc_id", "text",
+          n = 5, maxDocsPerShingle = 10000)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH t AS (SELECT doc_id, ${DuckSql.toks("text")} AS toks
+        |    FROM documents),
+        |fp AS (SELECT DISTINCT doc_id, md5(sh) AS fp FROM
+        |  (SELECT doc_id, unnest(${DuckSql.shingles("toks", 5)}) AS sh FROM t)),
+        |big AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) > 10000),
+        |capped AS (SELECT * FROM fp ANTI JOIN big USING (fp))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |FROM capped a JOIN capped b USING (fp) WHERE a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- q172: exact-substring dedup END-TO-END ----------------------
+    // The verbatim-span counterpart of q91's fuzzy pipeline: documents
+    // sharing any 5-token window pair up (q170's operator), pairs
+    // contract to duplicate groups via large-star/small-star CC, and
+    // only each group's min-id representative survives. Together with
+    // q46/q91 the engine now runs BOTH dedup families end-to-end —
+    // MinHash-probabilistic and exact-substring (Lee et al. 2022).
+    QueryDef("q172_exact_substring_dedup",
+      (s, d) => {
+        val docs = documents(s, d)
+        val pairs = Dedup.sharedShinglePairs(docs, "doc_id", "text", n = 5)
+          .select("id_a", "id_b")
+        val groups = Dedup.duplicateGroupsStar(pairs, maxIter = 20)
+        Dedup.dedupSurvivors(docs, "doc_id", groups)
+          .select("doc_id", "lang", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, ${DuckSql.toks("text")} AS toks
+        |    FROM documents),
+        |fp AS (SELECT DISTINCT doc_id, md5(sh) AS fp FROM
+        |  (SELECT doc_id, unnest(${DuckSql.shingles("toks", 5)}) AS sh FROM t)),
+        |big AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) > 10000),
+        |capped AS (SELECT * FROM fp ANTI JOIN big USING (fp)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM capped a JOIN capped b USING (fp) WHERE a.doc_id < b.doc_id),
+        |${DuckSql.ccGroupCtes}
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM grp WHERE id != group_id)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ---- q171: bounded k-core peeling --------------------------------
+    // Graph.kCore on the co-purchase graph: two peel rounds removing
+    // parts with induced degree < k, then every survivor with its
+    // final induced degree (zero included — the left-join fix). All
+    // integer counts and set membership, so the oracle replays the
+    // rounds as chained CTEs.
+    QueryDef("q171_kcore",
+      (s, d) => {
+        val li = lineitem(s, d).where(col("l_orderkey") % 7 === 0)
+          .select("l_orderkey", "l_partkey")
+        val e = li.withColumnRenamed("l_partkey", "src")
+          .join(li.withColumnRenamed("l_partkey", "dst"), "l_orderkey")
+          .where(col("src") < col("dst"))
+          .select("src", "dst")
+        Graph.kCore(e, "src", "dst", k = 4, rounds = 2)
+          .orderBy("id")
+      },
+      Some("""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |      AND a.l_partkey != b.l_partkey
+        |    WHERE a.l_orderkey % 7 = 0),
+        |a0 AS (SELECT DISTINCT src AS id FROM e),
+        |d1 AS (SELECT src, count(*) AS dg FROM e GROUP BY 1),
+        |a1 AS (SELECT src AS id FROM d1 WHERE dg >= 4),
+        |d2 AS (SELECT src, count(*) AS dg FROM e
+        |  WHERE src IN (SELECT id FROM a1) AND dst IN (SELECT id FROM a1)
+        |  GROUP BY 1),
+        |a2 AS (SELECT src AS id FROM d2 WHERE dg >= 4),
+        |df AS (SELECT src, count(*) AS dg FROM e
+        |  WHERE src IN (SELECT id FROM a2) AND dst IN (SELECT id FROM a2)
+        |  GROUP BY 1)
+        |SELECT a2.id, CAST(coalesce(df.dg, 0) AS BIGINT) AS degree
+        |FROM a2 LEFT JOIN df ON df.src = a2.id
+        |ORDER BY a2.id""".stripMargin)),
+
+    // ---- q174: bin-pack compaction plan ------------------------------
+    // Layout.binPack over a per-part "file inventory" (size = retail
+    // price in cents), packed per brand: bin = floor(exclusive-cumsum
+    // / target) within each brand's partkey order. One partitioned
+    // window over the domain-bounded item list — the compaction
+    // planner's shape, integer-exact.
+    QueryDef("q174_binpack",
+      (s, d) => {
+        val items = part(s, d).select(col("p_brand"), col("p_partkey"),
+          expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("size_c"))
+        Layout.binPack(items, Seq("p_partkey"), "size_c",
+            target = 1000000L, partitionBy = Seq("p_brand"))
+          .orderBy("p_brand", "p_partkey")
+      },
+      Some("""WITH items AS (SELECT p_brand, p_partkey,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS size_c FROM part)
+        |SELECT p_brand, p_partkey, size_c,
+        |  CAST(CAST(coalesce(sum(size_c) OVER (PARTITION BY p_brand
+        |      ORDER BY p_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    // 1000000 AS BIGINT) AS bin
+        |FROM items ORDER BY p_brand, p_partkey""".stripMargin)),
+
+    // ---- q178: STREAMING running-max trace ---------------------------
+    // Sessions.streamingRunningMax driven through a genuine streaming
+    // plan (the q118 pattern): every event emits the max value seen so
+    // far for its user, and the ENTIRE per-event trace — not just the
+    // final state — hash-matches the batch cumulative-max window. The
+    // bounded source fits one AvailableNow micro-batch, within which
+    // events sort by (ts_us, seq), so stream order equals the oracle's
+    // window order; max-of-doubles is pure comparison, no accumulation
+    // error.
+    QueryDef("q178_streaming_running_max",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val sch = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        graft.streaming.Sessions.runStreamToBatch(s, d, sch,
+            globFilter = Some("events.parquet"),
+            outputMode = "append",
+            shufflePartitions = Some(4),
+            transform = st => graft.streaming.Sessions.streamingRunningMax(
+              st.select(col("user_id").as("key"),
+                expr("ts div 1000").as("ts_us"),
+                col("event_id").as("seq"),
+                col("value"))
+                .as[graft.streaming.ValEvent]).toDF())
+          .orderBy("key", "ts_us", "seq")
+      },
+      Some("""SELECT user_id AS key, epoch_us(ts) AS ts_us, event_id AS seq,
+        |  max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS running_max
+        |FROM events ORDER BY 1, 2, 3""".stripMargin)))
+}

@@ -19,7 +19,8 @@ object Registry {
       QueriesSampling.defs ++
       QueriesQuality.defs ++
       QueriesScaleExt.defs ++
-      QueriesRound5.defs
+      QueriesRound5.defs ++
+      QueriesRound6.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

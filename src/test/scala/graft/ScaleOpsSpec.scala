@@ -88,6 +88,58 @@ class GraphSpec extends SparkSpec {
   }
 }
 
+class Round6OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kCore: survivor whose last peel removed every neighbor is kept at degree 0") {
+    // star: the center has degree 3 >= k=2, every spoke has degree 1 —
+    // one round peels all spokes, leaving the center with an empty
+    // induced neighborhood. The output must still contain it.
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val r = Graph.kCore(e, "src", "dst", k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(0L -> 0L))
+  }
+
+  test("kCore: triangle is a stable 2-core with exact degrees") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val r = Graph.kCore(e, "src", "dst", k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("basketPairs: mega-basket above the cap contributes no pairs") {
+    // basket 100 has 5 items (25 pairs if unguarded), basket 200 has 2
+    val rows = (1L to 5L).map(i => (100L, i)) :+ (200L, 1L) :+ (200L, 2L)
+    val op = rows.toDF("ok", "pk")
+    val capped = Relational.basketPairs(op, "ok", "pk", maxBasket = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(capped.toSet == Set((1L, 2L, 1L)))
+    val full = Relational.basketPairs(op, "ok", "pk", maxBasket = 0)
+      .as[(Long, Long, Long)].collect()
+    assert(full.length == 10) // C(5,2); (1,2) merges across the baskets
+    assert(full.map(r => (r._1, r._2) -> r._3).toMap.apply((1L, 2L)) == 2L)
+  }
+
+  test("layoutEdges(reliable): the laid-out frame survives losing every parent block") {
+    val dir = java.nio.file.Files.createTempDirectory("ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val src = Seq((1L, 2L), (2L, 3L), (1L, 2L)).toDF("src", "dst")
+      .persist()
+    src.count()
+    val laid = Graph.layoutEdges(src, "src", "dst", reliable = true)
+    // simulate executor-storage loss: drop the parent's blocks AND any
+    // block storage behind the laid-out frame itself (Checkpoints.free
+    // is documented as a no-op for reliable frames — data lives in the
+    // checkpoint directory, not the block manager). A localCheckpoint
+    // lineage would be unrecoverable after this.
+    src.unpersist(true)
+    graft.ops.Checkpoints.free(laid)
+    assert(laid.as[(Long, Long)].collect().toSet ==
+      Set((1L, 2L), (2L, 3L)))
+  }
+}
+
 class BloomSpec extends SparkSpec {
   import spark.implicits._
 
