@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables._
-import graft.ops.{Dedup, Graph, Layout}
+import graft.ops.{Dedup, Graph, Layout, Text}
 import org.apache.spark.sql.functions._
 
 /** Round-6 widening: oracle coverage for the four operators that
@@ -124,6 +124,83 @@ object QueriesRound6 {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
         |    // 1000000 AS BIGINT) AS bin
         |FROM items ORDER BY p_brand, p_partkey""".stripMargin)),
+
+    // ---- q173: STREAMING curation gate (PII scrub + quality) ---------
+    // q169's redaction and q94's quality rules run as ONE stateless
+    // streaming stage (readStream -> projection -> append sink, the
+    // q118 pattern): every arriving document is scrubbed and labeled
+    // with its first failing quality rule, per-row, on the live ingest
+    // stream — "curation happens at ingest, not in a nightly batch".
+    // PII is synthesized deterministically per doc (the q169
+    // convention) and the rules are pure column expressions, so the
+    // full per-document output hash-matches the batch oracle.
+    QueryDef("q173_streaming_curation_gate",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val sch = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("n_chars", LongType)))
+        val pEmail = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val pPhone = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+        val pId = "\\b[0-9]{9,}\\b"
+        graft.streaming.Sessions.runStreamToBatch(s, d, sch,
+            globFilter = Some("documents.parquet"),
+            outputMode = "append",
+            shufflePartitions = Some(4),
+            transform = st => {
+              val t = col("text")
+              val nToks = size(Text.tokens(t))
+              val punct = length(regexp_replace(t, "[^.!?,;:]", ""))
+                .cast("double") / greatest(length(t), lit(1))
+              val dirty = Text.qualityGate(st, Seq(
+                  "too_short" -> (nToks >= 25),
+                  "too_much_punct" -> (punct <= 0.1),
+                  "non_target_lang" -> col("lang").isin("en", "de", "fr")))
+                .select(col("doc_id"), col("drop_reason"),
+                  concat(col("text"),
+                    lit(" contact user"), col("doc_id").cast("string"),
+                    lit("@example.com or 555-"),
+                    lpad((col("doc_id") % 10000).cast("string"), 3, "0"),
+                    lit("-1234 ref "),
+                    lpad(col("doc_id").cast("string"), 11, "0")).as("t"))
+              dirty.select(col("doc_id"), col("drop_reason"),
+                size(regexp_extract_all(col("t"), lit(pEmail), lit(0)))
+                  .cast("bigint").as("n_emails"),
+                size(regexp_extract_all(col("t"), lit(pId), lit(0)))
+                  .cast("bigint").as("n_ids"),
+                md5(regexp_replace(regexp_replace(regexp_replace(col("t"),
+                  pEmail, "<EMAIL>"), pPhone, "<PHONE>"), pId, "<ID>"))
+                  .as("redacted_md5"))
+            })
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH dirty AS (SELECT doc_id,
+        |    CASE
+        |      WHEN NOT coalesce(len(${DuckSql.toks("text")}) >= 25, false)
+        |        THEN 'too_short'
+        |      WHEN NOT coalesce(CAST(length(regexp_replace(text,
+        |          '[^.!?,;:]', '', 'g')) AS DOUBLE)
+        |        / greatest(length(text), 1) <= 0.1, false)
+        |        THEN 'too_much_punct'
+        |      WHEN NOT coalesce(lang IN ('en', 'de', 'fr'), false)
+        |        THEN 'non_target_lang'
+        |    END AS drop_reason,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com or 555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 3, '0')
+        |      || '-1234 ref ' || lpad(CAST(doc_id AS VARCHAR), 11, '0') AS t
+        |  FROM documents)
+        |SELECT doc_id, drop_reason,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\\b[0-9]{9,}\\b')) AS BIGINT) AS n_ids,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g'),
+        |    '\\b[0-9]{9,}\\b', '<ID>', 'g')) AS redacted_md5
+        |FROM dirty ORDER BY doc_id""".stripMargin)),
 
     // ---- q178: STREAMING running-max trace ---------------------------
     // Sessions.streamingRunningMax driven through a genuine streaming
