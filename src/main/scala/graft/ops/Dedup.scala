@@ -443,6 +443,27 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** QUALITY-AWARE survivor selection: per duplicate group keep the
+    * member with the highest `preferCol` (ties -> smallest id), not
+    * the smallest id — the survivorship policy real curation uses
+    * ("keep the longest/cleanest copy", not "keep whichever sorted
+    * first"). One join to attach the preference, one argmax hash-agg
+    * per group (max over (pref, -id) structs — partial-combining, no
+    * window), one broadcast-friendly anti-join of the losers. */
+  def dedupSurvivorsBy(df: DataFrame, idCol: String, groups: DataFrame,
+                       preferCol: String): DataFrame = {
+    val members = groups.join(
+      df.select(col(idCol).as("id"), col(preferCol).cast("long").as("__p")),
+      "id")
+    val reps = members.groupBy("group_id")
+      .agg(max(struct(col("__p").as("p"), (-col("id")).as("ni"))).as("__b"))
+      .select(col("group_id"), (-col("__b").getField("ni")).as("__rep"))
+    val losers = members.join(reps, "group_id")
+      .where(col("id") =!= col("__rep"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** SimHash (16-bit, md5-backed): per token take the first 4 hex
     * nibbles of md5(token); each of the 16 bits votes +1/-1; the sign
     * of each bit-sum forms the fingerprint. Near-dups differ in few

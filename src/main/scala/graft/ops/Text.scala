@@ -262,4 +262,67 @@ object Text {
         col("cnt"))
       .where(col("est") >= minCount)
   }
+
+  /** Repetition/boilerplate signals per document — the Gopher-family
+    * quality rules (Rae et al. 2021 §A1.1: fraction of characters in
+    * the most common n-gram, fraction of duplicate n-grams): for each
+    * doc the total n-gram occurrence count, the most frequent n-gram's
+    * count, its mass fraction, and the duplicate-occurrence fraction
+    * (1 - distinct/total, computed as an exact integer ratio). High
+    * values flag machine-generated / boilerplate text that length and
+    * punctuation gates miss.
+    *
+    * Shape: explode n-gram OCCURRENCES (not the distinct set — mass
+    * fractions need multiplicity), count per (doc, gram), then fold to
+    * per-doc stats — two map-side-combinable hash aggregations, no
+    * joins, shuffle keyed on (doc, gram) then doc. Docs with fewer
+    * than n tokens emit no row (no n-grams — nothing to score). */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+                        n: Int): DataFrame = {
+    val grams = df
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .repartition(col(idCol))
+      .select(col(idCol), explode(Dedup.wordShingles(col("__toks"), n)).as("__g"))
+    grams
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum("__c").as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max("__c").as("top_cnt"))
+      .select(col(idCol), col("n_grams"), col("n_distinct"), col("top_cnt"),
+        round(col("top_cnt").cast("double") / col("n_grams"), 6).as("top_frac"),
+        round((col("n_grams") - col("n_distinct")).cast("double") /
+          col("n_grams"), 6).as("dup_frac"))
+  }
+
+  /** Fixed-size token chunking with overlap — the context-window
+    * splitter every training/RAG pipeline runs before tokenizer
+    * packing: windows of `chunkSize` tokens starting every `stride`
+    * tokens (overlap = chunkSize - stride), the last window ragged.
+    * Output: one row per (doc, chunk) with the 0-based chunk index,
+    * 1-based start token, chunk length, and the md5 of the re-joined
+    * chunk text (hash-verifiable without shipping wide strings).
+    *
+    * Row-local: starts come from sequence(), chunks from slice() — no
+    * shuffle at all until the caller aggregates; at 100 TB this is a
+    * pure map stage. Empty docs emit no row. */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    val chunks = df
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .repartition(col(idCol))
+      .select(col(idCol), col("__toks"),
+        explode(when(size(col("__toks")) > 0,
+            sequence(lit(1), size(col("__toks")), lit(stride)))
+          .otherwise(array().cast("array<int>"))).as("__start"))
+    chunks.select(col(idCol),
+        (expr(s"(__start - 1) div $stride")).cast("long").as("chunk_idx"),
+        col("__start").cast("long").as("start_tok"),
+        size(slice(col("__toks"), col("__start"), lit(chunkSize)))
+          .cast("long").as("n_toks"),
+        md5(array_join(slice(col("__toks"), col("__start"), lit(chunkSize)), " "))
+          .as("chunk_md5"))
+  }
 }

@@ -125,6 +125,79 @@ object QueriesRound6 {
         |    // 1000000 AS BIGINT) AS bin
         |FROM items ORDER BY p_brand, p_partkey""".stripMargin)),
 
+    // ---- q175: repetition / boilerplate quality signals --------------
+    // The Gopher-family rules (fraction of mass in the most common
+    // bigram, duplicate-bigram fraction): exact integer counts from
+    // two map-side-combinable hash-aggs, one rounded division at the
+    // end. High values flag the machine-generated boilerplate that
+    // length/punctuation gates (q94) miss.
+    QueryDef("q175_repetition_signals",
+      (s, d) => Text.repetitionSignals(documents(s, d), "doc_id", "text", n = 2)
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, ${DuckSql.toks("text")} AS toks
+        |    FROM documents),
+        |g AS (SELECT doc_id, unnest(${DuckSql.shingles("toks", 2)}) AS gm FROM t),
+        |c AS (SELECT doc_id, gm, count(*) AS c FROM g GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |  count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_cnt,
+        |  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_frac,
+        |  round(CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+        |    AS dup_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- q176: context-window chunking with overlap -------------------
+    // The training/RAG splitter: 32-token windows every 24 tokens
+    // (8-token overlap), last window ragged. Pure map stage — starts
+    // from sequence(), chunks from slice(), chunk text hash-carried as
+    // md5 so the full split is verified without shipping wide strings.
+    QueryDef("q176_context_chunks",
+      (s, d) => Text.chunkTokens(documents(s, d), "doc_id", "text",
+          chunkSize = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx"),
+      Some(s"""WITH t AS (SELECT doc_id, ${DuckSql.toks("text")} AS toks
+        |    FROM documents),
+        |st AS (SELECT doc_id, toks,
+        |    unnest(generate_series(1, len(toks), 24)) AS s FROM t
+        |  WHERE len(toks) > 0)
+        |SELECT doc_id, CAST((s - 1) // 24 AS BIGINT) AS chunk_idx,
+        |  CAST(s AS BIGINT) AS start_tok,
+        |  CAST(len(toks[s:s+31]) AS BIGINT) AS n_toks,
+        |  md5(array_to_string(toks[s:s+31], ' ')) AS chunk_md5
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ---- q177: quality-aware dedup survivorship -----------------------
+    // q172's exact-substring groups with the survivorship policy real
+    // curation uses: keep each group's LONGEST member (n_chars, ties
+    // -> smallest id) instead of the smallest id. The representative
+    // is an argmax hash-agg over (pref, -id) structs — no window, no
+    // sort — and the oracle replays it as a window-ranked pick.
+    QueryDef("q177_quality_survivors",
+      (s, d) => {
+        val docs = documents(s, d)
+        val pairs = Dedup.sharedShinglePairs(docs, "doc_id", "text", n = 5)
+          .select("id_a", "id_b")
+        val groups = Dedup.duplicateGroupsStar(pairs, maxIter = 20)
+        Dedup.dedupSurvivorsBy(docs, "doc_id", groups, "n_chars")
+          .select("doc_id", "lang", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, ${DuckSql.toks("text")} AS toks
+        |    FROM documents),
+        |fp AS (SELECT DISTINCT doc_id, md5(sh) AS fp FROM
+        |  (SELECT doc_id, unnest(${DuckSql.shingles("toks", 5)}) AS sh FROM t)),
+        |big AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) > 10000),
+        |capped AS (SELECT * FROM fp ANTI JOIN big USING (fp)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM capped a JOIN capped b USING (fp) WHERE a.doc_id < b.doc_id),
+        |${DuckSql.ccGroupCtes},
+        |m AS (SELECT g.id, g.group_id, d.n_chars FROM grp g
+        |  JOIN documents d ON d.doc_id = g.id),
+        |r AS (SELECT id, group_id, row_number() OVER (PARTITION BY group_id
+        |    ORDER BY n_chars DESC, id) AS rk FROM m)
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM r WHERE rk > 1)
+        |ORDER BY doc_id""".stripMargin)),
+
     // ---- q173: STREAMING curation gate (PII scrub + quality) ---------
     // q169's redaction and q94's quality rules run as ONE stateless
     // streaming stage (readStream -> projection -> append sink, the

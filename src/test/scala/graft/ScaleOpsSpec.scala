@@ -121,6 +121,33 @@ class Round6OpsSpec extends SparkSpec {
     assert(full.map(r => (r._1, r._2) -> r._3).toMap.apply((1L, 2L)) == 2L)
   }
 
+  test("repetitionSignals: exact integer gram accounting") {
+    // "a b a b c": bigrams (a b), (b a), (a b), (b c) -> 4 total,
+    // 3 distinct, top count 2
+    val df = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val r = graft.ops.Text.repetitionSignals(df, "doc_id", "text", 2)
+      .as[(Long, Long, Long, Long, Double, Double)].collect().head
+    assert(r == ((1L, 4L, 3L, 2L, 0.5, 0.25)))
+  }
+
+  test("chunkTokens: strided windows cover every token, last chunk ragged") {
+    val df = Seq((7L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val r = graft.ops.Text.chunkTokens(df, "doc_id", "text", chunkSize = 4, stride = 3)
+      .select("chunk_idx", "start_tok", "n_toks")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(r.toSeq == Seq((0L, 1L, 4L), (1L, 4L, 4L), (2L, 7L, 4L), (3L, 10L, 1L)))
+  }
+
+  test("dedupSurvivorsBy: keeps the highest-preference member, ties to smallest id") {
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 1L))
+      .toDF("doc_id", "quality")
+    // one group {1,2,3}; doc 4 was never a candidate
+    val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "group_id")
+    val s = graft.ops.Dedup.dedupSurvivorsBy(docs, "doc_id", groups, "quality")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s == Set(2L, 4L)) // 2 beats 3 on the id tie-break, 1 on quality
+  }
+
   test("layoutEdges(reliable): the laid-out frame survives losing every parent block") {
     val dir = java.nio.file.Files.createTempDirectory("ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
