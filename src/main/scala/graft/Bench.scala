@@ -91,9 +91,11 @@ object Bench {
     // matching — the same warm-cache behavior a production session
     // gets — and clearing mid-query would put cold parquet-decode +
     // full persist cost in BOTH runs (measured +26 s suite-wide).
+    // blocking sweep: async unpersist posts executor block-removal that
+    // would otherwise land inside the NEXT query's timed window
     def clearBlocks(): Unit = {
       graft.ops.Checkpoints.muteWarnings()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       spark.catalog.clearCache()
     }
     clearBlocks() // the steady-state warmup queries above leak too

@@ -261,6 +261,33 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Cap-drop audit for [[sharedShinglePairs]]: what did the
+    * degenerate-window cap discard? One row: total distinct windows,
+    * windows over the cap, (doc, window) occurrences lost with them,
+    * and the number of documents touching at least one dropped window
+    * — the exact population whose pairs the capped run can miss. A
+    * leak-gate run reports this next to the pair count so "no false
+    * negatives" claims are grounded in what the cap actually dropped
+    * (zero dropped ⟹ the capped result IS the exact result). Same
+    * frame shapes as the operator itself: fingerprint counts are one
+    * partial-combining hash-agg, never doc × doc. */
+  def sharedShingleCapAudit(df: DataFrame, idCol: String, textCol: String,
+                            n: Int, maxDocsPerShingle: Int): DataFrame = {
+    val fps = shingleRows(df, idCol, textCol, n)
+      .select(col(idCol), md5(col("shingle")).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = fps.groupBy("fp").agg(count(lit(1)).as("__m"))
+    val big = counts.where(col("__m") > maxDocsPerShingle)
+    val docsHit = fps.join(broadcast(big.select("fp")), Seq("fp"), "left_semi")
+      .agg(countDistinct(col(idCol)).as("n_docs_affected"))
+    counts.agg(count(lit(1)).as("n_windows"),
+        coalesce(sum(when(col("__m") > maxDocsPerShingle, lit(1L))), lit(0L))
+          .as("n_windows_dropped"),
+        coalesce(sum(when(col("__m") > maxDocsPerShingle, col("__m"))), lit(0L))
+          .as("n_occurrences_dropped"))
+      .crossJoin(broadcast(docsHit))
+  }
+
   /** Duplicate GROUPS from candidate pairs via iterative label
     * propagation (connected components): every id starts as its own
     * label; each round, a node adopts the minimum label among itself
@@ -359,13 +386,19 @@ object Dedup {
         t == org.apache.spark.sql.types.ShortType,
         s"duplicateGroupsStar requires integral ids; $c is ${t.sql}")
     }
-    val nodes = pairs.select(col("id_a").as("id"))
-      .union(pairs.select(col("id_b").as("id"))).distinct()
+    // eager checkpoint of the INPUT (the duplicateGroups discipline):
+    // nodes and the canonical edge set below both derive from `pairs`,
+    // and without this the caller's whole upstream pipeline (LSH /
+    // shingle fingerprinting — the expensive part) re-executes once
+    // per consumer (measured 2x the pair-build cost on q172's shape)
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val nodes = p.select(col("id_a").as("id"))
+      .union(p.select(col("id_b").as("id"))).distinct()
       .localCheckpoint(false)
     // canonical orientation a > b ("points down"), no self-loops;
     // localCheckpoint each round truncates the iterative lineage
     // (same rationale as duplicateGroups)
-    var edges = pairs
+    var edges = p
       .select(greatest(col("id_a"), col("id_b")).as("a"),
         least(col("id_a"), col("id_b")).as("b"))
       .where(col("a") =!= col("b")).distinct()
@@ -430,6 +463,7 @@ object Dedup {
         Seq("id"), "left")
       .groupBy("id").agg(min(coalesce(col("label"), col("id"))).as("group_id"))
       .localCheckpoint()
+    Checkpoints.free(p)
     Checkpoints.free(nodes)
     Checkpoints.free(edges)
     out

@@ -125,6 +125,31 @@ object QueriesRound6 {
         |    // 1000000 AS BIGINT) AS bin
         |FROM items ORDER BY p_brand, p_partkey""".stripMargin)),
 
+    // ---- q179: exact-substring cap audit ------------------------------
+    // What did q170's degenerate-window cap discard? Total distinct
+    // windows, over-cap windows, occurrences lost, and documents
+    // touching a dropped window — the population whose pairs a capped
+    // run can miss. A tight cap (3 here, so the audit is non-trivial
+    // at test scale) grounds the leak-gate trade-off in numbers: zero
+    // dropped means the capped result IS the exact result.
+    QueryDef("q179_shingle_cap_audit",
+      (s, d) => Dedup.sharedShingleCapAudit(documents(s, d), "doc_id", "text",
+        n = 5, maxDocsPerShingle = 3),
+      Some(s"""WITH t AS (SELECT doc_id, ${DuckSql.toks("text")} AS toks
+        |    FROM documents),
+        |fp AS (SELECT DISTINCT doc_id, md5(sh) AS fp FROM
+        |  (SELECT doc_id, unnest(${DuckSql.shingles("toks", 5)}) AS sh FROM t)),
+        |c AS (SELECT fp, count(*) AS m FROM fp GROUP BY 1),
+        |hit AS (SELECT count(DISTINCT doc_id) AS n_docs_affected
+        |  FROM fp SEMI JOIN (SELECT fp FROM c WHERE m > 3) b USING (fp))
+        |SELECT count(*) AS n_windows,
+        |  CAST(coalesce(sum(CASE WHEN m > 3 THEN 1 END), 0) AS BIGINT)
+        |    AS n_windows_dropped,
+        |  CAST(coalesce(sum(CASE WHEN m > 3 THEN m END), 0) AS BIGINT)
+        |    AS n_occurrences_dropped,
+        |  (SELECT n_docs_affected FROM hit) AS n_docs_affected
+        |FROM c""".stripMargin)),
+
     // ---- q175: repetition / boilerplate quality signals --------------
     // The Gopher-family rules (fraction of mass in the most common
     // bigram, duplicate-bigram fraction): exact integer counts from

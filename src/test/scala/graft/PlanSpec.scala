@@ -246,4 +246,31 @@ class PlanSpec extends SparkSpec {
     val aggIdx = lines.indexWhere(l => l.contains("HashAggregate") && l.contains("max"))
     assert(aggIdx > wIdx && wIdx >= 0, p.take(3000))
   }
+
+  test("q170: over-cap window guard is a broadcast anti-join, pairs never cross-join") {
+    val p = planOf("q170_shared_shingles")
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
+  test("q175: repetition signals are two map-side-combinable aggregations, no join") {
+    val p = planOf("q175_repetition_signals")
+    assert(!p.contains("Join"), p.take(3000))
+    assert(p.contains("partial_"), p.take(3000))
+  }
+
+  test("q176: chunking is a pure map stage — only the explicit doc repartition shuffles") {
+    val p = planOf("q176_context_chunks")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(3000))
+    // one explicit repartition exchange + the presentation sort's range
+    // exchange — chunk building itself never shuffles
+    assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 2, p.take(3000))
+  }
+
+  test("q177: quality survivorship is an argmax aggregate, never a window sort") {
+    val p = planOf("q177_quality_survivors")
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("LeftAnti"), p.take(3000))
+  }
 }
