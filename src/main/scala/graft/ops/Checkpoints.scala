@@ -44,7 +44,9 @@ private[graft] object Checkpoints {
     muteUnpersistWarn
     df.queryExecution.analyzed match {
       case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
-      case _ => ()
+      // a persist()ed frame (e.g. layoutEdges' cached layout): drop its
+      // cache entry; a no-op when the exact plan isn't cached
+      case _ => df.unpersist(blocking = false)
     }
   }
 }

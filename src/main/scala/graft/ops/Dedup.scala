@@ -288,6 +288,66 @@ object Dedup {
       .crossJoin(broadcast(docsHit))
   }
 
+  /** SEGMENT-level corpus dedup — the C4 / RefinedWeb boilerplate
+    * removal stage: cut each document into consecutive `segTokens`-token
+    * segments, drop every segment that occurs (verbatim) in more than
+    * `maxDocs` distinct documents corpus-wide, and reassemble what's
+    * left in original order. Catches the nav-bars / cookie-banners /
+    * license-headers class of duplication that document-level dedup
+    * (exact q40, fuzzy q91, exact-substring q172) never sees, because
+    * the surrounding document is unique. Output: one row per input doc
+    * — segment totals, kept/dropped counts, and the md5 of the
+    * reassembled text (hash-verifiable without shipping wide strings);
+    * docs shredded to nothing (or empty to begin with) survive with
+    * n_kept = 0 and md5("") — dropping them is a policy for the
+    * quality gate downstream, not for the rewrite.
+    *
+    * Scale shape: segment text never travels beyond its own doc's
+    * rows — corpus-wide frequency runs on md5 fingerprints (distinct
+    * (doc, fp) then a partial-combining count), the over-`maxDocs` set
+    * anti-joins back on fp (a shuffle join, NOT a forced broadcast: at
+    * web scale the boilerplate set is itself large; AQE demotes to
+    * broadcast when it is small), and reassembly is one groupBy(doc)
+    * whose collect_list buffers a single document's segments — bounded
+    * by doc length, the same bound as any per-doc rewrite. No stage is
+    * doc × doc. */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+                   segTokens: Int, maxDocs: Int): DataFrame = {
+    require(segTokens > 0 && maxDocs > 0,
+      s"need positive segTokens/maxDocs, got $segTokens/$maxDocs")
+    val segs = df
+      .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+      .repartition(col(idCol))
+      .select(col(idCol),
+        explode(when(size(col("__toks")) > 0,
+            sequence(lit(1), size(col("__toks")), lit(segTokens)))
+          .otherwise(array().cast("array<int>"))).as("__s"),
+        col("__toks"))
+      .select(col(idCol), col("__s"),
+        array_join(slice(col("__toks"), col("__s"), lit(segTokens)), " ")
+          .as("__seg"))
+      .withColumn("__fp", md5(col("__seg")))
+    val freq = segs.select(col(idCol), col("__fp")).distinct()
+      .groupBy("__fp").agg(count(lit(1)).as("__m"))
+      .where(col("__m") > maxDocs).select("__fp")
+    val kept = segs.join(freq, Seq("__fp"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+            array_sort(collect_list(struct(col("__s"), col("__seg")))),
+            x => x.getField("__seg")), " ").as("__clean"))
+    val totals = segs.groupBy(col(idCol)).agg(count(lit(1)).as("n_segs"))
+    df.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("n_segs"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped"),
+        md5(coalesce(col("__clean"), lit(""))).as("clean_md5"))
+  }
+
   /** Duplicate GROUPS from candidate pairs via iterative label
     * propagation (connected components): every id starts as its own
     * label; each round, a node adopts the minimum label among itself

@@ -39,13 +39,23 @@ object Graph {
     * `assumeLaidOut = true` to the operator — re-laying-out an already
     * checkpointed frame would double-materialize the O(|E|) data.
     *
+    * The default layout is a `persist()` (materialized eagerly), NOT a
+    * `localCheckpoint`: a checkpoint comes back as a `LogicalRDD` with
+    * `UnknownPartitioning`, so every iteration's src-keyed join would
+    * re-Exchange and re-Sort the full O(|E|) frame — the exact shuffle
+    * this layout exists to pay once. The cached `InMemoryRelation`
+    * keeps `HashPartitioning(src)` and the within-partition sort
+    * visible to the planner (cached-plan partitioning is stable under
+    * AQE), so per-round joins move only the O(|V|) rank frame. Lineage
+    * is also kept, so an executor loss recomputes instead of killing
+    * the job; edge lineage is shallow (no per-round growth), so the
+    * truncation that iterated frames need doesn't apply here.
+    *
     * `reliable = true` checkpoints to the SparkContext's checkpoint
-    * directory (`sc.setCheckpointDir` must have been called) instead
-    * of executor-local blocks: `localCheckpoint` is non-resilient — an
-    * executor loss kills the truncated lineage and with it the whole
-    * job — so on a preemptible 1000-executor cluster the laid-out
-    * frame should live in reliable storage. The local variant stays
-    * the default for throughput (no DFS round-trip). */
+    * directory (`sc.setCheckpointDir` must have been called) for
+    * clusters where recomputing the edge build is too expensive to
+    * risk under preemption; that variant re-shuffles per round (the
+    * resilience/throughput trade is the caller's). */
   def layoutEdges(edges: DataFrame, srcCol: String, dstCol: String,
                   reliable: Boolean = false): DataFrame = {
     val laid = edges
@@ -54,7 +64,12 @@ object Graph {
       .repartition(col("src"))
       .distinct()
       .sortWithinPartitions("src")
-    if (reliable) laid.checkpoint() else laid.localCheckpoint()
+    if (reliable) laid.checkpoint()
+    else {
+      val p = laid.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count() // materialize now — iterations read blocks, never rebuild
+      p
+    }
   }
 
   private def edgeFrame(edges: DataFrame, srcCol: String, dstCol: String,

@@ -70,6 +70,41 @@ object Sampling {
     df.where(hashBucket(col(idCol), 10000) < thresh)
   }
 
+  /** Largest-remainder budget apportionment — the training-mixture
+    * planner: split an integer token `budget` across domains in
+    * proportion to integer `weightCol`, exactly. Each domain gets
+    * floor(budget * w / W); the unassigned remainder (< #domains) goes
+    * one unit at a time to the domains with the largest fractional
+    * remainder (ties → key order). Pure BIGINT arithmetic, so the
+    * allocation is bit-identical on any engine and Σ quota == budget
+    * by construction — the property a mixture manifest needs before a
+    * 100 TB sampling job fans out (DoReMi-style reweighting, temperature
+    * sampling, and manual mixtures all reduce to this final step once
+    * weights are chosen). Requires budget * max(w) < 2^63.
+    *
+    * The remainder ranking is one global window over the DOMAIN table
+    * — rows here are mixture entries (a handful to a few thousand),
+    * never data rows, the same domain-bounded-window discipline as
+    * `Layout.binPack`. The two scalars (total weight, leftover) ride
+    * broadcast one-row frames. */
+  def allocateBudget(weights: DataFrame, keyCols: Seq[String],
+                     weightCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be nonnegative, got $budget")
+    val tot = weights.agg(sum(col(weightCol)).cast("long").as("__W"))
+    val q = weights.crossJoin(broadcast(tot))
+      .select(keyCols.map(col) ++ Seq(col(weightCol),
+        expr(s"($budget * $weightCol) div __W").as("__fq"),
+        expr(s"($budget * $weightCol) % __W").as("__rem")): _*)
+    val left = q.agg((lit(budget) - sum("__fq")).cast("long").as("__left"))
+    val rankW = Window.orderBy(
+      col("__rem").desc +: keyCols.map(col(_).asc): _*)
+    q.crossJoin(broadcast(left))
+      .withColumn("__rk", row_number().over(rankW))
+      .select(keyCols.map(col) ++ Seq(col(weightCol),
+        (col("__fq") + when(col("__rk") <= col("__left"), lit(1L))
+          .otherwise(lit(0L))).as("quota")): _*)
+  }
+
   /** Concat-and-chunk sequence packing: lay documents end-to-end (in
     * id order) and cut every `budget` cost units — the standard LLM
     * pretraining packing. Emits each doc's byte/token offset, first

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables._
-import graft.ops.{Dedup, Graph, Layout, Text}
+import graft.ops.{Dedup, Graph, Layout, Sampling, Text}
 import org.apache.spark.sql.functions._
 
 /** Round-6 widening: oracle coverage for the four operators that
@@ -333,5 +333,67 @@ object QueriesRound6 {
       Some("""SELECT user_id AS key, epoch_us(ts) AS ts_us, event_id AS seq,
         |  max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS UNBOUNDED PRECEDING) AS running_max
-        |FROM events ORDER BY 1, 2, 3""".stripMargin)))
+        |FROM events ORDER BY 1, 2, 3""".stripMargin)),
+
+    // ---- q180: segment-level corpus dedup (C4/RefinedWeb line dedup) --
+    // The boilerplate-removal stage document-level dedup can't do:
+    // 8-token segments occurring in >2 distinct docs corpus-wide are
+    // struck from every document, the remainder reassembled in order.
+    // Frequency rides md5 fingerprints; the over-cap set anti-joins
+    // back (shuffle join — at web scale the boilerplate set is itself
+    // big); reassembly is one per-doc fold whose buffer is bounded by
+    // the doc's own length. Rebuilt text is hash-carried as md5.
+    QueryDef("q180_segment_dedup",
+      (s, d) => Dedup.segmentDedup(documents(s, d), "doc_id", "text",
+          segTokens = 8, maxDocs = 2)
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, ${DuckSql.toks("text")} AS toks
+        |    FROM documents),
+        |st AS (SELECT doc_id, unnest(generate_series(1, len(toks), 8)) AS s,
+        |    toks FROM t WHERE len(toks) > 0),
+        |seg AS (SELECT doc_id, s, array_to_string(toks[s:s+7], ' ') AS seg
+        |    FROM st),
+        |fp AS (SELECT doc_id, s, seg, md5(seg) AS fp FROM seg),
+        |freq AS (SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS m
+        |    FROM fp GROUP BY 1) WHERE m > 2),
+        |kept AS (SELECT * FROM fp WHERE fp NOT IN (SELECT fp FROM freq)),
+        |reb AS (SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(seg, ' ' ORDER BY s) AS clean FROM kept GROUP BY 1),
+        |tot AS (SELECT doc_id, count(*) AS n_segs FROM fp GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(tot.n_segs, 0) AS BIGINT) AS n_segs,
+        |  CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(coalesce(tot.n_segs, 0) - coalesce(reb.n_kept, 0) AS BIGINT)
+        |    AS n_dropped,
+        |  md5(coalesce(reb.clean, '')) AS clean_md5
+        |FROM documents d LEFT JOIN tot USING (doc_id)
+        |LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // ---- q181: training-mixture budget allocation --------------------
+    // Largest-remainder apportionment of a 1M-token budget across
+    // (lang, source) domains weighted by their exact token counts —
+    // the manifest a mixture-sampling job executes. All-BIGINT: floor
+    // quotas, remainder ranking (ties -> key order), Σ quota == budget
+    // by construction. The window runs over DOMAIN rows only.
+    QueryDef("q181_mixture_budget",
+      (s, d) => {
+        val w = documents(s, d)
+          .select(col("lang"), col("source"),
+            size(Text.tokens(col("text"))).cast("long").as("__n"))
+          .groupBy("lang", "source").agg(sum("__n").as("weight"))
+        Sampling.allocateBudget(w, Seq("lang", "source"), "weight", 1000000L)
+          .orderBy("lang", "source")
+      },
+      Some(s"""WITH w AS (SELECT lang, source,
+        |    CAST(sum(len(${DuckSql.toks("text")})) AS BIGINT) AS weight
+        |  FROM documents GROUP BY 1, 2),
+        |q AS (SELECT lang, source, weight,
+        |    (1000000 * weight) // (SELECT sum(weight) FROM w) AS fq,
+        |    (1000000 * weight) % (SELECT sum(weight) FROM w) AS rem FROM w),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang, source)
+        |    AS rk FROM q)
+        |SELECT lang, source, weight,
+        |  CAST(fq + CASE WHEN rk <= (SELECT 1000000 - sum(fq) FROM q)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |FROM r ORDER BY lang, source""".stripMargin)))
 }
