@@ -59,6 +59,35 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine")
   }
 
+  /** Hard-negative mining for contrastive training: for each probe,
+    * the top-k most-similar corpus vectors carrying a DIFFERENT label
+    * — the "close but wrong" examples a contrastive or reranker
+    * objective needs. Same plan skeleton as [[bruteForceTopK]] (probes
+    * broadcast with their labels, corpus streamed once, map-side
+    * label-mismatch filter, per-probe top-k) — the label filter costs
+    * nothing extra because it rides the broadcast join condition. For
+    * unbounded probe sets, bucket first (lshTopK) and label-filter the
+    * candidates the same way. */
+  def hardNegatives(corpus: DataFrame, probes: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val q = broadcast(probes.select(col(idCol).as("query_id"),
+      col(labelCol).as("__ql"), col(vecCol).as("__qv"),
+      normNative(col(vecCol)).as("__qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("neighbor_label"), col(vecCol).as("__cv"),
+      normNative(col(vecCol)).as("__cn"))
+    val scored = c.join(q, col("neighbor_label") =!= col("__ql"))
+      .withColumn("cosine",
+        round(dotNative(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select("query_id", "neighbor_id", "neighbor_label", "cosine")
+  }
+
   /** Deterministic pseudo-random hyperplane matrix: `nPlanes` x `dim`,
     * components in [-1, 1). md5-derived (component (i,j) comes from the
     * first 32 bits of md5("seed:i:j")) rather than a PRNG stream, so

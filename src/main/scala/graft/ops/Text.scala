@@ -325,4 +325,35 @@ object Text {
         md5(array_join(slice(col("__toks"), col("__start"), lit(chunkSize)), " "))
           .as("chunk_md5"))
   }
+
+  /** Per-domain percentile quality gate: keep each row whose integer
+    * `scoreCol` is at or above its domain's `pct`-th percentile —
+    * "drop the bottom quartile of every language" rather than one
+    * global cut that would gut low-resource domains. The threshold is
+    * percentile_disc semantics in pure integer math: the smallest
+    * score whose running count reaches ceil(total * pct / 100), so
+    * it is always an existing score (no interpolation, no floats) and
+    * replays bit-identically in any engine.
+    *
+    * Two-level shape: scores first collapse to (domain, score) COUNT
+    * rows (one partial-combining hash-agg over the data), the
+    * cumulative window then runs over those distinct-score rows only —
+    * bounded by score cardinality, never data rows. The per-domain
+    * threshold table is one row per domain and broadcast back. Scores
+    * must be non-null. */
+  def domainPercentileGate(df: DataFrame, domainCol: String,
+                           scoreCol: String, pct: Int): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct must be 0..100, got $pct")
+    val c = df.groupBy(col(domainCol), col(scoreCol))
+      .agg(count(lit(1)).as("__cnt"))
+    val t = c.groupBy(col(domainCol)).agg(sum("__cnt").as("__total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol)).orderBy(col(scoreCol))
+    val thr = c.join(t, Seq(domainCol))
+      .withColumn("__run", sum(col("__cnt")).over(w))
+      .where(col("__run") >= expr(s"(__total * $pct + 99) div 100"))
+      .groupBy(col(domainCol)).agg(min(col(scoreCol)).as("threshold"))
+    df.join(broadcast(thr), Seq(domainCol))
+      .where(col(scoreCol) >= col("threshold"))
+  }
 }

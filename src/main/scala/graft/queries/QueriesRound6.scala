@@ -395,5 +395,58 @@ object QueriesRound6 {
         |SELECT lang, source, weight,
         |  CAST(fq + CASE WHEN rk <= (SELECT 1000000 - sum(fq) FROM q)
         |    THEN 1 ELSE 0 END AS BIGINT) AS quota
-        |FROM r ORDER BY lang, source""".stripMargin)))
+        |FROM r ORDER BY lang, source""".stripMargin)),
+
+    // ---- q182: per-domain percentile quality gate --------------------
+    // Drop each language's bottom quartile by n_chars instead of one
+    // global cut (which would gut low-resource languages). Threshold =
+    // percentile_disc in integer math: smallest score whose running
+    // count reaches ceil(total * 25 / 100); the cumulative window runs
+    // over (lang, score) COUNT rows, never data rows, and the one-row-
+    // per-domain threshold table broadcasts back.
+    QueryDef("q182_domain_percentile_gate",
+      (s, d) => Text.domainPercentileGate(documents(s, d), "lang",
+          "n_chars", pct = 25)
+        .select("doc_id", "lang", "n_chars", "threshold")
+        .orderBy("doc_id"),
+      Some("""WITH c AS (SELECT lang, n_chars AS score, count(*) AS cnt
+        |    FROM documents GROUP BY 1, 2),
+        |t AS (SELECT lang, sum(cnt) AS total FROM c GROUP BY 1),
+        |r AS (SELECT c.lang, score, cnt, total,
+        |    sum(cnt) OVER (PARTITION BY c.lang ORDER BY score) AS run
+        |  FROM c JOIN t USING (lang)),
+        |thr AS (SELECT lang, min(score) AS threshold FROM r
+        |  WHERE run >= (total * 25 + 99) // 100 GROUP BY 1)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |  CAST(thr.threshold AS BIGINT) AS threshold
+        |FROM documents d JOIN thr USING (lang)
+        |WHERE d.n_chars >= thr.threshold ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- q183: hard-negative mining ----------------------------------
+    // Contrastive-training negatives: for each probe, the 4 most-
+    // similar corpus vectors with a DIFFERENT label — "close but
+    // wrong". Probes broadcast with labels; corpus streamed once; the
+    // label-mismatch filter rides the broadcast join condition, so the
+    // plan is identical to brute-force top-k (q50) with zero extra
+    // shuffle.
+    QueryDef("q183_hard_negatives",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        graft.ops.Similarity.hardNegatives(
+            emb, emb.where(col("vec_id") % 25 === 1), k = 4)
+          .withColumn("neighbor_label", col("neighbor_label").cast("bigint"))
+          .orderBy("query_id", "neighbor_id")
+      },
+      Some {
+        val cos = DuckSql.cosine("q.embedding", "c.embedding", 64)
+        s"""SELECT query_id, neighbor_id, neighbor_label, cosine FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(c.label AS BIGINT) AS neighbor_label,
+        |    round($cos, 4) + 0 AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round($cos, 4) DESC, c.vec_id) AS rn
+        |  FROM embeddings q JOIN embeddings c ON c.label != q.label
+        |  WHERE q.vec_id % 25 = 1)
+        |WHERE rn <= 4 ORDER BY query_id, neighbor_id""".stripMargin
+      }))
 }

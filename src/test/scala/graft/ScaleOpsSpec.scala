@@ -165,6 +165,60 @@ class Round6OpsSpec extends SparkSpec {
     assert(laid.as[(Long, Long)].collect().toSet ==
       Set((1L, 2L), (2L, 3L)))
   }
+
+  test("segmentDedup: boilerplate segment struck from every doc, order kept") {
+    // 2-token segments; "x y" appears in all 3 docs (cap 2) -> dropped;
+    // doc 3 is nothing but boilerplate -> survives empty; doc 4 empty
+    val docs = Seq(
+      (1L, "x y a b c d"), (2L, "p q x y r s"),
+      (3L, "x y x y"), (4L, "")).toDF("doc_id", "text")
+    val r = graft.ops.Dedup.segmentDedup(docs, "doc_id", "text",
+        segTokens = 2, maxDocs = 2)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r(1L) == ((3L, 2L, 1L, m("a b c d"))))
+    assert(r(2L) == ((3L, 2L, 1L, m("p q r s"))))
+    assert(r(3L) == ((2L, 0L, 2L, m(""))))  // shredded, not deleted
+    assert(r(4L) == ((0L, 0L, 0L, m(""))))  // empty in, empty out
+  }
+
+  test("domainPercentileGate: integer percentile_disc threshold per domain") {
+    val df = Seq(("en", 1L, 10L), ("en", 2L, 20L), ("en", 3L, 30L), ("en", 4L, 40L),
+      ("fr", 5L, 100L), ("fr", 6L, 200L)).toDF("lang", "id", "score")
+    // en: ceil(4*50/100)=2nd score asc -> thr 20; fr: ceil(2*50/100)=1st -> 100
+    val r = graft.ops.Text.domainPercentileGate(df, "lang", "score", 50)
+      .select("id").as[Long].collect().toSet
+    assert(r == Set(2L, 3L, 4L, 5L, 6L))
+    // pct=0 keeps everything
+    val all = graft.ops.Text.domainPercentileGate(df, "lang", "score", 0)
+      .count()
+    assert(all == 6L)
+  }
+
+  test("hardNegatives: same-label vectors never appear") {
+    val emb = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.8f, 0.2f), 1), (4L, Array(0f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = graft.ops.Similarity.hardNegatives(
+        emb, emb.where($"vec_id" === 1), k = 2)
+      .select("neighbor_id", "neighbor_label")
+      .as[(Long, Int)].collect()
+    assert(r.forall(_._2 == 1))             // only cross-label
+    assert(r.map(_._1).toSet == Set(3L, 4L)) // nearest different-label first
+  }
+
+  test("allocateBudget: quotas sum to the budget, remainder by largest fraction") {
+    // weights 5/3/2 over budget 7: floors 3/2/1 (sum 6), remainders
+    // 5/1/4 -> the single leftover unit goes to key a (largest rem)
+    val w = Seq(("a", 5L), ("b", 3L), ("c", 2L)).toDF("dom", "weight")
+    val r = graft.ops.Sampling.allocateBudget(w, Seq("dom"), "weight", 7L)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+    assert(r == Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+    assert(r.values.sum == 7L)
+  }
 }
 
 class BloomSpec extends SparkSpec {
@@ -237,31 +291,4 @@ class Sq8Spec extends SparkSpec {
     assert(recall >= 0.8, f"sq8 recall@5 $recall%.3f")
   }
 
-  test("segmentDedup: boilerplate segment struck from every doc, order kept") {
-    // 2-token segments; "x y" appears in all 3 docs (cap 2) -> dropped;
-    // doc 3 is nothing but boilerplate -> survives empty; doc 4 empty
-    val docs = Seq(
-      (1L, "x y a b c d"), (2L, "p q x y r s"),
-      (3L, "x y x y"), (4L, "")).toDF("doc_id", "text")
-    val r = graft.ops.Dedup.segmentDedup(docs, "doc_id", "text",
-        segTokens = 2, maxDocs = 2)
-      .as[(Long, Long, Long, Long, String)].collect()
-      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
-    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    assert(r(1L) == ((3L, 2L, 1L, m("a b c d"))))
-    assert(r(2L) == ((3L, 2L, 1L, m("p q r s"))))
-    assert(r(3L) == ((2L, 0L, 2L, m(""))))  // shredded, not deleted
-    assert(r(4L) == ((0L, 0L, 0L, m(""))))  // empty in, empty out
-  }
-
-  test("allocateBudget: quotas sum to the budget, remainder by largest fraction") {
-    // weights 5/3/2 over budget 7: floors 3/2/1 (sum 6), remainders
-    // 5/1/4 -> the single leftover unit goes to key a (largest rem)
-    val w = Seq(("a", 5L), ("b", 3L), ("c", 2L)).toDF("dom", "weight")
-    val r = graft.ops.Sampling.allocateBudget(w, Seq("dom"), "weight", 7L)
-      .as[(String, Long, Long)].collect().map(t => t._1 -> t._3).toMap
-    assert(r == Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
-    assert(r.values.sum == 7L)
-  }
 }
