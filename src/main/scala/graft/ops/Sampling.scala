@@ -105,6 +105,32 @@ object Sampling {
           .otherwise(lit(0L))).as("quota")): _*)
   }
 
+  /** Quota-filling sampler — the execution half of [[allocateBudget]]:
+    * within each domain, lay rows out in a deterministic pseudo-random
+    * order (md5 of the id — reshuffles run-to-run-identically on any
+    * engine) and keep rows while the EXCLUSIVE running cost is under
+    * the domain's quota, so each domain overshoots by at most one row
+    * and a nonzero quota always admits at least one row. Plan + fill
+    * together turn a mixture spec into the concrete training slice.
+    *
+    * `quotas` carries one row per domain (keyCols + `quota`) — the
+    * planner's output, broadcast back onto the data. The running sum
+    * is a per-domain window: domains fill in parallel, and within a
+    * domain the window is the order the sample DEFINITION requires
+    * (for domains too large for one partition's sort, pre-bucket by
+    * md5 range and allocate per bucket — the same two-level discipline
+    * as `twoLevelCumSum`). */
+  def fillQuota(df: DataFrame, keyCols: Seq[String], idCol: String,
+                costCol: String, quotas: DataFrame): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.join(broadcast(quotas), keyCols)
+      .withColumn("__cum", coalesce(sum(col(costCol)).over(w), lit(0L)))
+      .where(col("__cum") < col("quota"))
+      .drop("__cum", "quota")
+  }
+
   /** Concat-and-chunk sequence packing: lay documents end-to-end (in
     * id order) and cut every `budget` cost units — the standard LLM
     * pretraining packing. Emits each doc's byte/token offset, first

@@ -448,5 +448,47 @@ object QueriesRound6 {
         |  FROM embeddings q JOIN embeddings c ON c.label != q.label
         |  WHERE q.vec_id % 25 = 1)
         |WHERE rn <= 4 ORDER BY query_id, neighbor_id""".stripMargin
-      }))
+      }),
+
+    // ---- q185: mixture EXECUTION — fill q181's quotas ----------------
+    // The planner's manifest turned into the concrete training slice:
+    // within each (lang, source) domain, docs are laid out in
+    // md5(doc_id) order (a deterministic shuffle any engine replays)
+    // and admitted while the exclusive running token count is under
+    // the domain's largest-remainder quota — ≤ one doc of overshoot,
+    // at least one doc per funded domain. Plan (q181) + execute (q185)
+    // close the mixture loop end-to-end.
+    QueryDef("q185_mixture_fill",
+      (s, d) => {
+        val toks = documents(s, d).select(col("doc_id"), col("lang"),
+          col("source"), size(Text.tokens(col("text"))).cast("long").as("n_toks"))
+        val w = toks.groupBy("lang", "source").agg(sum("n_toks").as("weight"))
+        val quotas = Sampling.allocateBudget(
+            w, Seq("lang", "source"), "weight", 12000L)
+          .select("lang", "source", "quota")
+        Sampling.fillQuota(toks, Seq("lang", "source"), "doc_id", "n_toks",
+            quotas)
+          .select("doc_id", "lang", "source", "n_toks")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, lang, source,
+        |    CAST(len(${DuckSql.toks("text")}) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |w AS (SELECT lang, source, CAST(sum(n_toks) AS BIGINT) AS weight
+        |  FROM toks GROUP BY 1, 2),
+        |q AS (SELECT lang, source, weight,
+        |    (12000 * weight) // (SELECT sum(weight) FROM w) AS fq,
+        |    (12000 * weight) % (SELECT sum(weight) FROM w) AS rem FROM w),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang, source)
+        |    AS rk FROM q),
+        |qq AS (SELECT lang, source,
+        |    fq + CASE WHEN rk <= (SELECT 12000 - sum(fq) FROM q)
+        |      THEN 1 ELSE 0 END AS quota FROM r),
+        |c AS (SELECT t.doc_id, t.lang, t.source, t.n_toks, qq.quota,
+        |    coalesce(sum(t.n_toks) OVER (PARTITION BY t.lang, t.source
+        |      ORDER BY md5(CAST(t.doc_id AS VARCHAR)), t.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM toks t JOIN qq USING (lang, source))
+        |SELECT doc_id, lang, source, n_toks FROM c
+        |WHERE cum < quota ORDER BY doc_id""".stripMargin)))
 }

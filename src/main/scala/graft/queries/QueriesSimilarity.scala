@@ -262,5 +262,39 @@ object QueriesSimilarity {
         |  FROM qn c JOIN qn q2 ON c.vec_id != q2.vec_id
         |  WHERE q2.vec_id < 20)
         |WHERE rn <= 5 ORDER BY query_id, neighbor_id""".stripMargin
+      }),
+
+    // ---- q184: SemDeDup — embedding-space dedup end-to-end -----------
+    // The Abbas et al. 2023 pipeline: SRP-bucketed cosine near-dup
+    // pairs (q97's operator), connected components via large-star/
+    // small-star contraction, min-id survivor per semantic cluster.
+    // Third dedup family the engine runs end-to-end, after MinHash
+    // (q91) and exact-substring (q172) — this one catches paraphrases
+    // that share no verbatim n-gram. Every stage rides verified pieces;
+    // the oracle replays buckets, cosines, and the transitive closure.
+    QueryDef("q184_semdedup",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val pairs = graft.ops.Similarity
+          .cosineNearDupPairs(emb, 0.4, nPlanes = 4)
+          .select(col("id_a"), col("id_b"))
+        val groups = graft.ops.Dedup.duplicateGroupsStar(pairs, maxIter = 20)
+        graft.ops.Dedup.dedupSurvivors(emb, "vec_id", groups)
+          .select(col("vec_id"), col("label").cast("bigint").as("label"))
+          .orderBy("vec_id")
+      },
+      Some {
+        val cos = s"round(${DuckSql.dot("a.embedding", "b.embedding", Dim)} / (a.nrm * b.nrm), 4)"
+        s"""WITH RECURSIVE bk AS (SELECT vec_id, embedding,
+        |    sqrt(${DuckSql.dot("embedding", "embedding", Dim)}) AS nrm,
+        |    ${srpBucketSql("embedding", 42L, 4)} AS bucket
+        |  FROM embeddings),
+        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  WHERE $cos >= 0.4),
+        |${DuckSql.ccGroupCtes}
+        |SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+        |WHERE vec_id NOT IN (SELECT id FROM grp WHERE id != group_id)
+        |ORDER BY vec_id""".stripMargin
       }))
 }

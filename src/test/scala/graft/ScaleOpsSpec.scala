@@ -210,6 +210,24 @@ class Round6OpsSpec extends SparkSpec {
     assert(r.map(_._1).toSet == Set(3L, 4L)) // nearest different-label first
   }
 
+  test("fillQuota: exclusive-cumsum admission — bounded overshoot, never empty") {
+    val docs = (1L to 20L).map(i => ("a", i, 10L)) ++
+      (21L to 24L).map(i => ("b", i, 100L))
+    val df = docs.toDF("dom", "id", "cost")
+    val quotas = Seq(("a", 35L), ("b", 1L)).toDF("dom", "quota")
+    val r = graft.ops.Sampling.fillQuota(df, Seq("dom"), "id", "cost", quotas)
+      .as[(String, Long, Long)].collect()
+    val byDom = r.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    // a: exclusive cumsum < 35 admits exactly ceil(35/10)=4 rows (40)
+    assert(byDom("a") == 40L)
+    // b: quota 1 still admits exactly one 100-cost row
+    assert(byDom("b") == 100L)
+    // deterministic: md5 layout replays identically
+    val r2 = graft.ops.Sampling.fillQuota(df.repartition(7), Seq("dom"),
+      "id", "cost", quotas).as[(String, Long, Long)].collect()
+    assert(r.toSet == r2.toSet)
+  }
+
   test("allocateBudget: quotas sum to the budget, remainder by largest fraction") {
     // weights 5/3/2 over budget 7: floors 3/2/1 (sum 6), remainders
     // 5/1/4 -> the single leftover unit goes to key a (largest rem)
