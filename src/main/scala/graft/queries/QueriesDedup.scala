@@ -155,5 +155,58 @@ object QueriesDedup {
         |FROM base
         |WHERE doc_id NOT IN (SELECT id FROM grp WHERE id != group_id)
         |ORDER BY doc_id""".stripMargin
-      }))
+      }),
+
+    // ---- q186: eval-set leakage exclusion ----------------------------
+    // The train/eval decontamination gate (the Pile / GPT-3 practice):
+    // after an 80/20 hash split, any eval doc with a FUZZY near-dup
+    // (LSH candidate at Jaccard >= 0.5) on the other side of the split
+    // is excluded — evaluating on a paraphrase of a training doc
+    // inflates the score without verbatim overlap (which q167's exact
+    // 8-gram gate would catch). Pairs come from the verified LSH
+    // machinery; only the candidate set is ever scored, never train x
+    // eval.
+    QueryDef("q186_eval_leak_exclusion",
+      (s, d) => {
+        val docs = documents(s, d)
+        val split = Sampling.hashSplit(docs, "doc_id", 80, 0)
+          .select(col("doc_id"), col("split"))
+        val cand = Dedup.lshCandidatePairs(docs, "doc_id", "text",
+          ShingleN, K, Bands)
+        val near = Dedup.jaccard(cand.select("id_a", "id_b"),
+            docs, "doc_id", "text", ShingleN)
+          .where(col("jaccard") >= 0.5)
+        val sa = split.select(col("doc_id").as("id_a"), col("split").as("split_a"))
+        val sb = split.select(col("doc_id").as("id_b"), col("split").as("split_b"))
+        val leaked = near.join(sa, "id_a").join(sb, "id_b")
+          .where(col("split_a") =!= col("split_b"))
+          .select(when(col("split_a") === "test", col("id_a"))
+            .otherwise(col("id_b")).as("doc_id"))
+          .distinct()
+        split.where(col("split") === "test")
+          .join(leaked, Seq("doc_id"), "left_anti")
+          .select("doc_id")
+          .orderBy("doc_id")
+      },
+      Some(s"""${lshCtes()},
+        |shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM shx GROUP BY 1),
+        |inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+        |  FROM cand c JOIN shx a ON a.doc_id = c.id_a
+        |  JOIN shx b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        |  GROUP BY 1, 2),
+        |near AS (SELECT i.id_a, i.id_b FROM inter i
+        |  JOIN sz za ON za.doc_id = i.id_a JOIN sz zb ON zb.doc_id = i.id_b
+        |  WHERE round(CAST(i.n_inter AS DOUBLE)
+        |    / (za.sz + zb.sz - i.n_inter), 6) >= 0.5),
+        |sp AS (SELECT doc_id,
+        |  CASE WHEN ${DuckSql.hashLong("doc_id")} % 100 < 80 THEN 'train'
+        |       ELSE 'test' END AS split FROM documents),
+        |leak AS (SELECT CASE WHEN sa.split = 'test' THEN n.id_a ELSE n.id_b
+        |    END AS doc_id
+        |  FROM near n JOIN sp sa ON sa.doc_id = n.id_a
+        |  JOIN sp sb ON sb.doc_id = n.id_b WHERE sa.split != sb.split)
+        |SELECT doc_id FROM sp WHERE split = 'test'
+        |  AND doc_id NOT IN (SELECT doc_id FROM leak)
+        |ORDER BY doc_id""".stripMargin)))
 }
