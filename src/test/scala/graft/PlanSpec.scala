@@ -265,12 +265,43 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Window"), p.take(3000))
     // one explicit repartition exchange + the presentation sort's range
     // exchange — chunk building itself never shuffles
-    assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 2, p.take(3000))
+    assert(p.linesIterator.count(_.contains("+- Exchange")) <= 2, p.take(3000))
   }
 
   test("q177: quality survivorship is an argmax aggregate, never a window sort") {
     val p = planOf("q177_quality_survivors")
     assert(!p.contains("Window"), p.take(3000))
     assert(p.contains("LeftAnti"), p.take(3000))
+  }
+
+  test("q180: segment dedup anti-joins the frequent set, never doc x doc") {
+    val p = planOf("q180_segment_dedup")
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
+  test("q182: percentile thresholds broadcast back onto the data") {
+    val p = planOf("q182_domain_percentile_gate")
+    // the data-side join against the one-row-per-domain threshold table
+    // must be a broadcast, and the cumulative window must not run over
+    // the documents relation directly (it runs over (domain, score)
+    // aggregate rows — an Aggregate feeds the Window, i.e. appears
+    // BELOW it in the printed tree)
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    val lines = p.linesIterator.toSeq
+    val wIdx = lines.indexWhere(_.contains("Window"))
+    assert(wIdx >= 0, p.take(3000))
+    assert(lines.drop(wIdx).exists(_.contains("HashAggregate")),
+      lines.drop(wIdx).mkString("\n"))
+  }
+
+  test("q185: quota fill is per-domain windows over a broadcast quota join") {
+    val p = planOf("q185_mixture_fill")
+    // one window for the quota rank (domain rows), one for the
+    // exclusive cumsum (per-domain data rows) — nothing else
+    assert(p.linesIterator.count(_.contains("Window [")) <= 2, p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 }
