@@ -17,13 +17,22 @@ import org.apache.spark.sql.functions._
   * each O(|E|) scan, never a per-node driver loop.
   *
   * Edge-frame discipline shared by all three operators: the edge list
-  * is REPARTITIONED BY src AND SORTED once, before its one-time
-  * checkpoint (LogicalRDD preserves both partitioning and ordering),
-  * so every round's src-keyed equi-join reuses that layout — the
-  * O(|E|) side is scanned in place each round and only the O(|V|)
-  * rank/frontier frame moves (and when THAT side is small enough the
-  * planner broadcasts it instead — either way the edges never
-  * re-shuffle or re-sort inside the loop).
+  * is REPARTITIONED BY src AND SORTED once, then persisted (see
+  * `layoutEdges` — the cached InMemoryRelation keeps that layout
+  * visible to the planner, which a localCheckpoint would not), so
+  * every round's src-keyed equi-join reuses it — the O(|E|) side is
+  * scanned in place each round and only the O(|V|) rank/frontier
+  * frame moves (and when THAT side is small enough the planner
+  * broadcasts it instead — either way the edges never re-shuffle or
+  * re-sort inside the loop).
+  *
+  * The PER-ROUND eager localCheckpoint of the rank/frontier frame is
+  * load-bearing for plan quality, not just lineage hygiene: each
+  * checkpoint hands the next round's planner an exact materialized
+  * size (LogicalRDD stats), so the O(|V|)-side joins plan as
+  * broadcasts. Batching rounds between checkpoints was measured
+  * SLOWER (q145 4.9 -> 6.8 s at sf0.1): the deep un-materialized plan
+  * loses those stats and falls back to shuffle joins mid-loop.
   */
 object Graph {
 
