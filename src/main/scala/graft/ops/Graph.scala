@@ -115,24 +115,30 @@ object Graph {
                dampNum: Long = 85L, assumeLaidOut: Boolean = false): DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
     val e = edgeFrame(edges, srcCol, dstCol, assumeLaidOut)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("__deg")).localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+    // out-degree is static, so it RIDES IN the rank frame (joined once
+    // here, carried through every round) — each round then builds its
+    // per-source contributions with a projection instead of a
+    // ranks-deg join. Sink nodes carry a null degree; they emit no
+    // contribution row (no matching src in e), so the null never
+    // reaches the arithmetic.
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
+      .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left")
       .localCheckpoint()
 
     var ranks = nodes.withColumn("rank_micro", lit(1000000L))
     for (_ <- 1 to iters) {
-      val perSrc = ranks.withColumnRenamed("id", "src")
-        .join(deg, "src")
-        .select(col("src"), expr("rank_micro div __deg").as("__c"))
+      val perSrc = ranks.where(col("__deg").isNotNull)
+        .select(col("id").as("src"), expr("rank_micro div __deg").as("__c"))
       val contrib = e.join(perSrc, "src")
         .select(col("dst").as("id"), col("__c"))
       val sums = contrib.groupBy("id").agg(sum(col("__c")).as("__s"))
       val old = ranks
       ranks = nodes
         .join(sums, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("__deg"),
           (lit(base) + expr(s"($dampNum * coalesce(__s, 0L)) div 100"))
             .as("rank_micro"))
         .localCheckpoint()
@@ -141,10 +147,9 @@ object Graph {
     }
     // the returned frame is a self-contained checkpoint: the loop
     // scaffolding's blocks are dead and must not outlive the call
-    Checkpoints.free(deg)
     Checkpoints.free(nodes)
     if (!assumeLaidOut) Checkpoints.free(e)
-    ranks
+    ranks.select("id", "rank_micro")
   }
 
   /** PageRank with DANGLING-MASS REDISTRIBUTION — the renormalized
@@ -172,45 +177,43 @@ object Graph {
                             assumeLaidOut: Boolean = false): DataFrame = {
     require(iters >= 1, "pageRankRedistributed needs at least one iteration")
     val e = edgeFrame(edges, srcCol, dstCol, assumeLaidOut)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("__deg")).localCheckpoint()
+    // out-degree rides in the node frame (the pageRank discipline) —
+    // and doubles as dangling membership: __deg IS NULL ⟺ the node
+    // has no out-edges, so the per-round dangling-mass sum is a
+    // filter + aggregate, no membership join at all.
+    val deg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
-      .localCheckpoint()
-    // dangling membership and node count never change across rounds
-    val dangling = nodes
-      .join(e.select(col("src").as("id")), Seq("id"), "left_anti")
+      .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left")
       .localCheckpoint()
     val nCnt = nodes.agg(count(lit(1)).as("__n")).localCheckpoint()
 
     var ranks = nodes.withColumn("rank_micro", lit(1000000L))
     for (_ <- 1 to iters) {
-      val perSrc = ranks.withColumnRenamed("id", "src")
-        .join(deg, "src")
-        .select(col("src"), expr("rank_micro div __deg").as("__c"))
+      val perSrc = ranks.where(col("__deg").isNotNull)
+        .select(col("id").as("src"), expr("rank_micro div __deg").as("__c"))
       val contrib = e.join(perSrc, "src")
         .select(col("dst").as("id"), col("__c"))
       val sums = contrib.groupBy("id").agg(sum(col("__c")).as("__s"))
-      val dsum = ranks.join(dangling, Seq("id"), "left_semi")
+      val dsum = ranks.where(col("__deg").isNull)
         .agg(coalesce(sum("rank_micro"), lit(0L)).as("__d"))
       val old = ranks
       ranks = nodes
         .join(sums, Seq("id"), "left")
         .crossJoin(broadcast(dsum))
         .crossJoin(broadcast(nCnt))
-        .select(col("id"),
+        .select(col("id"), col("__deg"),
           (lit(base) +
             expr(s"($dampNum * (coalesce(__s, 0L) + (__d div __n))) div 100"))
             .as("rank_micro"))
         .localCheckpoint()
       Checkpoints.free(old)
     }
-    Checkpoints.free(deg)
     Checkpoints.free(nodes)
-    Checkpoints.free(dangling)
     Checkpoints.free(nCnt)
     if (!assumeLaidOut) Checkpoints.free(e)
-    ranks
+    ranks.select("id", "rank_micro")
   }
 
   /** PERSONALIZED PageRank (random-walk-with-restart): rank mass
@@ -232,36 +235,38 @@ object Graph {
                            assumeLaidOut: Boolean = false): DataFrame = {
     require(iters >= 1, "personalizedPageRank needs at least one iteration")
     val e = edgeFrame(edges, srcCol, dstCol, assumeLaidOut)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("__deg")).localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
     val seedIds = seeds.select(col(seeds.columns.head).cast("long").as("id"))
       .distinct()
+    // seed flag AND out-degree both ride in the node frame (joined
+    // once) — rounds project contributions instead of joining deg
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
       .join(seedIds.withColumn("__seed", lit(1L)), Seq("id"), "left")
-      .select(col("id"), coalesce(col("__seed"), lit(0L)).as("__seed"))
+      .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__seed"), lit(0L)).as("__seed"),
+        col("__deg"))
       .localCheckpoint()
 
     var ranks = nodes.withColumn("rank_micro",
       when(col("__seed") === 1L, lit(1000000L)).otherwise(lit(0L)))
     for (_ <- 1 to iters) {
-      val perSrc = ranks.withColumnRenamed("id", "src")
-        .join(deg, "src")
-        .select(col("src"), expr("rank_micro div __deg").as("__c"))
+      val perSrc = ranks.where(col("__deg").isNotNull)
+        .select(col("id").as("src"), expr("rank_micro div __deg").as("__c"))
       val contrib = e.join(perSrc, "src")
         .select(col("dst").as("id"), col("__c"))
       val sums = contrib.groupBy("id").agg(sum(col("__c")).as("__s"))
       val old = ranks
       ranks = nodes
         .join(sums, Seq("id"), "left")
-        .select(col("id"), col("__seed"),
+        .select(col("id"), col("__seed"), col("__deg"),
           (when(col("__seed") === 1L, lit(base)).otherwise(lit(0L)) +
             expr(s"($dampNum * coalesce(__s, 0L)) div 100"))
             .as("rank_micro"))
         .localCheckpoint()
       Checkpoints.free(old)
     }
-    Checkpoints.free(deg)
     Checkpoints.free(nodes)
     if (!assumeLaidOut) Checkpoints.free(e)
     ranks.select("id", "rank_micro")
