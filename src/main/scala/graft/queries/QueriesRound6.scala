@@ -490,5 +490,59 @@ object QueriesRound6 {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
         |  FROM toks t JOIN qq USING (lang, source))
         |SELECT doc_id, lang, source, n_toks FROM c
-        |WHERE cum < quota ORDER BY doc_id""".stripMargin)))
+        |WHERE cum < quota ORDER BY doc_id""".stripMargin)),
+
+    // ---- q187: temperature-weighted mixture plan ---------------------
+    // τ=0.5 temperature sampling (the multilingual-pretraining default
+    // for upweighting low-resource domains): allocation weights are
+    // floor(sqrt(token_count)) instead of raw counts, then the same
+    // largest-remainder apportionment as q181. IEEE sqrt is correctly
+    // rounded in both engines and the floor lands on an integer, so
+    // the plan stays bit-replayable.
+    QueryDef("q187_temperature_mixture",
+      (s, d) => {
+        val w = documents(s, d)
+          .select(col("lang"), col("source"),
+            size(Text.tokens(col("text"))).cast("long").as("__n"))
+          .groupBy("lang", "source").agg(sum("__n").as("raw_tokens"))
+          .withColumn("weight",
+            floor(sqrt(col("raw_tokens").cast("double"))).cast("long"))
+        Sampling.allocateBudget(w.select("lang", "source", "raw_tokens",
+            "weight"), Seq("lang", "source", "raw_tokens"), "weight", 12000L)
+          .orderBy("lang", "source")
+      },
+      Some(s"""WITH w AS (SELECT lang, source,
+        |    CAST(sum(len(${DuckSql.toks("text")})) AS BIGINT) AS raw_tokens,
+        |    CAST(floor(sqrt(CAST(sum(len(${DuckSql.toks("text")}))
+        |      AS DOUBLE))) AS BIGINT) AS weight
+        |  FROM documents GROUP BY 1, 2),
+        |q AS (SELECT lang, source, raw_tokens, weight,
+        |    (12000 * weight) // (SELECT sum(weight) FROM w) AS fq,
+        |    (12000 * weight) % (SELECT sum(weight) FROM w) AS rem FROM w),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang, source,
+        |    raw_tokens) AS rk FROM q)
+        |SELECT lang, source, raw_tokens, weight,
+        |  CAST(fq + CASE WHEN rk <= (SELECT 12000 - sum(fq) FROM q)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |FROM r ORDER BY lang, source""".stripMargin)),
+
+    // ---- q188: text-format sink/source roundtrip ---------------------
+    // Completes the format matrix (parquet/JSON/CSV/ORC/binaryFile +
+    // text): document bodies written as one-column text files and read
+    // back byte-identically — the interchange format raw-corpus drops
+    // actually arrive in. Hash-compared via md5 against the original
+    // table (single-line docs, so one line == one doc).
+    QueryDef("q188_text_roundtrip",
+      (s, d) => {
+        val base = documents(s, d).select(col("text"))
+        val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_text_rt_${math.abs(d.hashCode)}").getPath
+        base.write.mode("overwrite").text(dir)
+        s.read.text(dir)
+          .select(md5(col("value")).as("doc_md5"))
+          .groupBy("doc_md5").agg(count(lit(1)).as("n"))
+          .orderBy("doc_md5")
+      },
+      Some("""SELECT md5(text) AS doc_md5, count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)))
 }
