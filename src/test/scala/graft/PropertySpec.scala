@@ -224,6 +224,91 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: allocateBudget quotas are exact-apportionment bounded") {
+    // random positive weights: Σ quota == budget and every quota is
+    // floor(budget*w/W) or floor+1 (the largest-remainder guarantee)
+    val ws = samples(Gen.listOfN(40, Gen.chooseNum(1L, 5000L)), 5)
+    ws.zipWithIndex.foreach { case (weights, i) =>
+      val budget = 10000L + i * 977L
+      val df = weights.zipWithIndex.map { case (w, j) => (s"d$j", w) }
+        .toDF("dom", "weight")
+      val out = graft.ops.Sampling.allocateBudget(df, Seq("dom"), "weight", budget)
+        .as[(String, Long, Long)].collect()
+      val tot = weights.sum
+      assert(out.map(_._3).sum == budget, s"run $i: sum != budget")
+      out.foreach { case (_, w, q) =>
+        val fl = budget * w / tot
+        assert(q == fl || q == fl + 1, s"run $i: quota $q outside [$fl, ${fl + 1}]")
+      }
+    }
+  }
+
+  test("property: fillQuota admits a prefix — bounded overshoot, never empty") {
+    val costs = samples(Gen.listOfN(60, Gen.chooseNum(1L, 500L)), 3)
+    costs.zipWithIndex.foreach { case (cs, i) =>
+      val rows = cs.zipWithIndex.map { case (c, j) => (s"d${j % 4}", j.toLong, c) }
+      val df = rows.toDF("dom", "id", "cost")
+      val quotas = (0 until 4).map(k => (s"d$k", 300L + 100L * k)).toDF("dom", "quota")
+      val sel = graft.ops.Sampling.fillQuota(df, Seq("dom"), "id", "cost", quotas)
+        .as[(String, Long, Long)].collect()
+      val byDom = sel.groupBy(_._1)
+      (0 until 4).foreach { k =>
+        val dom = s"d$k"; val quota = 300L + 100L * k
+        val domRows = rows.filter(_._1 == dom)
+        if (domRows.nonEmpty) {
+          val got = byDom.get(dom).map(_.toSeq).getOrElse(Seq.empty)
+          assert(got.nonEmpty, s"run $i: funded domain $dom came back empty")
+          val total = got.map(_._3).sum
+          val maxCost = domRows.map(_._3).max
+          assert(total < quota + maxCost,
+            s"run $i: $dom total $total >= quota $quota + max $maxCost")
+          // admitted set is a subset of the domain's rows
+          assert(got.map(_._2).toSet.subsetOf(domRows.map(_._2).toSet))
+        }
+      }
+    }
+  }
+
+  test("property: segmentDedup accounting is total; no-op cap drops nothing") {
+    val docs = samples(unicodeText, 40).zipWithIndex
+      .map { case (t, i) => (i.toLong, t + " tail" + (i % 3)) }
+    val df = docs.toDF("doc_id", "text")
+    // cap above the doc count: nothing can be dropped
+    val lax = graft.ops.Dedup.segmentDedup(df, "doc_id", "text",
+        segTokens = 3, maxDocs = docs.length + 1)
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(lax.length == docs.length)
+    lax.foreach { case (_, segs, kept, dropped, _) =>
+      assert(dropped == 0L && kept == segs)
+    }
+    // tight cap: accounting still total, never negative
+    val tight = graft.ops.Dedup.segmentDedup(df, "doc_id", "text",
+        segTokens = 3, maxDocs = 1)
+      .as[(Long, Long, Long, Long, String)].collect()
+    tight.foreach { case (_, segs, kept, dropped, _) =>
+      assert(kept + dropped == segs && kept >= 0 && dropped >= 0)
+    }
+  }
+
+  test("property: domainPercentileGate keeps at least the top (100-pct)%") {
+    val scores = samples(Gen.listOfN(80, Gen.chooseNum(0L, 50L)), 3)
+    scores.zipWithIndex.foreach { case (ss, i) =>
+      val rows = ss.zipWithIndex.map { case (s, j) => (s"d${j % 3}", j.toLong, s) }
+      val df = rows.toDF("dom", "id", "score")
+      val pct = 25 * (i + 1) // 25, 50, 75
+      val kept = graft.ops.Text.domainPercentileGate(df, "dom", "score", pct)
+        .as[(String, Long, Long, Long)].collect()
+      rows.groupBy(_._1).foreach { case (dom, domRows) =>
+        val total = domRows.length
+        val r = (total * pct + 99) / 100 // ceil — the threshold's rank
+        val got = kept.count(_._1 == dom)
+        // scores strictly below the threshold number at most r-1
+        assert(got >= total - (r - 1).max(0),
+          s"run $i: $dom kept $got < ${total - (r - 1).max(0)} of $total at pct $pct")
+      }
+    }
+  }
+
   test("property: SegmentMerge preserves word mass and time span") {
     val segs = samples(segmentGen, 100).zipWithIndex
       .map { case (s, i) => ("k" + (i % 5), s) }
