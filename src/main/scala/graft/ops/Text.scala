@@ -343,17 +343,54 @@ object Text {
     * must be non-null. */
   def domainPercentileGate(df: DataFrame, domainCol: String,
                            scoreCol: String, pct: Int): DataFrame = {
+    val thr = domainPercentileThreshold(df, domainCol, scoreCol, pct)
+    df.join(broadcast(thr), Seq(domainCol))
+      .where(col(scoreCol) >= col("threshold"))
+  }
+
+  /** The per-domain percentile_disc threshold [[domainPercentileGate]]
+    * gates on, as a standalone (domain, threshold) frame — reused by
+    * any two-pass robust statistic (median, MAD) that needs an exact
+    * order statistic per group without a data-row window. */
+  def domainPercentileThreshold(df: DataFrame, domainCol: String,
+                                scoreCol: String, pct: Int): DataFrame = {
     require(pct >= 0 && pct <= 100, s"pct must be 0..100, got $pct")
     val c = df.groupBy(col(domainCol), col(scoreCol))
       .agg(count(lit(1)).as("__cnt"))
     val t = c.groupBy(col(domainCol)).agg(sum("__cnt").as("__total"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(domainCol)).orderBy(col(scoreCol))
-    val thr = c.join(t, Seq(domainCol))
+    c.join(t, Seq(domainCol))
       .withColumn("__run", sum(col("__cnt")).over(w))
       .where(col("__run") >= expr(s"(__total * $pct + 99) div 100"))
       .groupBy(col(domainCol)).agg(min(col(scoreCol)).as("threshold"))
-    df.join(broadcast(thr), Seq(domainCol))
-      .where(col(scoreCol) >= col("threshold"))
+  }
+
+  /** Per-domain ROBUST outliers — median + MAD in exact integer math
+    * (the q124 global two-pass MAD, made per-group): a row is an
+    * outlier when |score - median| * 100 > k100 * MAD, i.e. score is
+    * more than k100/100 MADs from its domain's median. Both order
+    * statistics are percentile_disc(50) via
+    * [[domainPercentileThreshold]], so every comparison is BIGINT and
+    * replays bit-identically (no float robust-scale estimate). Output:
+    * the outlier rows with their domain median and MAD attached.
+    *
+    * Two passes over the data (median, then deviation median), each a
+    * count-collapse + domain-bounded window + broadcast back — the
+    * same shape as the gate, never a data-row window. MAD == 0 (over
+    * half the domain at one value) flags every off-median row; the
+    * caller can pre-bucket scores if that is too strict. */
+  def domainRobustOutliers(df: DataFrame, domainCol: String,
+                           scoreCol: String, k100: Long): DataFrame = {
+    require(k100 > 0, s"k100 must be positive, got $k100")
+    val med = domainPercentileThreshold(df, domainCol, scoreCol, 50)
+      .withColumnRenamed("threshold", "median")
+    val dev = df.join(broadcast(med), Seq(domainCol))
+      .withColumn("__adev", abs(col(scoreCol) - col("median")))
+    val mad = domainPercentileThreshold(dev, domainCol, "__adev", 50)
+      .withColumnRenamed("threshold", "mad")
+    dev.join(broadcast(mad), Seq(domainCol))
+      .where(col("__adev") * 100 > col("mad") * k100)
+      .drop("__adev")
   }
 }

@@ -544,5 +544,41 @@ object QueriesRound6 {
           .orderBy("doc_md5")
       },
       Some("""SELECT md5(text) AS doc_md5, count(*) AS n
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)))
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- q189: per-domain robust outliers (median + MAD) -------------
+    // q124's two-pass MAD made per-group: docs more than 3 MADs from
+    // their language's median length. Both order statistics are exact
+    // integer percentile_disc(50) (the q182 machinery), so the
+    // comparison |score - median|*100 > mad*300 is all-BIGINT and
+    // replays bit-identically — a robust per-domain gate no float
+    // stddev could oracle this tightly.
+    QueryDef("q189_robust_outliers",
+      (s, d) => Text.domainRobustOutliers(
+          documents(s, d).select("doc_id", "lang", "n_chars"),
+          "lang", "n_chars", k100 = 150L)
+        .select("doc_id", "lang", "n_chars", "median", "mad")
+        .orderBy("doc_id"),
+      Some("""WITH c AS (SELECT lang, n_chars AS s, count(*) AS cnt
+        |    FROM documents GROUP BY 1, 2),
+        |t AS (SELECT lang, sum(cnt) AS total FROM c GROUP BY 1),
+        |r AS (SELECT c.lang, s, total,
+        |    sum(cnt) OVER (PARTITION BY c.lang ORDER BY s) AS run
+        |  FROM c JOIN t USING (lang)),
+        |med AS (SELECT lang, min(s) AS median FROM r
+        |  WHERE run >= (total * 50 + 99) // 100 GROUP BY 1),
+        |dev AS (SELECT d.doc_id, d.lang, d.n_chars, med.median,
+        |    abs(d.n_chars - med.median) AS adev
+        |  FROM documents d JOIN med USING (lang)),
+        |c2 AS (SELECT lang, adev, count(*) AS cnt FROM dev GROUP BY 1, 2),
+        |t2 AS (SELECT lang, sum(cnt) AS total FROM c2 GROUP BY 1),
+        |r2 AS (SELECT c2.lang, adev, total,
+        |    sum(cnt) OVER (PARTITION BY c2.lang ORDER BY adev) AS run
+        |  FROM c2 JOIN t2 USING (lang)),
+        |mad AS (SELECT lang, min(adev) AS mad FROM r2
+        |  WHERE run >= (total * 50 + 99) // 100 GROUP BY 1)
+        |SELECT dev.doc_id, dev.lang, dev.n_chars, dev.median, mad.mad
+        |FROM dev JOIN mad USING (lang)
+        |WHERE dev.adev * 100 > mad.mad * 150
+        |ORDER BY doc_id""".stripMargin)))
 }
