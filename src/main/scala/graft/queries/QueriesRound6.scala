@@ -580,5 +580,47 @@ object QueriesRound6 {
         |SELECT dev.doc_id, dev.lang, dev.n_chars, dev.median, mad.mad
         |FROM dev JOIN mad USING (lang)
         |WHERE dev.adev * 100 > mad.mad * 150
-        |ORDER BY doc_id""".stripMargin)))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ---- q190: STREAMING EWMA parity ---------------------------------
+    // Sessions.streamingEwma (O(1) state per key — the scale path
+    // q129's chunked batch fold documents) driven through a genuine
+    // streaming plan and hash-matched against the SEQUENTIAL ordered
+    // fold: DuckDB's list_reduce seeds its accumulator with the first
+    // element, exactly the stream's n==0 convention, and both sides
+    // use the literal constants 0.3/0.7 (1.0-0.3 is a DIFFERENT
+    // double). Final state per key = the emitted row with the largest
+    // n — robust to any micro-batch split.
+    QueryDef("q190_streaming_ewma",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val sch = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        graft.streaming.Sessions.runStreamToBatch(s, d, sch,
+            globFilter = Some("events.parquet"),
+            outputMode = "update",
+            shufflePartitions = Some(4),
+            transform = st => graft.streaming.Sessions.streamingEwma(
+              st.select(col("user_id").as("key"),
+                expr("ts div 1000").as("ts_us"),
+                col("event_id").as("seq"),
+                col("value"))
+                .as[graft.streaming.ValEvent], alpha = 0.3, beta = 0.7).toDF())
+          .groupBy("key")
+          .agg(max(struct(col("n"), col("ewma"))).as("__last"))
+          .select(col("key"), col("__last.n").as("n"),
+            round(col("__last.ewma"), 6).as("ewma"))
+          .orderBy("key")
+      },
+      Some("""SELECT user_id AS key, CAST(len(vs) AS BIGINT) AS n,
+        |  round(list_reduce(vs, (acc, x) -> 0.3 * x + 0.7 * acc), 6) + 0
+        |    AS ewma
+        |FROM (SELECT user_id,
+        |    list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vs
+        |  FROM events GROUP BY 1)
+        |ORDER BY key""".stripMargin)))
 }
