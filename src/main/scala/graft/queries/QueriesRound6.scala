@@ -622,5 +622,74 @@ object QueriesRound6 {
         |FROM (SELECT user_id,
         |    list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vs
         |  FROM events GROUP BY 1)
-        |ORDER BY key""".stripMargin)))
+        |ORDER BY key""".stripMargin)),
+
+    // ---- q191: distribution drift (total-variation, integer-exact) ---
+    // The corpus-monitoring gate "did the event mix shift between
+    // periods?": per event_type, the micro-unit share delta
+    // |c1·N2 − c2·N1|·1e6 div (N1·N2) between the month's first and
+    // second half. Cross-multiplied BIGINTs — no per-row float
+    // division, no ln (what rules out PSI for bit-replay) — and the
+    // total-variation distance is Σ delta div 2. Two conditional
+    // aggregates + two broadcast scalars; a 100 TB drift check is one
+    // shuffle on the type key.
+    QueryDef("q191_distribution_drift",
+      (s, d) => {
+        val ev = events(s, d).select(col("event_type"),
+          when(expr("day(ts)") <= 15, lit(1)).otherwise(lit(2)).as("__p"))
+        val c = ev.groupBy("event_type")
+          .agg(sum(when(col("__p") === 1, 1L).otherwise(0L)).as("c1"),
+            sum(when(col("__p") === 2, 1L).otherwise(0L)).as("c2"))
+        val tot = c.agg(sum("c1").as("__n1"), sum("c2").as("__n2"))
+        c.crossJoin(broadcast(tot))
+          .select(col("event_type"), col("c1"), col("c2"),
+            expr("abs(c1 * __n2 - c2 * __n1) * 1000000L div (__n1 * __n2)")
+              .as("delta_micro"))
+          .orderBy("event_type")
+      },
+      Some("""WITH c AS (SELECT event_type,
+        |    CAST(count(*) FILTER (day(ts) <= 15) AS BIGINT) AS c1,
+        |    CAST(count(*) FILTER (day(ts) > 15) AS BIGINT) AS c2
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM c)
+        |SELECT event_type, c1, c2,
+        |  CAST(abs(c1 * t.n2 - c2 * t.n1) * 1000000 // (t.n1 * t.n2)
+        |    AS BIGINT) AS delta_micro
+        |FROM c, t ORDER BY event_type""".stripMargin)),
+
+    // ---- q192: packing efficiency report -----------------------------
+    // Before a packing run: how much padding would fixed windows of
+    // 128 tokens waste, by document-length decile-of-128 bucket? Per
+    // bucket: docs, tokens, chunks = ceil(toks/128), padding =
+    // chunks·128 − toks, and the waste in micro-units — the report
+    // that decides between padded windows and concat-and-chunk (q84).
+    // All integer; one hash-agg over per-doc token counts.
+    QueryDef("q192_packing_efficiency",
+      (s, d) => {
+        val toks = documents(s, d)
+          .select(size(Text.tokens(col("text"))).cast("long").as("__n"))
+          .where(col("__n") > 0)
+        toks.select(expr("__n div 32").as("len_bucket"), col("__n"),
+            expr("(__n + 127) div 128").as("__chunks"))
+          .groupBy("len_bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("__n").as("n_tokens"),
+            sum("__chunks").as("n_chunks"),
+            (sum("__chunks") * 128 - sum("__n")).as("padding"))
+          .withColumn("waste_micro",
+            expr("padding * 1000000L div (n_chunks * 128)"))
+          .orderBy("len_bucket")
+      },
+      Some(s"""WITH t AS (SELECT len(${DuckSql.toks("text")}) AS n
+        |    FROM documents),
+        |b AS (SELECT n // 32 AS len_bucket, n, (n + 127) // 128 AS chunks
+        |  FROM t WHERE n > 0)
+        |SELECT CAST(len_bucket AS BIGINT) AS len_bucket,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  CAST(sum(chunks) AS BIGINT) AS n_chunks,
+        |  CAST(sum(chunks) * 128 - sum(n) AS BIGINT) AS padding,
+        |  CAST((sum(chunks) * 128 - sum(n)) * 1000000
+        |    // (sum(chunks) * 128) AS BIGINT) AS waste_micro
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)))
 }
