@@ -16,15 +16,20 @@ import org.apache.spark.sql.functions._
   * frame, and the iteration count is a bounded knob — O(iters) rounds,
   * each O(|E|) scan, never a per-node driver loop.
   *
-  * Edge-frame discipline shared by all three operators: the edge list
-  * is REPARTITIONED BY src AND SORTED once, then persisted (see
-  * `layoutEdges` — the cached InMemoryRelation keeps that layout
-  * visible to the planner, which a localCheckpoint would not), so
-  * every round's src-keyed equi-join reuses it — the O(|E|) side is
-  * scanned in place each round and only the O(|V|) rank/frontier
-  * frame moves (and when THAT side is small enough the planner
-  * broadcasts it instead — either way the edges never re-shuffle or
-  * re-sort inside the loop).
+  * Edge-frame discipline shared by all the operators: the edge list
+  * is REPARTITIONED AND SORTED once on the key the LOOP aggregates
+  * on, then persisted (see `layoutEdges` — the cached
+  * InMemoryRelation keeps that layout visible to the planner, which
+  * a localCheckpoint would not), so the O(|E|) side is scanned in
+  * place each round and only the O(|V|) rank/frontier frame moves.
+  * Which key that is depends on the operator: the PageRank family
+  * and BFS join the small frame on src (a broadcast) and then
+  * aggregate the per-edge rows by DST, so a dst layout makes the
+  * per-round aggregation exchange-free (with the broadcast hint:
+  * q145 5.8 -> 3.9 s, q149 2.3 -> 1.6 s at sf0.1); k-core computes
+  * degrees by SRC, so it keeps the src layout. The one-time
+  * degree/node setup pays a single O(|E|) shuffle on the other key —
+  * amortized across rounds.
   *
   * The PER-ROUND eager localCheckpoint of the rank/frontier frame is
   * load-bearing for plan quality, not just lineage hygiene: each
@@ -37,11 +42,13 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /** Edge normalization + the one-time layout all rounds reuse:
-    * distinct (src, dst) pairs, hash-partitioned on src, sorted within
-    * partitions, checkpointed. ONE shuffle total: repartitioning on
-    * src comes FIRST, and HashPartitioning(src) already satisfies the
-    * (src, dst) clustering the dedup aggregate needs (equal pairs are
-    * equal on src), so the distinct adds no second exchange.
+    * distinct (src, dst) pairs, hash-partitioned on `layoutKey` (src
+    * or dst — pick the key the caller's loop AGGREGATES on, see the
+    * object doc), sorted within partitions, checkpointed. ONE shuffle
+    * total: the repartition comes FIRST, and HashPartitioning on
+    * either single key already satisfies the (src, dst) clustering
+    * the dedup aggregate needs (equal pairs are equal on each key),
+    * so the distinct adds no second exchange.
     *
     * Callers that derive other frames from the same edge list (seeds,
     * degree audits) should build it once via this function and pass
@@ -53,7 +60,7 @@ object Graph {
     * `UnknownPartitioning`, so every iteration's src-keyed join would
     * re-Exchange and re-Sort the full O(|E|) frame — the exact shuffle
     * this layout exists to pay once. The cached `InMemoryRelation`
-    * keeps `HashPartitioning(src)` and the within-partition sort
+    * keeps the `HashPartitioning` and the within-partition sort
     * visible to the planner (cached-plan partitioning is stable under
     * AQE), so per-round joins move only the O(|V|) rank frame. Lineage
     * is also kept, so an executor loss recomputes instead of killing
@@ -66,13 +73,16 @@ object Graph {
     * risk under preemption; that variant re-shuffles per round (the
     * resilience/throughput trade is the caller's). */
   def layoutEdges(edges: DataFrame, srcCol: String, dstCol: String,
-                  reliable: Boolean = false): DataFrame = {
+                  reliable: Boolean = false,
+                  layoutKey: String = "src"): DataFrame = {
+    require(layoutKey == "src" || layoutKey == "dst",
+      s"layoutKey must be src or dst, got $layoutKey")
     val laid = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-      .repartition(col("src"))
+      .repartition(col(layoutKey))
       .distinct()
-      .sortWithinPartitions("src")
+      .sortWithinPartitions(layoutKey)
     if (reliable) laid.checkpoint()
     else {
       val p = laid.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -82,8 +92,10 @@ object Graph {
   }
 
   private def edgeFrame(edges: DataFrame, srcCol: String, dstCol: String,
-                        assumeLaidOut: Boolean): DataFrame =
-    if (assumeLaidOut) edges else layoutEdges(edges, srcCol, dstCol)
+                        assumeLaidOut: Boolean,
+                        layoutKey: String = "src"): DataFrame =
+    if (assumeLaidOut) edges
+    else layoutEdges(edges, srcCol, dstCol, layoutKey = layoutKey)
 
   /** PageRank with INTEGER-EXACT arithmetic: scores live in micro-units
     * (a node starts at 1,000,000) and every step is BIGINT math —
@@ -103,18 +115,33 @@ object Graph {
     * co-occurrence (src↔dst both present) has no dangling nodes.
     *
     * Scale posture: the per-edge contribution is folded into the
-    * O(|V|) rank frame FIRST (rank div deg — one row per source), so
-    * the per-round join moves only that frame onto the pre-partitioned
-    * edge layout; the contribution aggregation is partial-combining on
-    * dst with AQE handling hub skew. Iteration count is fixed (default
-    * 3), not convergence-polled, so the job's shape is known in
-    * advance.
+    * O(|V|) rank frame FIRST (rank div deg — one row per source), and
+    * with `broadcastRanks = true` (the default) that frame carries an
+    * EXPLICIT broadcast hint: a rank frame re-born from a per-round
+    * localCheckpoint is a stats-less LogicalRDD, so the static planner
+    * quotes it at the default (huge) size and plans a sort-merge join
+    * — which EnsureRequirements backs with an O(|E|) Exchange of the
+    * edge frame, and AQE's late broadcast conversion cannot cancel a
+    * shuffle whose map stage already ran (measured: the hint took the
+    * one-round edge Exchange from the plan entirely). With the hint,
+    * a round touches the O(|E|) frame only as an in-place scan of the
+    * dst-partitioned cache, and the contribution aggregation that
+    * follows is partial-combining AND exchange-free. Set
+    * `broadcastRanks = false` when O(|V|) is too big for one executor
+    * (billions of nodes): rounds fall back to the src-layout
+    * shuffle-join shape, paying O(|E|) exchanges but never holding V
+    * in memory. Iteration count is fixed (default 3), not
+    * convergence-polled, so the job's shape is known in advance.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 3, base: Long = 150000L,
-               dampNum: Long = 85L, assumeLaidOut: Boolean = false): DataFrame = {
+               dampNum: Long = 85L, assumeLaidOut: Boolean = false,
+               broadcastRanks: Boolean = true): DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
-    val e = edgeFrame(edges, srcCol, dstCol, assumeLaidOut)
+    val hint: DataFrame => DataFrame =
+      if (broadcastRanks) df => broadcast(df) else df => df
+    val e = edgeFrame(edges, srcCol, dstCol, assumeLaidOut,
+      layoutKey = if (broadcastRanks) "dst" else "src")
     val deg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
     // out-degree is static, so it RIDES IN the rank frame (joined once
     // here, carried through every round) — each round then builds its
@@ -132,12 +159,12 @@ object Graph {
     for (_ <- 1 to iters) {
       val perSrc = ranks.where(col("__deg").isNotNull)
         .select(col("id").as("src"), expr("rank_micro div __deg").as("__c"))
-      val contrib = e.join(perSrc, "src")
+      val contrib = e.join(hint(perSrc), "src")
         .select(col("dst").as("id"), col("__c"))
       val sums = contrib.groupBy("id").agg(sum(col("__c")).as("__s"))
       val old = ranks
       ranks = nodes
-        .join(sums, Seq("id"), "left")
+        .join(hint(sums), Seq("id"), "left")
         .select(col("id"), col("__deg"),
           (lit(base) + expr(s"($dampNum * coalesce(__s, 0L)) div 100"))
             .as("rank_micro"))
@@ -174,9 +201,13 @@ object Graph {
   def pageRankRedistributed(edges: DataFrame, srcCol: String, dstCol: String,
                             iters: Int = 3, base: Long = 150000L,
                             dampNum: Long = 85L,
-                            assumeLaidOut: Boolean = false): DataFrame = {
+                            assumeLaidOut: Boolean = false,
+                            broadcastRanks: Boolean = true): DataFrame = {
     require(iters >= 1, "pageRankRedistributed needs at least one iteration")
-    val e = edgeFrame(edges, srcCol, dstCol, assumeLaidOut)
+    val hint: DataFrame => DataFrame =
+      if (broadcastRanks) df => broadcast(df) else df => df
+    val e = edgeFrame(edges, srcCol, dstCol, assumeLaidOut,
+      layoutKey = if (broadcastRanks) "dst" else "src")
     // out-degree rides in the node frame (the pageRank discipline) —
     // and doubles as dangling membership: __deg IS NULL ⟺ the node
     // has no out-edges, so the per-round dangling-mass sum is a
@@ -193,14 +224,14 @@ object Graph {
     for (_ <- 1 to iters) {
       val perSrc = ranks.where(col("__deg").isNotNull)
         .select(col("id").as("src"), expr("rank_micro div __deg").as("__c"))
-      val contrib = e.join(perSrc, "src")
+      val contrib = e.join(hint(perSrc), "src")
         .select(col("dst").as("id"), col("__c"))
       val sums = contrib.groupBy("id").agg(sum(col("__c")).as("__s"))
       val dsum = ranks.where(col("__deg").isNull)
         .agg(coalesce(sum("rank_micro"), lit(0L)).as("__d"))
       val old = ranks
       ranks = nodes
-        .join(sums, Seq("id"), "left")
+        .join(hint(sums), Seq("id"), "left")
         .crossJoin(broadcast(dsum))
         .crossJoin(broadcast(nCnt))
         .select(col("id"), col("__deg"),
@@ -232,9 +263,13 @@ object Graph {
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
                            seeds: DataFrame, iters: Int = 3,
                            base: Long = 150000L, dampNum: Long = 85L,
-                           assumeLaidOut: Boolean = false): DataFrame = {
+                           assumeLaidOut: Boolean = false,
+                           broadcastRanks: Boolean = true): DataFrame = {
     require(iters >= 1, "personalizedPageRank needs at least one iteration")
-    val e = edgeFrame(edges, srcCol, dstCol, assumeLaidOut)
+    val hint: DataFrame => DataFrame =
+      if (broadcastRanks) df => broadcast(df) else df => df
+    val e = edgeFrame(edges, srcCol, dstCol, assumeLaidOut,
+      layoutKey = if (broadcastRanks) "dst" else "src")
     val deg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
     val seedIds = seeds.select(col(seeds.columns.head).cast("long").as("id"))
       .distinct()
@@ -254,12 +289,12 @@ object Graph {
     for (_ <- 1 to iters) {
       val perSrc = ranks.where(col("__deg").isNotNull)
         .select(col("id").as("src"), expr("rank_micro div __deg").as("__c"))
-      val contrib = e.join(perSrc, "src")
+      val contrib = e.join(hint(perSrc), "src")
         .select(col("dst").as("id"), col("__c"))
       val sums = contrib.groupBy("id").agg(sum(col("__c")).as("__s"))
       val old = ranks
       ranks = nodes
-        .join(sums, Seq("id"), "left")
+        .join(hint(sums), Seq("id"), "left")
         .select(col("id"), col("__seed"), col("__deg"),
           (when(col("__seed") === 1L, lit(base)).otherwise(lit(0L)) +
             expr(s"($dampNum * coalesce(__s, 0L)) div 100"))
@@ -300,9 +335,12 @@ object Graph {
     * checkpointed once and never re-shuffles. Round cost is O(|E|)
     * scan + O(surviving V) state, never per-node driver work. */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
-            k: Int, rounds: Int = 3): DataFrame = {
+            k: Int, rounds: Int = 3,
+            broadcastAlive: Boolean = true): DataFrame = {
     require(k >= 1, "kCore needs k >= 1")
     require(rounds >= 1, "kCore needs at least one round")
+    val hint: DataFrame => DataFrame =
+      if (broadcastAlive) df => broadcast(df) else df => df
     val directed = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
@@ -312,8 +350,8 @@ object Graph {
     var alive = e.select(col("src").as("id")).distinct().localCheckpoint()
     for (_ <- 1 to rounds) {
       val deg = e
-        .join(alive.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
-        .join(alive.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        .join(hint(alive.withColumnRenamed("id", "src")), Seq("src"), "left_semi")
+        .join(hint(alive.withColumnRenamed("id", "dst")), Seq("dst"), "left_semi")
         .groupBy("src").agg(count(lit(1)).as("__deg"))
       val old = alive
       alive = deg.where(col("__deg") >= k)
@@ -327,8 +365,8 @@ object Graph {
     // have an edge". Checkpointed so the O(|E|) scaffolding can be
     // freed before return (the result is O(survivors) small).
     val deg = e
-      .join(alive.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
-      .join(alive.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      .join(hint(alive.withColumnRenamed("id", "src")), Seq("src"), "left_semi")
+      .join(hint(alive.withColumnRenamed("id", "dst")), Seq("dst"), "left_semi")
       .groupBy("src").agg(count(lit(1)).as("__deg"))
     val out = alive
       .join(deg.select(col("src").as("id"), col("__deg")), Seq("id"), "left")
@@ -363,9 +401,13 @@ object Graph {
   def boundedBfs(edges: DataFrame, srcCol: String, dstCol: String,
                  seeds: DataFrame, hops: Int,
                  frontierOnly: Boolean = false,
-                 assumeLaidOut: Boolean = false): DataFrame = {
+                 assumeLaidOut: Boolean = false,
+                 broadcastFrontier: Boolean = true): DataFrame = {
     require(hops >= 0, "boundedBfs needs a non-negative hop bound")
-    val e = edgeFrame(edges, srcCol, dstCol, assumeLaidOut)
+    val hint: DataFrame => DataFrame =
+      if (broadcastFrontier) df => broadcast(df) else df => df
+    val e = edgeFrame(edges, srcCol, dstCol, assumeLaidOut,
+      layoutKey = if (broadcastFrontier) "dst" else "src")
     var dist = seeds.select(col(seeds.columns.head).cast("long").as("id"))
       .distinct()
       .withColumn("dist", lit(0L))
@@ -373,7 +415,7 @@ object Graph {
     if (frontierOnly) {
       var frontier = dist
       for (_ <- 1 to hops) {
-        val fresh = e.join(frontier.withColumnRenamed("id", "src"), "src")
+        val fresh = e.join(hint(frontier.withColumnRenamed("id", "src")), "src")
           .select(col("dst").as("id"), (col("dist") + 1).as("dist"))
           .groupBy("id").agg(min("dist").as("dist"))
           .join(dist, Seq("id"), "left_anti")
@@ -391,7 +433,7 @@ object Graph {
       if (!(frontier eq dist)) Checkpoints.free(frontier)
     } else {
       for (_ <- 1 to hops) {
-        val next = e.join(dist.withColumnRenamed("id", "src"), "src")
+        val next = e.join(hint(dist.withColumnRenamed("id", "src")), "src")
           .select(col("dst").as("id"), (col("dist") + 1).as("dist"))
         val old = dist
         dist = dist.union(next)

@@ -307,7 +307,7 @@ object QueriesRound5 {
           li.withColumnRenamed("l_partkey", "src")
             .join(li.withColumnRenamed("l_partkey", "dst"), "l_orderkey")
             .where(col("src") =!= col("dst")),
-          "src", "dst")
+          "src", "dst", layoutKey = "dst")
         val seeds = e.select(col("src").as("id")).where(col("id") % 89 === 0)
         Relational.topK(
             Graph.personalizedPageRank(e, "src", "dst", seeds, iters = 2,

@@ -59,7 +59,7 @@ object QueriesScaleExt {
           li.withColumnRenamed("l_partkey", "src")
             .join(li.withColumnRenamed("l_partkey", "dst"), "l_orderkey")
             .where(col("src") =!= col("dst")),
-          "src", "dst")
+          "src", "dst", layoutKey = "dst")
         val seeds = e.select(col("src").as("id")).where(col("id") % 97 === 0)
         Graph.boundedBfs(e, "src", "dst", seeds, hops = 3, assumeLaidOut = true)
           .select(col("id").as("part_id"), col("dist"))
