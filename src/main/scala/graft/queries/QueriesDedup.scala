@@ -11,13 +11,14 @@ import org.apache.spark.sql.functions._
   */
 object QueriesDedup {
 
-  private val ShingleN = 3
-  private val K = 8       // minhash signature length
-  private val Bands = 4   // LSH bands (rows = K / Bands = 2)
+  private[queries] val ShingleN = 3
+  private[queries] val K = 8  // minhash signature length
+  private[queries] val Bands = 4 // LSH bands (rows = K / Bands = 2)
 
   /** DuckDB CTEs: tokens -> shingles -> signature -> band keys,
-    * over `src` (a table or prior CTE name). */
-  private def lshCtes(src: String = "documents"): String = {
+    * over `src` (a table or prior CTE name). Shared with the round-6
+    * audit queries (same relation, same constants). */
+  private[queries] def lshCtes(src: String = "documents"): String = {
     val sig = (0 until K).map(j =>
       DuckSql.minhashComponent("shingles", j)).mkString("[", ", ", "]")
     val bands = (0 until Bands).map { b =>

@@ -20,7 +20,8 @@ object Registry {
       QueriesQuality.defs ++
       QueriesScaleExt.defs ++
       QueriesRound5.defs ++
-      QueriesRound6.defs
+      QueriesRound6.defs ++
+      QueriesRound6b.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
