@@ -310,3 +310,77 @@ class Sq8Spec extends SparkSpec {
   }
 
 }
+
+/** Round-6 graph-loop shape pins: the broadcast-hinted loop and the
+  * shuffle-join fallback must agree bit-for-bit (integer arithmetic
+  * makes that checkable with plain equality), and the hinted round
+  * must actually be exchange-free over the laid-out edge cache.
+  */
+class GraphShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val edges = (for {
+    i <- 0L until 40L
+    j <- Seq((i * 7 + 3) % 40, (i * 11 + 5) % 40) if j != i
+  } yield (i, j)).toDF("src", "dst")
+
+  test("pageRank: broadcastRanks=false matches the hinted shape exactly") {
+    val a = Graph.pageRank(edges, "src", "dst", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.pageRank(edges, "src", "dst", iters = 3,
+      broadcastRanks = false).as[(Long, Long)].collect().toMap
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("boundedBfs: broadcastFrontier=false matches the hinted shape exactly") {
+    val seeds = Seq(0L, 13L).toDF("id")
+    val a = Graph.boundedBfs(edges, "src", "dst", seeds, hops = 3)
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.boundedBfs(edges, "src", "dst", seeds, hops = 3,
+      broadcastFrontier = false).as[(Long, Long)].collect().toMap
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("kCore: broadcastAlive=false matches the hinted shape exactly") {
+    val a = Graph.kCore(edges, "src", "dst", k = 2, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.kCore(edges, "src", "dst", k = 2, rounds = 2,
+      broadcastAlive = false).as[(Long, Long)].collect().toMap
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("hinted PageRank round over the dst layout runs with zero shuffle exchanges") {
+    // mirrors one loop round (tools/PlanProbe): edges laid out on dst,
+    // the O(V) frames broadcast-hinted. The executed plan must contain
+    // BroadcastExchange only — an 'Exchange hashpartitioning' means
+    // the O(E) frame re-shuffled and the layout stopped paying
+    val e = Graph.layoutEdges(edges, "src", "dst", layoutKey = "dst")
+    val deg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .localCheckpoint()
+    val ranks = nodes.withColumn("rank_micro", lit(1000000L))
+    val perSrc = ranks.where(col("__deg").isNotNull)
+      .select(col("id").as("src"), expr("rank_micro div __deg").as("__c"))
+    val sums = e.join(broadcast(perSrc), "src")
+      .select(col("dst").as("id"), col("__c"))
+      .groupBy("id").agg(sum(col("__c")).as("__s"))
+    val next = nodes.join(broadcast(sums), Seq("id"), "left")
+      .select(col("id"),
+        (lit(150000L) + expr("(85 * coalesce(__s, 0L)) div 100"))
+          .as("rank_micro"))
+    next.count()
+    // walk the plan TREE, not its text: the cached layout's
+    // InMemoryRelation prints its one-time build (which rightly has
+    // the single layout Exchange) but contributes no exec nodes
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = next.queryExecution.sparkPlan
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.isEmpty, plan.toString.take(3000))
+    // sparkPlan predates exchange insertion, so the broadcast shows as
+    // the join strategy itself
+    assert(plan.toString.contains("BroadcastHashJoin"), plan.toString.take(3000))
+    e.unpersist(true)
+  }
+}
