@@ -225,6 +225,35 @@ object Relational {
       .drop("__g", "__w", "__off")
   }
 
+  /** Two-level GLOBAL ROW NUMBER: assigns 1-based positions in
+    * `keyCol` order WITHOUT a global sort or single-partition window —
+    * the ordered-sharding primitive (training-order indices, packed
+    * sequence ids, deterministic shard assignment). Same discipline as
+    * [[twoLevelCumSum]]: rows bucket into coarse `keyCol div width`
+    * ranges; positions inside a range come from a PARTITIONED
+    * row_number window, each range's starting offset is an exclusive
+    * prefix sum over the O(domain/width) per-range counts (a
+    * few-hundred-row global window), joined back broadcast. The
+    * position is COMPUTED from the key, not assigned by arrival order,
+    * so the result is partition-order-independent and replayable by a
+    * plain `row_number() OVER (ORDER BY key)` oracle (q199).
+    *
+    * `keyCol` values must be distinct (a total order) — with ties the
+    * within-range ordering of equal keys would be nondeterministic. */
+  def twoLevelRowNumber(df: DataFrame, keyCol: String, coarseWidth: Long,
+                        outCol: String = "seq"): DataFrame = {
+    require(coarseWidth >= 1, s"coarseWidth must be positive, got $coarseWidth")
+    val hg = df.withColumn("__g", expr(s"$keyCol div ${coarseWidth}L"))
+    val wIn = Window.partitionBy("__g").orderBy(keyCol)
+    val within = hg.withColumn("__w", row_number().over(wIn).cast("long"))
+    val wPre = Window.orderBy("__g").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hg.groupBy("__g").agg(count(lit(1)).as("__gt"))
+      .select(col("__g"), coalesce(sum("__gt").over(wPre), lit(0L)).as("__off"))
+    within.join(broadcast(offsets), "__g")
+      .withColumn(outCol, col("__w") + col("__off"))
+      .drop("__g", "__w", "__off")
+  }
+
   /** Snapshot diff — the INVERSE of applyChangelog: compare two
     * snapshots of the same schema and emit the changelog that turns
     * `old` into `new`: inserts (key only in new), deletes (key only

@@ -253,5 +253,27 @@ object QueriesRound6b {
         |  count(*) AS n_pairs
         |FROM cand c JOIN documents da ON da.doc_id = c.id_a
         |JOIN documents db ON db.doc_id = c.id_b
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- q199: ordered sharding via two-level row number -------------
+    // Deterministic training-order indices + shard assignment WITHOUT
+    // a global sort: Relational.twoLevelRowNumber computes each doc's
+    // 1-based position in doc_id order from a per-coarse-range
+    // partitioned window plus broadcast range offsets (the
+    // twoLevelCumSum discipline applied to ranking — the only
+    // global-order window runs over the O(domain/64) range counts).
+    // shard = (seq-1) div 50: contiguous 50-doc shards in key order,
+    // the packed-file assignment a 100 TB export writes. The oracle is
+    // the plain global window the operator refuses to run.
+    QueryDef("q199_ordered_sharding",
+      (s, d) => graft.ops.Relational
+        .twoLevelRowNumber(
+          documents(s, d).select("doc_id", "source"), "doc_id", 64L)
+        .select(col("doc_id"), col("source"), col("seq"),
+          expr("(seq - 1L) div 50L").as("shard_id"))
+        .orderBy("seq"),
+      Some("""SELECT doc_id, source,
+        |  row_number() OVER (ORDER BY doc_id) AS seq,
+        |  (row_number() OVER (ORDER BY doc_id) - 1) // 50 AS shard_id
+        |FROM documents ORDER BY seq""".stripMargin)))
 }

@@ -197,6 +197,17 @@ class PlanSpec extends SparkSpec {
     assert(overC.forall(_.contains("__g")), winLines.mkString("\n"))
   }
 
+  test("q199: row numbering never sees a single-partition window of the data") {
+    // twoLevelRowNumber: the window over the documents frame is
+    // PARTITIONED by the coarse range (__g); the only global-order
+    // window runs over the O(domain/64) range counts
+    val p = planOf("q199_ordered_sharding")
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    val overDocs = winLines.filter(_.contains("doc_id"))
+    assert(overDocs.nonEmpty && overDocs.forall(_.contains("__g")),
+      winLines.mkString("\n"))
+  }
+
   test("AQE splits a deliberately skewed sort-merge join (skew=true)") {
     // the scale-posture comments in Graph/Dedup lean on AQE's skew
     // split for hub keys — verify it actually fires in this build:

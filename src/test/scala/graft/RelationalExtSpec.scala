@@ -26,6 +26,23 @@ class RelationalExtSpec extends SparkSpec {
     assert(two == naive)
   }
 
+  test("twoLevelRowNumber equals a global row_number (incl. negative keys)") {
+    // unique keys straddling bucket boundaries, zero, and negatives;
+    // a sparse tail bucket catches offset arithmetic off-by-ones
+    val df = Seq(-23L, -10L, -1L, 0L, 3L, 9L, 10L, 11L, 25L, 99L, 100L, 641L)
+      .map(k => (k, s"v$k")).toDF("k", "tag")
+    val naive = df.select(col("k"),
+        row_number().over(Window.orderBy("k")).cast("long").as("seq"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val two = Relational.twoLevelRowNumber(df, "k", 10L)
+      .select("k", "seq")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two == naive)
+    // original columns survive
+    assert(Relational.twoLevelRowNumber(df, "k", 10L).columns.toSet ==
+      Set("k", "tag", "seq"))
+  }
+
   test("twoLevelCumSum keeps the original columns") {
     val hist = Seq((1L, 2L, "x"), (7L, 3L, "y")).toDF("c", "cnt", "tag")
     val out = Relational.twoLevelCumSum(hist, "c", "cnt", 5L)
