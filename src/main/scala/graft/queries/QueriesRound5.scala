@@ -166,8 +166,14 @@ object QueriesRound5 {
     // not pair artifacts.
     QueryDef("q165_basket_lift",
       (s, d) => {
+        // partition on the basket key BEFORE the distinct:
+        // HashPartitioning(ok) already satisfies the (ok, pk) clustering
+        // the dedup agg needs, and the big-basket agg plus BOTH sides of
+        // the pair self-join then reuse the same exchange (ReusedExchange)
+        // instead of re-shuffling per consumer
         val op = lineitem(s, d)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .repartition(col("ok"))
           .distinct()
         val pairs = Relational.basketPairs(op, "ok", "pk", maxBasket = 1000)
         val parts = op.groupBy("pk").agg(count(lit(1)).as("cnt"))

@@ -191,29 +191,26 @@ object QueriesRound6 {
         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin)),
 
     // ---- q177: quality-aware dedup survivorship -----------------------
-    // q172's exact-substring groups with the survivorship policy real
-    // curation uses: keep each group's LONGEST member (n_chars, ties
-    // -> smallest id) instead of the smallest id. The representative
-    // is an argmax hash-agg over (pref, -id) structs — no window, no
-    // sort — and the oracle replays it as a window-ranked pick.
+    // Near-dup groups (the banded-LSH relation — q42's operator — via
+    // star CC) with the survivorship policy real curation uses: keep
+    // each group's LONGEST member (n_chars, ties -> smallest id)
+    // instead of the smallest id. The representative is an argmax
+    // hash-agg over (pref, -id) structs — no window, no sort — and
+    // the oracle replays it as a window-ranked pick. (q172 keeps the
+    // exact-substring pipeline's min-id form; this query's subject is
+    // the POLICY, so it rides the cheaper scale-path relation.)
     QueryDef("q177_quality_survivors",
       (s, d) => {
         val docs = documents(s, d)
-        val pairs = Dedup.sharedShinglePairs(docs, "doc_id", "text", n = 5)
+        val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text",
+            QueriesDedup.ShingleN, QueriesDedup.K, QueriesDedup.Bands)
           .select("id_a", "id_b")
         val groups = Dedup.duplicateGroupsStar(pairs, maxIter = 20)
         Dedup.dedupSurvivorsBy(docs, "doc_id", groups, "n_chars")
           .select("doc_id", "lang", "n_chars")
           .orderBy("doc_id")
       },
-      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, ${DuckSql.toks("text")} AS toks
-        |    FROM documents),
-        |fp AS (SELECT DISTINCT doc_id, md5(sh) AS fp FROM
-        |  (SELECT doc_id, unnest(${DuckSql.shingles("toks", 5)}) AS sh FROM t)),
-        |big AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) > 10000),
-        |capped AS (SELECT * FROM fp ANTI JOIN big USING (fp)),
-        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM capped a JOIN capped b USING (fp) WHERE a.doc_id < b.doc_id),
+      Some(s"""${QueriesDedup.lshCtes().replaceFirst("WITH ", "WITH RECURSIVE ")},
         |${DuckSql.ccGroupCtes},
         |m AS (SELECT g.id, g.group_id, d.n_chars FROM grp g
         |  JOIN documents d ON d.doc_id = g.id),
