@@ -418,6 +418,44 @@ object Dedup {
     labels.withColumnRenamed("label", "group_id")
   }
 
+  /** Exact connected components of a canonically-oriented `(a, b)`
+    * edge frame in ONE task: a narrow `coalesce(1)` (no shuffle — the
+    * single task reads the checkpointed edge partitions directly) into
+    * an in-memory union-find with min-root unions and path
+    * compression, so labels come out as component minima — the same
+    * contract the star loop converges to. Only called under
+    * [[duplicateGroupsStar]]'s `smallGraph` bound, where the edge set
+    * is broadcast-sized and fits a single task's memory. */
+  private def singleTaskComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val idType = edges.schema("a").dataType
+    edges.select(col("a").cast("long"), col("b").cast("long"))
+      .as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x // path-compress: every non-root on the chain has an entry
+          while (c != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+        // snapshot keys before the final find()s re-compress the map
+        parent.keys.toArray.iterator.map(k => (k, find(k)))
+      }
+      .toDF("id", "label")
+      .select(col("id").cast(idType).as("id"),
+        col("label").cast(idType).as("label"))
+  }
+
   /** Duplicate groups via alternating large-star/small-star
     * contraction (Kiveris et al., "Connected Components in MapReduce
     * and Beyond", SoCC'14) — the provably-bounded variant of
@@ -437,8 +475,23 @@ object Dedup {
     * minima, so labels read directly off the final edges. Convergence
     * is detected by edge-set equality (count + except), one cheap
     * action per round. Output matches [[duplicateGroups]] exactly:
-    * (id, group_id = component-min id), one row per node in `pairs`. */
-  def duplicateGroupsStar(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * (id, group_id = component-min id), one row per node in `pairs`.
+    *
+    * Small-graph fast path: when the canonical edge count (already an
+    * action the loop needs for convergence tracking, so the decision
+    * is free) is at most `smallGraph`, the components are solved by
+    * union-find in ONE narrow single-task `mapPartitions` pass instead
+    * of the loop. Same decision rule as a broadcast hash join: below
+    * the bound the whole graph fits in one task's memory (16 bytes per
+    * edge → ≤16 MB at the default bound) and a distributed loop would
+    * pay ~10 scheduled shuffle jobs of round latency for zero
+    * parallelism benefit (measured ~4 s on a 3-edge input at
+    * local[32]). Dup-pair graphs hold only O(dup-cluster edges), not
+    * the corpus, so the fast path covers most real runs; above the
+    * bound the star-contraction loop runs unchanged as the scale path.
+    * `smallGraph = 0` forces the loop (spec-pinned equal results). */
+  def duplicateGroupsStar(pairs: DataFrame, maxIter: Int = 20,
+      smallGraph: Long = 1000000L): DataFrame = {
     Seq("id_a", "id_b").foreach { c =>
       val t = pairs.schema(c).dataType
       require(t == org.apache.spark.sql.types.LongType ||
@@ -464,6 +517,18 @@ object Dedup {
       .where(col("a") =!= col("b")).distinct()
       .localCheckpoint(false)
     var prevCount = edges.count()
+    if (prevCount <= smallGraph) {
+      // labels are unique per id; nodes absent from the canonical edge
+      // set (self-loop-only inputs) label themselves via the coalesce
+      val out = nodes
+        .join(singleTaskComponents(edges), Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("id")).as("group_id"))
+        .localCheckpoint()
+      Checkpoints.free(p)
+      Checkpoints.free(nodes)
+      Checkpoints.free(edges)
+      return out
+    }
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {

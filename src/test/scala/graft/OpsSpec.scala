@@ -97,11 +97,17 @@ class TextSpec extends SparkSpec {
     val clique = (for { a <- 300L to 305L; b <- 300L to 305L if a < b }
       yield (a, b)).toSeq
     val pairs = (path ++ star ++ bridged ++ clique).toDF("id_a", "id_b")
+    // default call takes the single-task union-find fast path (tiny
+    // edge set); smallGraph = 0 forces the star-contraction loop —
+    // both must agree with label propagation and with each other
     val viaStar = Dedup.duplicateGroupsStar(pairs)
+      .as[(Long, Long)].collect().toMap
+    val viaLoop = Dedup.duplicateGroupsStar(pairs, smallGraph = 0L)
       .as[(Long, Long)].collect().toMap
     val viaProp = Dedup.duplicateGroups(pairs, maxIter = 50)
       .as[(Long, Long)].collect().toMap
     assert(viaStar == viaProp)
+    assert(viaLoop == viaProp)
     assert(viaStar(39L) == 0L && viaStar(120L) == 101L &&
       viaStar(212L) == 200L && viaStar(305L) == 300L)
     // the round bound is real: a 120-node path (diameter 119) resolves
@@ -109,7 +115,7 @@ class TextSpec extends SparkSpec {
     // label only one hop per round and would need ~119
     val longPath = (0L until 120L).sliding(2).map(w => (w(0), w(1))).toSeq
       .toDF("id_a", "id_b")
-    val fast = Dedup.duplicateGroupsStar(longPath, maxIter = 8)
+    val fast = Dedup.duplicateGroupsStar(longPath, maxIter = 8, smallGraph = 0L)
       .as[(Long, Long)].collect()
     assert(fast.length == 120 && fast.forall(_._2 == 0L))
     // empty input: no crash, empty output
