@@ -32,5 +32,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the bench/verify JVM is driver + 32 executor threads
+  // in one heap; at 8g the block-manager/broadcast churn of a 187-query
+  // suite turned into multi-second GC stalls inside timed runs (the
+  // host has 128 GiB; the driver runs this same default)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
