@@ -309,6 +309,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: duplicateGroupsStar fast path and loop match reference CC") {
+    // 12 random graphs in disjoint id spaces, batched into ONE edge
+    // frame so each engine path runs once (not per sample). The
+    // reference is an in-test union-find over the same edges.
+    val edgeGen = for {
+      n <- Gen.chooseNum(2, 40)
+      m <- Gen.chooseNum(1, 60)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0, n - 1); b <- Gen.chooseNum(0, n - 1)
+      } yield (a.toLong, b.toLong))
+    } yield es
+    val all = samples(edgeGen, 12).zipWithIndex.flatMap { case (es, g) =>
+      es.map { case (a, b) => (g * 1000L + a, g * 1000L + b) }
+    }
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    all.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    val want = (all.flatMap(e => Seq(e._1, e._2)).distinct)
+      .map(id => id -> find(id)).toMap
+    val pairs = all.toDF("id_a", "id_b")
+    val viaFast = Dedup.duplicateGroupsStar(pairs)
+      .as[(Long, Long)].collect().toMap
+    val viaLoop = Dedup.duplicateGroupsStar(pairs, smallGraph = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(viaFast == want)
+    assert(viaLoop == want)
+  }
+
   test("property: SegmentMerge preserves word mass and time span") {
     val segs = samples(segmentGen, 100).zipWithIndex
       .map { case (s, i) => ("k" + (i % 5), s) }
