@@ -97,6 +97,19 @@ object Graph {
     if (assumeLaidOut) edges
     else layoutEdges(edges, srcCol, dstCol, layoutKey = layoutKey)
 
+  /** The PageRank family's one-time (id, __deg) node frame in ONE
+    * aggregation: symmetrize the laid-out edges as (id, is-src) rows
+    * and sum — one map-side-combined shuffle of 2|E| rows, replacing
+    * the previous out-degree agg + union-distinct + left join (two
+    * O(|E|) exchanges plus a join). __deg is NULL for sinks (rows
+    * where only dst appearances summed to 0) — the convention every
+    * loop relies on to skip sink contributions / detect dangling. */
+  private def nodeFrame(e: DataFrame): DataFrame =
+    e.select(col("src").as("id"), lit(1L).as("__o"))
+      .union(e.select(col("dst").as("id"), lit(0L).as("__o")))
+      .groupBy("id").agg(sum("__o").as("__sumo"))
+      .select(col("id"), when(col("__sumo") > 0, col("__sumo")).as("__deg"))
+
   /** PageRank with INTEGER-EXACT arithmetic: scores live in micro-units
     * (a node starts at 1,000,000) and every step is BIGINT math —
     * contribution = r div outDegree (floor), next = base +
@@ -142,18 +155,13 @@ object Graph {
       if (broadcastRanks) df => broadcast(df) else df => df
     val e = edgeFrame(edges, srcCol, dstCol, assumeLaidOut,
       layoutKey = if (broadcastRanks) "dst" else "src")
-    val deg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
-    // out-degree is static, so it RIDES IN the rank frame (joined once
-    // here, carried through every round) — each round then builds its
-    // per-source contributions with a projection instead of a
-    // ranks-deg join. Sink nodes carry a null degree; they emit no
-    // contribution row (no matching src in e), so the null never
-    // reaches the arithmetic.
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id")))
-      .distinct()
-      .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left")
-      .localCheckpoint()
+    // out-degree is static, so it RIDES IN the rank frame (computed
+    // once here via the fused nodeFrame agg, carried through every
+    // round) — each round then builds its per-source contributions
+    // with a projection instead of a ranks-deg join. Sink nodes carry
+    // a null degree; they emit no contribution row (no matching src
+    // in e), so the null never reaches the arithmetic.
+    val nodes = nodeFrame(e).localCheckpoint()
 
     var ranks = nodes.withColumn("rank_micro", lit(1000000L))
     for (_ <- 1 to iters) {
@@ -208,16 +216,12 @@ object Graph {
       if (broadcastRanks) df => broadcast(df) else df => df
     val e = edgeFrame(edges, srcCol, dstCol, assumeLaidOut,
       layoutKey = if (broadcastRanks) "dst" else "src")
-    // out-degree rides in the node frame (the pageRank discipline) —
-    // and doubles as dangling membership: __deg IS NULL ⟺ the node
-    // has no out-edges, so the per-round dangling-mass sum is a
-    // filter + aggregate, no membership join at all.
-    val deg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id")))
-      .distinct()
-      .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left")
-      .localCheckpoint()
+    // out-degree rides in the node frame (the pageRank discipline,
+    // fused nodeFrame agg) — and doubles as dangling membership:
+    // __deg IS NULL ⟺ the node has no out-edges, so the per-round
+    // dangling-mass sum is a filter + aggregate, no membership join
+    // at all.
+    val nodes = nodeFrame(e).localCheckpoint()
     val nCnt = nodes.agg(count(lit(1)).as("__n")).localCheckpoint()
 
     var ranks = nodes.withColumn("rank_micro", lit(1000000L))
@@ -270,16 +274,13 @@ object Graph {
       if (broadcastRanks) df => broadcast(df) else df => df
     val e = edgeFrame(edges, srcCol, dstCol, assumeLaidOut,
       layoutKey = if (broadcastRanks) "dst" else "src")
-    val deg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
     val seedIds = seeds.select(col(seeds.columns.head).cast("long").as("id"))
       .distinct()
-    // seed flag AND out-degree both ride in the node frame (joined
-    // once) — rounds project contributions instead of joining deg
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id")))
-      .distinct()
+    // seed flag AND out-degree both ride in the node frame (fused
+    // nodeFrame agg + one small seed join) — rounds project
+    // contributions instead of joining deg
+    val nodes = nodeFrame(e)
       .join(seedIds.withColumn("__seed", lit(1L)), Seq("id"), "left")
-      .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left")
       .select(col("id"), coalesce(col("__seed"), lit(0L)).as("__seed"),
         col("__deg"))
       .localCheckpoint()
