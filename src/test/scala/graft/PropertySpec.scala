@@ -343,6 +343,36 @@ class PropertySpec extends SparkSpec {
     assert(viaLoop == want)
   }
 
+  test("property: kCore matches reference bounded peeling on random graphs") {
+    val edgeGen = for {
+      n <- Gen.chooseNum(2, 30)
+      m <- Gen.chooseNum(1, 50)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0, n - 1); b <- Gen.chooseNum(0, n - 1)
+      } yield (a.toLong, b.toLong))
+    } yield es
+    val all = samples(edgeGen, 10, seed = 7L).zipWithIndex.flatMap {
+      case (es, g) => es.map { case (a, b) => (g * 1000L + a, g * 1000L + b) }
+    }
+    val (k, rounds) = (2, 3)
+    // reference: same bounded peeling, sequential
+    val sym = all.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e, e.swap)).distinct
+    var alive = sym.map(_._1).toSet
+    for (_ <- 1 to rounds) {
+      val deg = sym.filter(e => alive(e._1) && alive(e._2))
+        .groupBy(_._1).map { case (n, es) => n -> es.size }
+      alive = alive.filter(n => deg.getOrElse(n, 0) >= k)
+    }
+    val finalDeg = sym.filter(e => alive(e._1) && alive(e._2))
+      .groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    val want = alive.map(n => n -> finalDeg.getOrElse(n, 0L)).toMap
+    val got = graft.ops.Graph.kCore(all.toDF("id_a", "id_b"),
+        "id_a", "id_b", k = k, rounds = rounds)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
   test("property: SegmentMerge preserves word mass and time span") {
     val segs = samples(segmentGen, 100).zipWithIndex
       .map { case (s, i) => ("k" + (i % 5), s) }
