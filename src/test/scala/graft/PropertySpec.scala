@@ -373,6 +373,32 @@ class PropertySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("property: uncapped sharedShinglePairs matches brute-force reference") {
+    // lowercase-alpha words from a tiny vocab force genuine shared
+    // windows; with such text Text.tokens is exactly split-on-space,
+    // so the reference tokenization agrees with the engine's
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
+      "zeta", "eta", "theta")
+    val docGen = Gen.chooseNum(6, 24)
+      .flatMap(len => Gen.listOfN(len, Gen.oneOf(vocab)))
+      .map(_.mkString(" "))
+    val docs = samples(docGen, 30, seed = 11L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val n = 4
+    val windows: Map[Long, Set[Seq[String]]] = docs.map { case (id, t) =>
+      id -> t.split(" ").toSeq.sliding(n).filter(_.size == n).map(_.toSeq).toSet
+    }.toMap
+    val want = (for {
+      (a, wa) <- windows; (b, wb) <- windows if a < b
+      shared = (wa & wb).size if shared > 0
+    } yield (a, b) -> shared.toLong).toMap
+    val got = Dedup.sharedShinglePairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", n = n, maxDocsPerShingle = 0)
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    assert(got == want)
+  }
+
   test("property: SegmentMerge preserves word mass and time span") {
     val segs = samples(segmentGen, 100).zipWithIndex
       .map { case (s, i) => ("k" + (i % 5), s) }
