@@ -399,6 +399,54 @@ class PropertySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("property: binPack bins are exclusive-cumsum consistent and total") {
+    val sizeGen = Gen.chooseNum(1L, 150L)
+    val sizes = samples(sizeGen, 120, seed = 23L).zipWithIndex
+      .map { case (sz, i) => (i.toLong, "grp" + (i % 3), sz) }
+    val target = 100L
+    val out = graft.ops.Layout.binPack(
+        sizes.toDF("item", "grp", "sz"),
+        orderCols = Seq("item"), sizeCol = "sz", target = target,
+        partitionBy = Seq("grp"))
+      .select("grp", "item", "sz", "bin")
+      .as[(String, Long, Long, Long)].collect()
+    // every item assigned exactly once
+    assert(out.length == sizes.length)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_._2)
+      // bin == floor(exclusive running sum / target), bins non-decreasing
+      var cum = 0L
+      ordered.foreach { case (_, _, sz, bin) =>
+        assert(bin == cum / target)
+        cum += sz
+      }
+      assert(ordered.map(_._4).sliding(2).forall(w =>
+        w.length < 2 || w(0) <= w(1)))
+    }
+  }
+
+  test("property: identical docs are always LSH candidates (no false negatives at J=1)") {
+    // identical token streams produce identical MinHash signatures, so
+    // every band collides — exact duplicates can never be missed, for
+    // any (k, bands) split
+    val vocab = Vector("red", "green", "blue", "cyan", "teal", "plum")
+    val docGen = Gen.chooseNum(5, 15)
+      .flatMap(len => Gen.listOfN(len, Gen.oneOf(vocab)))
+      .map(_.mkString(" "))
+    val base = samples(docGen, 12, seed = 31L)
+    // each doc i gets a twin at id i+100 with the same text
+    val docs = base.zipWithIndex.flatMap { case (t, i) =>
+      Seq((i.toLong, t), (i + 100L, t))
+    }
+    val cand = Dedup.lshCandidatePairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", shingleN = 3, k = 8, bands = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    base.indices.foreach { i =>
+      assert(cand.contains((i.toLong, i + 100L)),
+        s"twin pair ($i, ${i + 100}) missing from LSH candidates")
+    }
+  }
+
   test("property: SegmentMerge preserves word mass and time span") {
     val segs = samples(segmentGen, 100).zipWithIndex
       .map { case (s, i) => ("k" + (i % 5), s) }
