@@ -474,4 +474,60 @@ object Relational {
       .where(col("pa") < col("pb"))
       .groupBy("pa", "pb").agg(count(lit(1)).as("pair_cnt"))
   }
+
+  /** Pareto frontier (skyline) on two integer maximize-criteria: keep
+    * rows no OTHER row dominates, where q dominates p iff q.x >= p.x,
+    * q.y >= p.y and q is strictly greater on at least one. Ties on
+    * BOTH coordinates are kept (equal points never dominate each
+    * other) — the curation shape "no document is kept if a strictly
+    * better one exists" (quality vs length, score vs recency).
+    *
+    * Scale posture: the naive skyline is a self-join (O(n²)) or a
+    * global-order window over the corpus. Here a GRID PRUNE runs
+    * first: per x-bucket max(y) (one hash-agg), suffix-max over the
+    * O(domain/bucket) bucket frame (tiny window), broadcast back —
+    * any row whose y is <= the best y of a strictly-greater bucket is
+    * dominated by a witness in that bucket and drops without a
+    * shuffle of the fact table. Only the survivors (frontier-shaped
+    * band, typically orders of magnitude smaller) pay the exact
+    * global-order windows. Every dominated row is dominated by a
+    * FRONTIER row (dominance chains end at the frontier) and frontier
+    * rows always survive the prune, so pruning before the exact pass
+    * cannot change the result (PropertySpec pins this against the
+    * brute-force skyline, including bucket widths of 1 and beyond the
+    * whole domain). */
+  def paretoFrontier(df: DataFrame, xCol: String, yCol: String,
+                     idCols: Seq[String], bucket: Long = 256L): DataFrame = {
+    require(bucket > 0, "paretoFrontier needs a positive bucket width")
+    val base = df.select(
+      idCols.map(col) ++ Seq(col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y")): _*)
+    val bmax = base.groupBy(expr(s"__x div ${bucket}L").as("__bx"))
+      .agg(max("__y").as("__by"))
+    // suffix max over STRICTLY greater buckets: rows there have
+    // x >= (bx+1)*bucket > any x in this bucket, so __smax >= y is a
+    // dominance witness (greater x, >= y)
+    val wSuffix = Window.orderBy(col("__bx").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prune = bmax
+      .withColumn("__smax", max("__by").over(wSuffix))
+      .select("__bx", "__smax")
+    val survivors = base
+      .withColumn("__bx", expr(s"__x div ${bucket}L"))
+      .join(broadcast(prune), Seq("__bx"), "left")
+      .where(col("__smax").isNull || col("__smax") < col("__y"))
+    // exact pass on the survivor band: dominated iff
+    //   exists x' > x with y' >= y  (max-y over the strict-x frame), or
+    //   exists x' = x with y' > y   (per-x max)
+    val wStrict = Window.orderBy(col("__x").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wSameX = Window.partitionBy(col("__x"))
+    survivors
+      .withColumn("__m1", max("__y").over(wStrict))
+      .withColumn("__m2", max("__y").over(wSameX))
+      .where((col("__m1").isNull || col("__m1") < col("__y")) &&
+        col("__m2") <= col("__y"))
+      .select(idCols.map(col) ++ Seq(col("__x").as(xCol),
+        col("__y").as(yCol)): _*)
+  }
 }

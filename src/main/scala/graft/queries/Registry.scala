@@ -21,7 +21,8 @@ object Registry {
       QueriesScaleExt.defs ++
       QueriesRound5.defs ++
       QueriesRound6.defs ++
-      QueriesRound6b.defs
+      QueriesRound6b.defs ++
+      QueriesRound6c.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

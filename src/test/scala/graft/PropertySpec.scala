@@ -465,4 +465,32 @@ class PropertySpec extends SparkSpec {
       assert(math.abs((out.last.start + out.last.duration) - inMax) < 1e-9)
     }
   }
+
+  test("property: paretoFrontier equals the brute-force skyline") {
+    // correlated, anti-correlated, and tie/duplicate-heavy point sets;
+    // tiny bucket widths force the grid-prune path to actually drop
+    // rows before the exact windows
+    val ptGen = for {
+      x <- Gen.chooseNum(0L, 400L)
+      mode <- Gen.chooseNum(0, 2)
+      y <- mode match {
+        case 0 => Gen.chooseNum(0L, 400L)           // independent
+        case 1 => Gen.const(400L - x)               // anti-correlated (big frontier)
+        case _ => Gen.oneOf(x, x / 2, 100L)         // ties / duplicates
+      }
+    } yield (x, y)
+    for ((seed, bucket) <- Seq((7L, 16L), (8L, 1L), (9L, 1000L))) {
+      val pts = samples(ptGen, 300, seed).zipWithIndex
+        .map { case ((x, y), i) => (i.toLong, x, y) }
+      def dominated(p: (Long, Long, Long)) = pts.exists { q =>
+        (q._2 > p._2 && q._3 >= p._3) || (q._2 >= p._2 && q._3 > p._3)
+      }
+      val expect = pts.filterNot(dominated).map(_._1).sorted
+      val got = graft.ops.Relational.paretoFrontier(
+          pts.toDF("id", "x", "y"), "x", "y", Seq("id"), bucket = bucket)
+        .select("id").as[Long].collect().sorted
+      assert(got.toSeq == expect,
+        s"seed=$seed bucket=$bucket: got ${got.length}, want ${expect.length}")
+    }
+  }
 }
