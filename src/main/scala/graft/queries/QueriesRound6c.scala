@@ -221,5 +221,73 @@ object QueriesRound6c {
         |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1000000
         |    // count(*) AS BIGINT) AS oov_micro
         |FROM ev LEFT JOIN vc v ON ev.tok = v.tok
-        |GROUP BY lang ORDER BY lang""".stripMargin)))
+        |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---- q205: DSIR-style importance resampling ----------------------
+    // Data Selection via Importance Resampling (Xie et al. 2023),
+    // unigram-LM form: score every document by how much more likely a
+    // TARGET-domain language model (here: trained on the 'en' slice)
+    // finds it than the RAW-corpus model, and keep the top by weight —
+    // log w(d) = (1/|d|) Σ_tok c_tok · (log2 p_t(tok) − log2 p_r(tok)),
+    // both models Laplace-smoothed over the shared global vocabulary
+    // (an eval-target token unseen in 'en' must cost, not -inf). Model
+    // "training" is two hash-aggs; the three normalizers (target mass,
+    // raw mass, vocab size) are one-row broadcast scalars; scoring is
+    // the q153 order-pinned fold (tok-sorted terms) so the
+    // transcendental sum is engine-replayable. Top-100 by rounded
+    // weight (doc_id tie-break) via TakeOrderedAndProject.
+    QueryDef("q205_dsir_selection",
+      (s, d) => {
+        val toks = documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(Text.tokens(col("text"))).as("tok"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val raw = toks.groupBy("tok").agg(count(lit(1)).as("cr"))
+        val tgt = toks.where(col("lang") === "en")
+          .groupBy("tok").agg(count(lit(1)).as("ct"))
+        val dict = raw.join(tgt, Seq("tok"), "left")
+          .select(col("tok"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+        val scalars = dict.agg(sum("cr").as("__nr"), sum("ct").as("__nt"),
+          count(lit(1)).as("__v"))
+        val perDoc = toks.groupBy("doc_id", "tok")
+          .agg(count(lit(1)).as("c"))
+          .join(dict, "tok")
+        perDoc.groupBy("doc_id")
+          .agg(sum("c").as("n_toks"),
+            sort_array(collect_list(struct(col("tok"),
+              col("c").cast("double").as("c"), col("ct").cast("double").as("ct"),
+              col("cr").cast("double").as("cr")))).as("terms"))
+          .crossJoin(broadcast(scalars))
+          .select(col("doc_id"), col("n_toks").cast("bigint").as("n_toks"),
+            round(aggregate(col("terms"), lit(0.0), (acc, t) =>
+                acc + t.getField("c") *
+                  (log2((t.getField("ct") + 1.0) / (col("__nt") + col("__v"))) -
+                   log2((t.getField("cr") + 1.0) / (col("__nr") + col("__v")))))
+              / col("n_toks"), 6).as("log_w"))
+          .transform(df => Relational.topK(df,
+            Seq(col("log_w").desc, col("doc_id").asc), 100))
+          .orderBy(col("log_w").desc, col("doc_id"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, lang,
+        |    unnest(${DuckSql.toks("text")}) AS tok FROM documents),
+        |raw AS (SELECT tok, count(*) AS cr FROM tk GROUP BY 1),
+        |tgt AS (SELECT tok, count(*) AS ct FROM tk WHERE lang = 'en'
+        |  GROUP BY 1),
+        |dict AS (SELECT raw.tok, cr, coalesce(ct, 0) AS ct
+        |  FROM raw LEFT JOIN tgt ON raw.tok = tgt.tok),
+        |sc AS (SELECT CAST(sum(cr) AS DOUBLE) AS nr,
+        |    CAST(sum(ct) AS DOUBLE) AS nt,
+        |    CAST(count(*) AS DOUBLE) AS v FROM dict),
+        |dc AS (SELECT doc_id, tk.tok, CAST(count(*) AS DOUBLE) AS c,
+        |    CAST(any_value(ct) AS DOUBLE) AS ct,
+        |    CAST(any_value(cr) AS DOUBLE) AS cr
+        |  FROM tk JOIN dict ON tk.tok = dict.tok GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+        |    list(c * (log2((ct + 1.0) / (nt + v)) - log2((cr + 1.0) / (nr + v)))
+        |      ORDER BY tok) AS terms
+        |  FROM dc, sc GROUP BY doc_id, nt, nr, v)
+        |SELECT doc_id, n_toks,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), terms),
+        |    (acc, x) -> acc + x) / n_toks, 6) + 0 AS log_w
+        |FROM a ORDER BY log_w DESC, doc_id LIMIT 100""".stripMargin)))
 }
