@@ -22,7 +22,8 @@ object Registry {
       QueriesRound5.defs ++
       QueriesRound6.defs ++
       QueriesRound6b.defs ++
-      QueriesRound6c.defs
+      QueriesRound6c.defs ++
+      QueriesRound6d.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
