@@ -242,5 +242,67 @@ object QueriesRound6d {
         |    AS BIGINT) AS ks_micro,
         |  min(CASE WHEN dev = (SELECT max(dev) FROM dev) THEN len END)
         |    AS at_len
-        |FROM dev""".stripMargin)))
+        |FROM dev""".stripMargin)),
+
+    // ---- q209: PMI collocations --------------------------------------
+    // Pointwise mutual information over adjacent token pairs — the
+    // classic collocation detector ("which bigrams occur far more than
+    // chance"), the signal behind phrase-vocabulary induction (the
+    // statistical cousin of q108's raw BPE pair counts). All counts are
+    // exact integers from two map-side-combinable hash-aggs; PMI =
+    // log2((cbg·N) / (cw1·cw2)) computed as ONE log2 of a ratio of
+    // exact long products (each < 2^53, so the doubles are exact and
+    // the transcendental is engine-identical — no fold needed, one
+    // log per row). Min support 5 kills the noise floor; top-50 by
+    // rounded PMI with bigram tie-break via TakeOrderedAndProject.
+    QueryDef("q209_pmi_collocations",
+      (s, d) => {
+        val t = documents(s, d)
+          .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+        val bgs = t.select(explode(zip_with(
+            slice(col("tk"), lit(1), greatest(size(col("tk")) - 1, lit(0))),
+            slice(col("tk"), lit(2), greatest(size(col("tk")) - 1, lit(0))),
+            (a, b) => concat(a, lit("#"), b))).as("bg"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cbg = bgs.groupBy("bg").agg(count(lit(1)).as("cbg"))
+        val scal = cbg.agg(sum("cbg").as("__n"))
+        val cw = bgs
+          .select(split(col("bg"), "#").getItem(0).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("cwl"))
+        val cw2 = bgs
+          .select(split(col("bg"), "#").getItem(1).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("cwr"))
+        cbg.where(col("cbg") >= 5)
+          .withColumn("w1", split(col("bg"), "#").getItem(0))
+          .withColumn("w2", split(col("bg"), "#").getItem(1))
+          .join(cw.select(col("tok").as("w1"), col("cwl")), "w1")
+          .join(cw2.select(col("tok").as("w2"), col("cwr")), "w2")
+          .crossJoin(broadcast(scal))
+          .select(col("w1"), col("w2"), col("cbg"),
+            round(log2((col("cbg") * col("__n")).cast("double") /
+              (col("cwl") * col("cwr")).cast("double")), 6).as("pmi"))
+          .transform(df0 => Relational.topK(df0,
+            Seq(col("pmi").desc, col("w1").asc, col("w2").asc), 50))
+          .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, ${DuckSql.toks("text")} AS tk
+        |    FROM documents),
+        |b AS (SELECT unnest(list_transform(
+        |    generate_series(1, greatest(len(tk) - 1, 0)),
+        |    i -> tk[i] || '#' || tk[i+1])) AS bg FROM t),
+        |cbg AS (SELECT bg, count(*) AS cbg FROM b GROUP BY 1),
+        |sc AS (SELECT CAST(sum(cbg) AS BIGINT) AS n FROM cbg),
+        |cwl AS (SELECT string_split(bg, '#')[1] AS tok, count(*) AS cwl
+        |  FROM b GROUP BY 1),
+        |cwr AS (SELECT string_split(bg, '#')[2] AS tok, count(*) AS cwr
+        |  FROM b GROUP BY 1)
+        |SELECT string_split(cbg.bg, '#')[1] AS w1,
+        |  string_split(cbg.bg, '#')[2] AS w2, cbg.cbg,
+        |  round(log2(CAST(cbg.cbg * sc.n AS DOUBLE) /
+        |    CAST(cwl.cwl * cwr.cwr AS DOUBLE)), 6) + 0 AS pmi
+        |FROM cbg, sc
+        |  JOIN cwl ON cwl.tok = string_split(cbg.bg, '#')[1]
+        |  JOIN cwr ON cwr.tok = string_split(cbg.bg, '#')[2]
+        |WHERE cbg.cbg >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin)))
 }
