@@ -376,18 +376,14 @@ object QueriesQuality {
     // input, so the STREAMING engine itself is under the hash check.
     QueryDef("q118_streaming_parity",
       (s, d) => {
-        import org.apache.spark.sql.types._
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val sch = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType), StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
+        // schema probed from the footer: `ts` physical layout differs
+        // across testdata generations (nanos-int64 vs micros timestamp)
+        val sch = eventsStreamSchema(s, d)
         // the file source needs a DIRECTORY; glob-filter to the one table
         graft.streaming.Sessions.runStreamToBatch(s, d, sch,
             globFilter = Some("events.parquet"),
             shufflePartitions = Some(4),
-            transform = st => st
-              .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+            transform = st => normalizeEventTs(st)
               .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
               .agg(count(lit(1)).as("n"),
                 Relational.sumExact(col("value")).as("sum_value")))
@@ -453,17 +449,14 @@ object QueriesQuality {
     // END-TO-END in its streaming form, not just via StreamingSpec.
     QueryDef("q140_streaming_sessions",
       (s, d) => {
-        import org.apache.spark.sql.types._
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val sch = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType), StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
+        // schema probed from the footer: `ts` physical layout differs
+        // across testdata generations (nanos-int64 vs micros timestamp)
+        val sch = eventsStreamSchema(s, d)
         graft.streaming.Sessions.runStreamToBatch(s, d, sch,
             globFilter = Some("events.parquet"),
             shufflePartitions = Some(4),
             transform = st => graft.streaming.Sessions.assembleUtterances(
-              st.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+              normalizeEventTs(st)
                 .select(col("user_id"), col("ts"), col("event_type").as("word")),
               "user_id", "ts", "word", gapSec = 1800))
           .select(col("user_id"), col("n_words"),
@@ -490,18 +483,15 @@ object QueriesQuality {
     // (q119), session windows (q140), and now the join.
     QueryDef("q143_streaming_interval_join",
       (s, d) => {
-        import org.apache.spark.sql.types._
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val sch = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType), StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
+        // schema probed from the footer: `ts` physical layout differs
+        // across testdata generations (nanos-int64 vs micros timestamp)
+        val sch = eventsStreamSchema(s, d)
         graft.streaming.Sessions.runStreamToBatch(s, d, sch,
             globFilter = Some("events.parquet"),
             outputMode = "append",
             shufflePartitions = Some(4),
             transform = st => {
-              val ev = st.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+              val ev = normalizeEventTs(st)
               val clicks = ev.where(col("event_type") === "click")
                 .select(col("user_id"), col("ts").as("c_ts"),
                   col("event_id").as("c_id"))
@@ -536,12 +526,9 @@ object QueriesQuality {
     // eviction-driven null path itself under the hash check.
     QueryDef("q148_streaming_left_outer",
       (s, d) => {
-        import org.apache.spark.sql.types._
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val sch = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType), StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
+        // schema probed from the footer: `ts` physical layout differs
+        // across testdata generations (nanos-int64 vs micros timestamp)
+        val sch = eventsStreamSchema(s, d)
         graft.streaming.Sessions.runStreamToBatch(s, d, sch,
             globFilter = Some("events.parquet"),
             outputMode = "append",
@@ -552,7 +539,7 @@ object QueriesQuality {
               // and a node downstream of `event_type = 'click'` would
               // stall at the last click — stranding the final
               // interval's unmatched outer state (see joinWithinInterval)
-              val ev = st.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+              val ev = normalizeEventTs(st)
                 .withWatermark("ts", "30 seconds")
               val clicks = ev.where(col("event_type") === "click" &&
                   col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
@@ -587,12 +574,9 @@ object QueriesQuality {
 
     QueryDef("q119_streaming_dedup",
       (s, d) => {
-        import org.apache.spark.sql.types._
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val sch = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType), StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
+        // schema probed from the footer: `ts` physical layout differs
+        // across testdata generations (nanos-int64 vs micros timestamp)
+        val sch = eventsStreamSchema(s, d)
         graft.streaming.Sessions.runStreamToBatch(s, d, sch,
             globFilter = Some("events.parquet"),
             outputMode = "append",

@@ -308,20 +308,17 @@ object QueriesRound6 {
     // error.
     QueryDef("q178_streaming_running_max",
       (s, d) => {
-        import org.apache.spark.sql.types._
         import s.implicits._
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val sch = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType), StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
+        // schema probed from the footer: `ts` physical layout differs
+        // across testdata generations (nanos-int64 vs micros timestamp)
+        val sch = eventsStreamSchema(s, d)
         graft.streaming.Sessions.runStreamToBatch(s, d, sch,
             globFilter = Some("events.parquet"),
             outputMode = "append",
             shufflePartitions = Some(4),
             transform = st => graft.streaming.Sessions.streamingRunningMax(
-              st.select(col("user_id").as("key"),
-                expr("ts div 1000").as("ts_us"),
+              normalizeEventTs(st).select(col("user_id").as("key"),
+                unix_micros(col("ts")).as("ts_us"),
                 col("event_id").as("seq"),
                 col("value"))
                 .as[graft.streaming.ValEvent]).toDF())
@@ -590,20 +587,17 @@ object QueriesRound6 {
     // n — robust to any micro-batch split.
     QueryDef("q190_streaming_ewma",
       (s, d) => {
-        import org.apache.spark.sql.types._
         import s.implicits._
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val sch = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType), StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
+        // schema probed from the footer: `ts` physical layout differs
+        // across testdata generations (nanos-int64 vs micros timestamp)
+        val sch = eventsStreamSchema(s, d)
         graft.streaming.Sessions.runStreamToBatch(s, d, sch,
             globFilter = Some("events.parquet"),
             outputMode = "update",
             shufflePartitions = Some(4),
             transform = st => graft.streaming.Sessions.streamingEwma(
-              st.select(col("user_id").as("key"),
-                expr("ts div 1000").as("ts_us"),
+              normalizeEventTs(st).select(col("user_id").as("key"),
+                unix_micros(col("ts")).as("ts_us"),
                 col("event_id").as("seq"),
                 col("value"))
                 .as[graft.streaming.ValEvent], alpha = 0.3, beta = 0.7).toDF())

@@ -30,12 +30,9 @@ object QueriesRound6c {
     // join the oracle runs.
     QueryDef("q200_stream_static_join",
       (s, d) => {
-        import org.apache.spark.sql.types._
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val sch = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType), StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
+        // schema probed from the footer: `ts` physical layout differs
+        // across testdata generations (nanos-int64 vs micros timestamp)
+        val sch = eventsStreamSchema(s, d)
         val dim = nation(s, d).select(col("n_nationkey"), col("n_name"))
         graft.streaming.Sessions.runStreamToBatch(s, d, sch,
             globFilter = Some("events.parquet"),
