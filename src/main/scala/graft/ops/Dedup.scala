@@ -812,4 +812,98 @@ object Dedup {
     df.select(col(idCol)).join(sums, Seq(idCol), "left")
       .select(col(idCol), guarded.as("simhash"))
   }
+
+  /** EXACT all-pairs set-similarity self-join via prefix filtering —
+    * the AllPairs/PPJoin family (Bayardo et al. WWW'07, Xiao et al.
+    * ICDE'08). Token sets are word-level (Text.tokens, distinct);
+    * output is every unordered pair whose Jaccard >= num/den, with the
+    * exact intersection/size/jaccard columns of `Dedup.jaccard`. The
+    * threshold comparison is integer cross-multiplication
+    * (den*inter >= num*union), so membership is bit-exact and the
+    * DuckDB oracle can verify via brute force (q210): prefix filtering
+    * is COMPLETE — a pair at Jaccard >= t must share a token within
+    * each side's (|s| - ceil(t*|s|) + 1)-token prefix in the global
+    * rarity order — so the candidate pruning never changes the answer,
+    * unlike MinHash-LSH's probabilistic recall (q42).
+    *
+    * Scale shape: tokens are ordered by ASCENDING corpus frequency
+    * (ties by token text), so prefixes hold each document's RAREST
+    * tokens and the candidate equi-join's key skew is self-limiting —
+    * a token with document frequency m can only reach a prefix when it
+    * is among a doc's rarest, and contributes at most m' <= m pairs per
+    * bucket. The rarity order needs NO global rank: per-doc windows
+    * (partitioned by id) sort each document's tokens against the
+    * broadcast-joined vocabulary counts. Verification joins run only
+    * over candidates (never doc x doc), reusing the persisted token
+    * frame; all intermediates unpersist before return. */
+  def prefixFilterJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                               num: Int, den: Int,
+                               shingleN: Int = 0): DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      s"threshold must be a fraction in (0,1], got $num/$den")
+    // element universe: distinct words (shingleN <= 0) or distinct
+    // n-token shingles carried as md5 fingerprints (narrow 32-byte
+    // join keys; fingerprint equality == shingle equality, so the
+    // exactness claim is unchanged). Word sets barely discriminate on
+    // template-heavy corpora — shingle sets are the document setting.
+    val tok = (if (shingleN <= 0)
+        df.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__toks"))
+          .repartition(col("id"))
+          .select(col("id"), explode(array_distinct(col("__toks"))).as("t"))
+      else
+        shingleRows(df, idCol, textCol, shingleN)
+          .select(col(idCol).as("id"), md5(col("shingle")).as("t")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = tok.groupBy("t").agg(count(lit(1)).as("__df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("__df").asc, col("t").asc)
+    val ranked = tok.join(broadcast(vocab), "t")
+      .select(col("id"), col("t"),
+        row_number().over(w).as("__rn"),
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("id"))
+          .as("__sz"))
+    // prefix length p = sz - ceil(num*sz/den) + 1, integer ceiling.
+    // The prefix frame is consumed by BOTH sides of the candidate
+    // self-join: checkpoint it once (O(prefix) rows — a (1-t) sliver
+    // of the elements) so the rank window isn't computed twice.
+    val prefix = ranked
+      .where(col("__rn") <=
+        col("__sz") - expr(s"(${num}L * __sz + ${den - 1}L) div ${den}L") + 1)
+      .select(col("t"), col("id"))
+      .localCheckpoint()
+    // candidates are consumed twice (id scope + intersection join):
+    // materialize once, sized in candidate pairs, not corpus
+    val cand = prefix.select(col("t"), col("id").as("id_a"))
+      .join(prefix.select(col("t"), col("id").as("id_b")), Seq("t"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .localCheckpoint()
+    val sz = tok.groupBy("id").agg(count(lit(1)).as("sz"))
+    // verification touches only candidate documents: semi-join the
+    // element frame down to ids that appear in a candidate pair before
+    // the intersection join — candidates are rare, so this turns two
+    // full-corpus shuffles into joins over a sliver of the elements
+    val candIds = cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id"))).distinct()
+    val tokC = tok.join(broadcast(candIds), Seq("id"), "left_semi")
+    val inter = cand
+      .join(tokC.select(col("id").as("id_a"), col("t")), Seq("id_a"))
+      .join(tokC.select(col("id").as("id_b"), col("t")), Seq("id_b", "t"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    val out = inter
+      .join(sz.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sz.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .where(lit(den.toLong) * col("n_inter") >=
+        lit(num.toLong) * (col("sz_a") + col("sz_b") - col("n_inter")))
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        col("sz_a"), col("sz_b"),
+        round(col("n_inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_inter")), 6).as("jaccard"))
+    val materialized = out.localCheckpoint()
+    tok.unpersist(false)
+    Checkpoints.free(prefix)
+    Checkpoints.free(cand)
+    materialized
+  }
 }

@@ -23,7 +23,8 @@ object Registry {
       QueriesRound6.defs ++
       QueriesRound6b.defs ++
       QueriesRound6c.defs ++
-      QueriesRound6d.defs
+      QueriesRound6d.defs ++
+      QueriesRound6e.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -38,6 +38,12 @@ case class EwmaPoint(key: Long, n: Long, ewma: Double)
 case class MaxState(mx: Double)
 case class MaxPoint(key: Long, ts_us: Long, seq: Long, running_max: Double)
 
+/** streamingTopK state/output: the k largest values seen per key
+  * (emission carries the first three, padded with nulls). */
+case class TopKState(n: Long, vs: Seq[Double])
+case class TopKPoint(key: Long, n: Long,
+                     v1: Option[Double], v2: Option[Double], v3: Option[Double])
+
 /** Structured Streaming operators (SURVEY §2A-9, §3.3).
   *
   * The reference's streaming shapes map 1:1:
@@ -404,6 +410,38 @@ object Sessions {
     }
     events.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Streaming per-key TOP-K values via flatMapGroupsWithState: state
+    * is the k largest values seen for the key (plus the observation
+    * count), emitted in Update mode after every micro-batch that
+    * touches the key. The final state per key — selected downstream as
+    * the emission with the largest n, the streamingEwma discipline, so
+    * the check is robust to any micro-batch split — equals the batch
+    * `k` largest values per key, which is plain SQL (q215's oracle).
+    * Selection (not accumulation) of doubles is exact: no
+    * floating-point ordering hazard.
+    *
+    * State is k doubles + one long per key — bounded regardless of
+    * stream length (the leaderboard/top-scores shape). */
+  def streamingTopK(events: Dataset[ValEvent], k: Int): Dataset[TopKPoint] = {
+    import events.sparkSession.implicits._
+    require(k >= 1 && k <= 16, s"streamingTopK supports k in [1,16], got $k")
+    def update(key: Long, rows: Iterator[ValEvent],
+               state: GroupState[TopKState]): Iterator[TopKPoint] = {
+      val incoming = rows.map(_.value).toSeq
+      if (incoming.isEmpty) Iterator.empty
+      else {
+        val prior = state.getOption.getOrElse(TopKState(0L, Seq.empty))
+        val top = (prior.vs ++ incoming).sorted(Ordering[Double].reverse).take(k)
+        val n = prior.n + incoming.size
+        state.update(TopKState(n, top))
+        def at(i: Int): Option[Double] = top.lift(i)
+        Iterator.single(TopKPoint(key, n, at(0), at(1), at(2)))
+      }
+    }
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
 
   /** Silence split column for batch backfill of utterance assembly:
