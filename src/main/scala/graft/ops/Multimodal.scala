@@ -77,6 +77,80 @@ object Multimodal {
   /** Typed metadata column from a binary WAV column. */
   def wavMetadata(content: Column): Column = wavMetaUdf(content)
 
+  /** Locate the PCM `data` chunk: (offset-of-first-sample-byte, len).
+    * Same guarded chunk walk as parseWavHeader. (-1, 0) when absent. */
+  private def findDataChunk(bytes: Array[Byte]): (Int, Long) = {
+    def le32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def tag(o: Int): String = new String(bytes.slice(o, o + 4), "US-ASCII")
+    var off = 12L
+    while (off + 8 <= bytes.length) {
+      val id = tag(off.toInt); val sz = le32(off.toInt + 4)
+      if (sz < 0 || off + 8 + sz > Int.MaxValue.toLong) return (-1, 0L)
+      if (id == "data") return (off.toInt + 8, sz)
+      off += 8 + sz + (sz & 1)
+    }
+    (-1, 0L)
+  }
+
+  case class VadMeta(n_windows: Long, n_active: Long, n_segments: Long,
+                     active_ppm: Long, valid: Boolean)
+
+  /** Energy-based voice-activity segmentation over 16-bit mono PCM WAV
+    * bytes (the reference's Vosk chunk loop decides "speech vs
+    * silence" this way before ASR; inputs/system_audio_collector.py:
+    * 39-53 reads fixed-size chunks and lets the recognizer gate them).
+    * Per fixed window of `windowFrames` samples: sum of |sample|
+    * (integer — no float accumulation), active iff the sum clears
+    * `threshold`; adjacent active windows merge into segments. The
+    * trailing partial window counts as a window. Returns window/
+    * segment counts plus the active share in ppm — the speech-density
+    * signal an audio-curation pipeline filters on (keep clips with
+    * enough speech, drop dead air).
+    *
+    * Byte-level work is inherent here, so a per-row UDF is the
+    * documented norm (q65/q134/q135); corrupt input is data
+    * (valid = false), never a task exception. */
+  def energyVad(bytes: Array[Byte], windowFrames: Int,
+                threshold: Long): VadMeta = {
+    val meta = parseWavHeader(bytes)
+    if (!meta.valid || meta.bits_per_sample != 16 || meta.channels != 1 ||
+        windowFrames <= 0)
+      return VadMeta(0L, 0L, 0L, 0L, valid = false)
+    val (dataOff, dataLen) = findDataChunk(bytes)
+    if (dataOff < 0) return VadMeta(0L, 0L, 0L, 0L, valid = false)
+    val n = math.min(dataLen / 2,
+      ((bytes.length - dataOff) / 2).toLong).toInt
+    var i = 0; var winSum = 0L; var inWin = 0
+    var nWin = 0L; var nActive = 0L; var nSeg = 0L; var prevActive = false
+    def closeWindow(): Unit = {
+      nWin += 1
+      val active = winSum > threshold
+      if (active) { nActive += 1; if (!prevActive) nSeg += 1 }
+      prevActive = active
+      winSum = 0L; inWin = 0
+    }
+    while (i < n) {
+      val s = ((bytes(dataOff + 2 * i) & 0xff) |
+        (bytes(dataOff + 2 * i + 1) << 8)).toShort
+      winSum += math.abs(s.toLong)
+      inWin += 1
+      if (inWin == windowFrames) closeWindow()
+      i += 1
+    }
+    if (inWin > 0) closeWindow()
+    val ppm = if (nWin == 0) 0L else nActive * 1000000L / nWin
+    VadMeta(nWin, nActive, nSeg, ppm, valid = true)
+  }
+
+  private val energyVadUdf = udf(energyVad _)
+
+  /** VAD segmentation column from a binary WAV column. */
+  def vadSegments(content: Column, windowFrames: Int,
+                  threshold: Long): Column =
+    energyVadUdf(content, lit(windowFrames), lit(threshold))
+
   // -------------------------------------------------------------------
   // Image headers — same errors-as-data contract as WAV: corrupt or
   // unknown bytes yield valid=false, never an exception in the task.

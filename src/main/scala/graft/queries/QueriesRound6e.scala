@@ -243,5 +243,48 @@ object QueriesRound6e {
         |    (list(value ORDER BY value DESC))[1:3] AS l
         |  FROM events GROUP BY 1)
         |SELECT key, n, l[1] AS v1, l[2] AS v2, l[3] AS v3
-        |FROM s ORDER BY key""".stripMargin)))
+        |FROM s ORDER BY key""".stripMargin)),
+
+    // ---- q216: audio energy VAD segmentation --------------------------
+    // The reference's speech-vs-silence gate as a relational operator:
+    // synthesize a deterministic 16-bit mono WAV per part (windows of
+    // 80 frames; window w carries amplitude 500 iff w % 4 < 2, so
+    // active windows come in runs of two), run the REAL byte-level
+    // parser + integer |sample| windowing (Multimodal.energyVad), and
+    // hash-verify the window/segment counts against the closed-form
+    // oracle: for W windows, actives = 2*(W//4) + least(W%4, 2),
+    // segments = (W+3)//4. The UDF genuinely walks RIFF chunks and PCM
+    // bytes — only the payload is synthetic (no codecs in this build).
+    QueryDef("q216_audio_vad",
+      (s, d) => {
+        val mk = udf { (key: Long) =>
+          val nW = 8 + (key % 9).toInt
+          val samples = Array.tabulate[Short](nW * 80) { i =>
+            if ((i / 80) % 4 < 2) 500.toShort else 0.toShort
+          }
+          graft.ops.Multimodal.makeWav(16000, 1, samples)
+        }
+        part(s, d).where(col("p_partkey") <= 150)
+          .select(col("p_partkey"), mk(col("p_partkey")).as("wav"))
+          .select(col("p_partkey"),
+            graft.ops.Multimodal.vadSegments(col("wav"),
+              windowFrames = 80, threshold = 1000L).as("v"))
+          .select(col("p_partkey"),
+            col("v.n_windows").as("n_windows"),
+            col("v.n_active").as("n_active"),
+            col("v.n_segments").as("n_segments"),
+            col("v.active_ppm").as("active_ppm"),
+            col("v.valid").as("valid"))
+          .orderBy("p_partkey")
+      },
+      Some("""WITH w AS (SELECT p_partkey, 8 + (p_partkey % 9) AS nw
+        |  FROM part WHERE p_partkey <= 150)
+        |SELECT p_partkey,
+        |  CAST(nw AS BIGINT) AS n_windows,
+        |  CAST(2 * (nw // 4) + least(nw % 4, 2) AS BIGINT) AS n_active,
+        |  CAST((nw + 3) // 4 AS BIGINT) AS n_segments,
+        |  CAST((2 * (nw // 4) + least(nw % 4, 2)) * 1000000 // nw AS BIGINT)
+        |    AS active_ppm,
+        |  true AS valid
+        |FROM w ORDER BY p_partkey""".stripMargin)))
 }

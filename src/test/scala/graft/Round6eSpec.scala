@@ -121,4 +121,32 @@ class Round6eSpec extends SparkSpec {
     assert(got.map(p => (p.key, p.n, p.v1, p.v2, p.v3)) ==
       Seq((7L, 1L, Some(42.0), None, None)))
   }
+
+  // ---- energyVad ---------------------------------------------------
+
+  test("energyVad counts windows, actives, and merged segments") {
+    import graft.ops.Multimodal
+    // 6 windows of 4 frames: loud, loud, silent, loud, silent, partial-loud
+    val samples = (Array.fill[Short](8)(300) ++ Array.fill[Short](4)(0) ++
+      Array.fill[Short](4)(200) ++ Array.fill[Short](4)(0) ++
+      Array.fill[Short](2)(400)) // trailing partial window (2 frames)
+    val wav = Multimodal.makeWav(8000, 1, samples)
+    val v = Multimodal.energyVad(wav, windowFrames = 4, threshold = 100L)
+    assert(v.valid)
+    assert(v.n_windows == 6L)       // 5 full + 1 partial
+    assert(v.n_active == 4L)        // windows 0,1,3,5
+    assert(v.n_segments == 3L)      // {0,1}, {3}, {5}
+    assert(v.active_ppm == 4L * 1000000L / 6L)
+  }
+
+  test("energyVad treats corrupt or non-mono input as data, not error") {
+    import graft.ops.Multimodal
+    assert(!Multimodal.energyVad(Array[Byte](1, 2, 3), 4, 10L).valid)
+    val stereo = Multimodal.makeWav(8000, 2, Array.fill[Short](8)(100))
+    assert(!Multimodal.energyVad(stereo, 4, 10L).valid)
+    // negative samples count via |s|: all -300 clears the threshold
+    val neg = Multimodal.makeWav(8000, 1, Array.fill[Short](4)(-300))
+    val v = Multimodal.energyVad(neg, 4, 100L)
+    assert(v.valid && v.n_active == 1L && v.n_segments == 1L)
+  }
 }
