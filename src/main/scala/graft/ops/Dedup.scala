@@ -261,6 +261,37 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Per-document n-gram novelty: the fraction (ppm) of a document's
+    * distinct n-token windows that NO earlier document (smaller id)
+    * contains — the marginal-contribution signal data-valuation and
+    * memorization audits rank on (a doc whose windows all appeared
+    * before adds nothing; a high-novelty doc carries new content).
+    * One shuffle keyed on the 32-byte window fingerprint computes the
+    * global min owner per window (partial-combining min, never
+    * doc×doc); a second map-side-combining agg folds ownership back
+    * per doc. Docs with fewer than n tokens report 0 windows and ppm
+    * null (no windows to be novel). */
+  def windowNovelty(df: DataFrame, idCol: String, textCol: String,
+                    n: Int): DataFrame = {
+    val fps = shingleRows(df, idCol, textCol, n)
+      .select(col(idCol), md5(col("shingle")).as("fp"))
+    val firstOwner = fps.groupBy("fp")
+      .agg(min(col(idCol)).as("first_id"))
+    val perDoc = fps.join(firstOwner, Seq("fp"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("first_id") === col(idCol), 1L).otherwise(0L))
+          .as("n_novel"))
+    df.select(col(idCol)).distinct()
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_windows"), lit(0L)) > 0,
+          expr("(n_novel * 1000000L) div n_windows")).as("novelty_ppm"))
+  }
+
   /** Cap-drop audit for [[sharedShinglePairs]]: what did the
     * degenerate-window cap discard? One row: total distinct windows,
     * windows over the cap, (doc, window) occurrences lost with them,

@@ -204,6 +204,105 @@ object Multimodal {
     buf.array()
   }
 
+  /** Synthesize an uncompressed 24-bpp grayscale BMP (r=g=b) from a
+    * row-major TOP-DOWN pixel array (values 0-255). Rows are written
+    * bottom-up with 4-byte padding — the standard positive-height BMP
+    * layout — so `averageHash` exercises the real flip + stride walk.
+    * BMP is the one mainstream raster format with no compression
+    * stage, which keeps the pixel path byte-exact without codec
+    * libraries (the PNG lane, q134, stays header+payload-hash only). */
+  def makeBmp(width: Int, height: Int, pixels: Array[Int]): Array[Byte] = {
+    require(pixels.length == width * height, "pixels != width*height")
+    val stride = (width * 3 + 3) / 4 * 4
+    val dataLen = stride * height
+    val buf = java.nio.ByteBuffer.allocate(54 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+      .putShort(0).putShort(0).putInt(54)            // reserved, pixel offset
+      .putInt(40).putInt(width).putInt(height)       // BITMAPINFOHEADER
+      .putShort(1).putShort(24).putInt(0).putInt(dataLen)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 dpi, no palette
+    var r = height - 1
+    while (r >= 0) {                                 // bottom-up rows
+      var c = 0
+      while (c < width) {
+        val v = (pixels(r * width + c) & 0xff).toByte
+        buf.put(v).put(v).put(v)                     // B G R
+        c += 1
+      }
+      var pad = stride - width * 3
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      r -= 1
+    }
+    buf.array()
+  }
+
+  case class AHashMeta(hash_hi: Long, hash_lo: Long, n_set: Long,
+                       valid: Boolean)
+
+  /** Perceptual average-hash over 24-bpp BMP bytes: the image is
+    * block-averaged to an 8×8 grid (width/height must be multiples of
+    * 8 — equal-sized blocks keep the math integer: bit_i set iff
+    * 64·blocksum_i ≥ totalsum, the division-free form of "block mean
+    * above global mean"), bits in row-major TOP-DOWN order, bit i of
+    * `hash_lo` for i<32 and of `hash_hi` for i≥32 (both in [0,2³²) so
+    * they survive any engine's signed 64-bit arithmetic). Gray is the
+    * exact channel sum b+g+r (no luma division). Near-identical images
+    * agree on most bits, so banding the 64 bits (the q44/q101 SimHash
+    * discipline) gives image near-dup candidates without any decoder.
+    * Corrupt/non-24bpp/odd-sized input is data (valid=false). */
+  def averageHash(bytes: Array[Byte]): AHashMeta = {
+    def le32(o: Int): Int =
+      (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+        ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    if (bytes == null || bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M')
+      return AHashMeta(0L, 0L, 0L, valid = false)
+    val pixOff = le32(10)
+    val width = le32(18)
+    val rawH = le32(22)
+    val height = math.abs(rawH)
+    val bpp = (bytes(28) & 0xff) | ((bytes(29) & 0xff) << 8)
+    if (bpp != 24 || width <= 0 || height == 0 ||
+        width % 8 != 0 || height % 8 != 0)
+      return AHashMeta(0L, 0L, 0L, valid = false)
+    val stride = (width * 3 + 3) / 4 * 4
+    if (pixOff < 0 || pixOff.toLong + stride.toLong * height > bytes.length)
+      return AHashMeta(0L, 0L, 0L, valid = false)
+    val bw = width / 8; val bh = height / 8
+    val sums = new Array[Long](64)
+    var total = 0L
+    var row = 0
+    while (row < height) {
+      // positive height = bottom-up storage; normalize to top-down
+      val srcRow = if (rawH > 0) height - 1 - row else row
+      val base = pixOff + srcRow * stride
+      var col = 0
+      while (col < width) {
+        val o = base + col * 3
+        val gray = (bytes(o) & 0xff) + (bytes(o + 1) & 0xff) +
+          (bytes(o + 2) & 0xff)
+        sums((row / bh) * 8 + col / bw) += gray
+        total += gray
+        col += 1
+      }
+      row += 1
+    }
+    var hi = 0L; var lo = 0L; var nSet = 0L; var i = 0
+    while (i < 64) {
+      if (64L * sums(i) >= total) {
+        nSet += 1
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    AHashMeta(hi, lo, nSet, valid = true)
+  }
+
+  private val aHashUdf = udf(averageHash _)
+
+  /** Average-hash column from a binary BMP column. */
+  def imageAHash(content: Column): Column = aHashUdf(content)
+
   /** Synthesize a PCM WAV byte array (s16le). Used by tests and the
     * stubbed decode path. */
   def makeWav(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {

@@ -1,0 +1,138 @@
+package graft.queries
+
+import graft.Tables._
+import graft.ops.{Dedup, Eval, Multimodal, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Round-6 sixth batch: exact classifier evaluation (ROC AUC via the
+  * rank-sum identity), perceptual image hashing over real BMP bytes,
+  * and per-document n-gram novelty scoring. The arithmetic that
+  * reaches the hash check is integer end-to-end.
+  */
+object QueriesRound6f {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q217: exact ROC AUC of a quality classifier -----------------
+    // The eval half of the q201 model-based-filtering lane: given
+    // per-document scores (n_chars stands in for the probe's logit)
+    // and deterministic labels correlated with the score (positive iff
+    // md5-noise % 600 < n_chars — AUC lands meaningfully above ½ and
+    // both classes are non-empty at every SF), compute exact AUC by
+    // Mann–Whitney: one map-side-combining agg to per-distinct-score
+    // class counts, a cumulative window over that O(distinct scores)
+    // frame, U2 = Σ n_pos·(2·cumneg_below + n_neg), one integer
+    // division. No ranks over the corpus, no floats anywhere.
+    QueryDef("q217_auc_exact",
+      (s, d) => {
+        val h = Sampling.hashLong(
+          concat(col("doc_id").cast("string"), lit("#lbl")))
+        val labeled = documents(s, d).select(
+          col("n_chars").as("score"),
+          (h % 600 < col("n_chars")).as("is_pos"))
+        Eval.aucPpm(labeled, "score", "is_pos")
+      },
+      Some(s"""WITH lab AS (SELECT n_chars AS score,
+        |    ${DuckSql.hashLong("doc_id || '#lbl'")} % 600 < n_chars AS is_pos
+        |  FROM documents),
+        |sc AS (SELECT score,
+        |    sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS n_pos,
+        |    sum(CASE WHEN is_pos THEN 0 ELSE 1 END) AS n_neg
+        |  FROM lab GROUP BY 1),
+        |c AS (SELECT score, n_pos, n_neg,
+        |    coalesce(sum(n_neg) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+        |  FROM sc)
+        |SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+        |  CAST(sum(n_neg) AS BIGINT) AS n_neg,
+        |  CAST(sum(n_pos * (2 * cumneg + n_neg)) AS BIGINT) AS u2,
+        |  CAST(sum(n_pos * (2 * cumneg + n_neg)) * 1000000
+        |    // (sum(n_pos) * sum(n_neg) * 2) AS BIGINT) AS auc_ppm
+        |FROM c""".stripMargin)),
+
+    // ---- q218: image average-hash + exact-dup grouping ---------------
+    // Image dedup without a codec: synthesize a deterministic 16×16
+    // 24-bpp BMP per part (pixel i = ((key%17)·37 + i²·13) % 256, so
+    // keys sharing key%17 render IDENTICAL images — the dup classes),
+    // run the REAL byte walk (BITMAPFILEHEADER offsets, bottom-up row
+    // flip, stride padding — Multimodal.averageHash), block-average to
+    // the 8×8 aHash grid with the division-free integer threshold
+    // (bit ⟺ 64·blocksum ≥ total), and group exact duplicates by the
+    // 64-bit hash (as two 32-bit halves, signed-safe in any engine).
+    // The oracle replays the pixel formula and the bit algebra;
+    // byte-walk bugs (stride, flip, offset) cannot hash-match.
+    QueryDef("q218_image_ahash",
+      (s, d) => {
+        val mk = udf { (key: Long) =>
+          val v = (key % 17).toInt
+          val px = Array.tabulate(256)(i => (v * 37 + i * i * 13) % 256)
+          Multimodal.makeBmp(16, 16, px)
+        }
+        val hashed = part(s, d).where(col("p_partkey") <= 120)
+          .select(col("p_partkey"),
+            Multimodal.imageAHash(mk(col("p_partkey"))).as("h"))
+          .select(col("p_partkey"),
+            col("h.hash_hi").as("hash_hi"), col("h.hash_lo").as("hash_lo"),
+            col("h.n_set").as("n_set"), col("h.valid").as("valid"))
+        val groups = hashed.groupBy("hash_hi", "hash_lo")
+          .agg(count(lit(1)).as("group_size"))
+        hashed.join(broadcast(groups), Seq("hash_hi", "hash_lo"))
+          .orderBy("p_partkey")
+      },
+      Some("""WITH k AS (SELECT p_partkey, p_partkey % 17 AS v
+        |  FROM part WHERE p_partkey <= 120),
+        |px AS (SELECT p_partkey, list_transform(generate_series(0, 255),
+        |    i -> (v * 37 + i * i * 13) % 256) AS ps FROM k),
+        |bs AS (SELECT p_partkey, CAST(list_sum(ps) AS BIGINT) AS total,
+        |    list_transform(generate_series(0, 63), b ->
+        |      ps[((b // 8) * 2) * 16 + (b % 8) * 2 + 1]
+        |      + ps[((b // 8) * 2) * 16 + (b % 8) * 2 + 2]
+        |      + ps[((b // 8) * 2 + 1) * 16 + (b % 8) * 2 + 1]
+        |      + ps[((b // 8) * 2 + 1) * 16 + (b % 8) * 2 + 2]) AS blocks
+        |  FROM px),
+        |bits AS (SELECT p_partkey, list_transform(generate_series(1, 64),
+        |    p -> CASE WHEN 64 * blocks[p] >= total THEN 1 ELSE 0 END) AS bit
+        |  FROM bs),
+        |h AS (SELECT p_partkey,
+        |    CAST(list_sum(list_transform(generate_series(33, 64),
+        |      p -> bit[p] * (CAST(1 AS BIGINT) << (p - 33)))) AS BIGINT) AS hash_hi,
+        |    CAST(list_sum(list_transform(generate_series(1, 32),
+        |      p -> bit[p] * (CAST(1 AS BIGINT) << (p - 1)))) AS BIGINT) AS hash_lo,
+        |    CAST(list_sum(bit) AS BIGINT) AS n_set
+        |  FROM bits)
+        |SELECT h.p_partkey, h.hash_hi, h.hash_lo, h.n_set, true AS valid,
+        |  g.group_size
+        |FROM h JOIN (SELECT hash_hi, hash_lo,
+        |    CAST(count(*) AS BIGINT) AS group_size
+        |  FROM h GROUP BY 1, 2) g USING (hash_hi, hash_lo)
+        |ORDER BY p_partkey""".stripMargin)),
+
+    // ---- q219: per-document n-gram novelty -----------------------------
+    // Marginal-contribution scoring (the data-valuation signal): what
+    // fraction of each doc's distinct 8-token windows does NO
+    // earlier-id document contain? One shuffle keyed on the window
+    // fingerprint finds the global first owner (partial-combining
+    // min); ownership folds back per doc map-side. Docs shorter than
+    // 8 tokens report 0 windows, ppm null.
+    QueryDef("q219_window_novelty",
+      (s, d) => Dedup.windowNovelty(documents(s, d), "doc_id", "text", 8)
+        .orderBy("doc_id"),
+      Some(s"""WITH tt AS (SELECT doc_id, ${DuckSql.toks("text")} AS tks
+        |  FROM documents),
+        |tk AS (SELECT DISTINCT doc_id,
+        |    unnest(list_distinct(${DuckSql.shingles("tks", 8)})) AS t
+        |  FROM tt),
+        |fo AS (SELECT t, min(doc_id) AS first_id FROM tk GROUP BY 1),
+        |pd AS (SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |    CAST(sum(CASE WHEN fo.first_id = tk.doc_id THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_novel
+        |  FROM tk JOIN fo ON fo.t = tk.t GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(pd.n_windows, 0) AS n_windows,
+        |  coalesce(pd.n_novel, 0) AS n_novel,
+        |  CASE WHEN pd.n_windows > 0
+        |    THEN (pd.n_novel * 1000000) // pd.n_windows END AS novelty_ppm
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN pd USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)))
+}

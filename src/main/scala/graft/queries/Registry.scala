@@ -24,7 +24,8 @@ object Registry {
       QueriesRound6b.defs ++
       QueriesRound6c.defs ++
       QueriesRound6d.defs ++
-      QueriesRound6e.defs
+      QueriesRound6e.defs ++
+      QueriesRound6f.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

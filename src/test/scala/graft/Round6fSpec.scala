@@ -1,0 +1,124 @@
+package graft
+
+import graft.ops.{Dedup, Eval, Multimodal}
+import org.apache.spark.sql.functions._
+
+/** Round-6f operators: exact ROC AUC, BMP average-hash, window
+  * novelty. */
+class Round6fSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Eval.aucPpm -------------------------------------------------
+
+  private def auc(rows: Seq[(Long, Boolean)]): (Long, Long, Long, Long) = {
+    val df = rows.toDF("score", "is_pos")
+    val r = Eval.aucPpm(df, "score", "is_pos").collect()(0)
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  test("AUC is 1e6 for perfect separation, 0 for inverted") {
+    assert(auc(Seq((10L, true), (11L, true), (1L, false), (2L, false)))
+      == ((2L, 2L, 8L, 1000000L)))
+    assert(auc(Seq((1L, true), (2L, true), (10L, false), (11L, false)))
+      == ((2L, 2L, 0L, 0L)))
+  }
+
+  test("AUC gives exactly half credit to cross-class ties") {
+    // one tied pair out of P*N=4: U2 = 2*3 + 1 = 7 -> 875000 ppm
+    assert(auc(Seq((5L, true), (9L, true), (1L, false), (5L, false)))
+      == ((2L, 2L, 7L, 875000L)))
+    // all scores equal: U2 = P*N -> exactly 500000 ppm
+    assert(auc(Seq((3L, true), (3L, true), (3L, false), (3L, false)))
+      == ((2L, 2L, 4L, 500000L)))
+  }
+
+  test("AUC matches a brute-force pair count on a mixed case") {
+    val rows = Seq((4L, true), (7L, true), (7L, false), (2L, false),
+      (9L, true), (4L, false), (1L, true))
+    val pos = rows.filter(_._2).map(_._1); val neg = rows.filterNot(_._2).map(_._1)
+    val u2 = (for { p <- pos; n <- neg } yield
+      if (p > n) 2L else if (p == n) 1L else 0L).sum
+    val want = u2 * 1000000L / (2L * pos.size * neg.size)
+    assert(auc(rows) == ((pos.size.toLong, neg.size.toLong, u2, want)))
+  }
+
+  // ---- Multimodal.makeBmp / averageHash ----------------------------
+
+  test("aHash of a constant image sets all 64 bits (ties count as set)") {
+    val bmp = Multimodal.makeBmp(8, 8, Array.fill(64)(77))
+    val h = Multimodal.averageHash(bmp)
+    assert(h.valid && h.n_set == 64L &&
+      h.hash_lo == 0xffffffffL && h.hash_hi == 0xffffffffL)
+  }
+
+  test("aHash bit order is row-major top-down through the bottom-up rows") {
+    // top half bright, bottom half dark -> bits 0..31 set, 32..63 clear
+    val px = Array.tabulate(64)(i => if (i < 32) 200 else 0)
+    val h = Multimodal.averageHash(Multimodal.makeBmp(8, 8, px))
+    assert(h.valid && h.n_set == 32L &&
+      h.hash_lo == 0xffffffffL && h.hash_hi == 0L)
+  }
+
+  test("aHash block-averages a 16x16 image with the stride-padded walk") {
+    // 16x16: each 2x2 block uniform; brighter blocks on the left column
+    val px = Array.tabulate(256) { i =>
+      val r = i / 16; val c = i % 16
+      if ((c / 2) == 0) 255 else 0
+    }
+    val h = Multimodal.averageHash(Multimodal.makeBmp(16, 16, px)) // 16*3=48 bytes/row: stride exact
+    // left 8x8-block column set (bits 0,8,16,...,56)
+    val want = (0 until 8).map(b => 1L << (b * 8)).reduce(_ | _)
+    assert(h.valid && h.n_set == 8L &&
+      (h.hash_lo | (h.hash_hi << 32)) == want)
+  }
+
+  test("aHash is invariant to top-down vs bottom-up row storage") {
+    val px = Array.tabulate(64)(i => (i * 37) % 256)
+    val bmp = Multimodal.makeBmp(8, 8, px)
+    // flip to top-down: negate height, reverse pixel rows
+    val flipped = bmp.clone()
+    val negH = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-8).array()
+    System.arraycopy(negH, 0, flipped, 22, 4)
+    val stride = 8 * 3 // width 8 -> 24 bytes, already 4-aligned
+    for (r <- 0 until 8; b <- 0 until stride)
+      flipped(54 + r * stride + b) = bmp(54 + (7 - r) * stride + b)
+    val a = Multimodal.averageHash(bmp)
+    val b = Multimodal.averageHash(flipped)
+    assert(a.valid && b.valid && a.hash_lo == b.hash_lo &&
+      a.hash_hi == b.hash_hi && a.n_set == b.n_set)
+  }
+
+  test("aHash treats corrupt and non-multiple-of-8 input as data") {
+    assert(!Multimodal.averageHash(Array[Byte](1, 2, 3)).valid)
+    assert(!Multimodal.averageHash("not a bmp".getBytes).valid)
+    val odd = Multimodal.makeBmp(8, 8, Array.fill(64)(1))
+    // patch width to 12 (not a multiple of 8) -> valid=false
+    val w12 = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(12).array()
+    System.arraycopy(w12, 0, odd, 18, 4)
+    assert(!Multimodal.averageHash(odd).valid)
+    // truncated pixel data -> valid=false, no exception
+    val trunc = Multimodal.makeBmp(8, 8, Array.fill(64)(1)).take(100)
+    assert(!Multimodal.averageHash(trunc).valid)
+  }
+
+  // ---- Dedup.windowNovelty -----------------------------------------
+
+  test("window novelty credits the smallest-id owner of each window") {
+    val docs = Seq(
+      (1L, "a b c d e"),        // windows: abc bcd cde -> all novel
+      (2L, "a b c d e"),        // identical -> 0 novel
+      (3L, "a b c x y z"),      // abc (owned by 1), bcx cxy xyz novel
+      (4L, "q r")               // too short: 0 windows, null ppm
+    ).toDF("doc_id", "text")
+    val got = Dedup.windowNovelty(docs, "doc_id", "text", 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 3L, Some(1000000L)),
+      (2L, 3L, 0L, Some(0L)),
+      (3L, 4L, 3L, Some(750000L)),
+      (4L, 0L, 0L, None)))
+  }
+}
