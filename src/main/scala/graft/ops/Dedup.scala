@@ -731,6 +731,58 @@ object Dedup {
       .distinct()
   }
 
+  /** Hamming distance between two 64-bit fingerprints carried as
+    * signed-safe 32-bit halves (the [[graft.ops.Multimodal.averageHash]]
+    * layout). */
+  def hamming64(hiA: Column, loA: Column, hiB: Column, loB: Column): Column =
+    bit_count(hiA.bitwiseXOR(hiB)) + bit_count(loA.bitwiseXOR(loB))
+
+  /** Near-dup pairs over any 64-bit fingerprint (hi/lo 32-bit halves
+    * — image aHash, 64-bit SimHash, …) with Hamming distance <=
+    * maxHamming, via 8-bit band blocking: the 64 bits split into 8
+    * bands; by pigeonhole any pair within Hamming distance 7 agrees
+    * on at least one band, so the (band#, band value) equi-join is
+    * EXACT for maxHamming <= 7 — never an all-pairs scan. Same
+    * degenerate-block cap as [[simhashNearDupPairs]] (exact-duplicate
+    * fingerprints belong to a groupBy upstream, not to the pair
+    * join). */
+  def hammingNearDupPairs64(df: DataFrame, idCol: String,
+                            hiCol: String, loCol: String,
+                            maxHamming: Int = 7,
+                            maxBlock: Int = 100000): DataFrame = {
+    require(maxHamming <= 7,
+      s"8-band blocking is exact only for maxHamming <= 7, got $maxHamming")
+    val bandedAll = df.select(col(idCol), col(hiCol).as("__hi"),
+      col(loCol).as("__lo"),
+      explode(array((0 until 8).map { b =>
+        val half = if (b < 4) col(loCol) else col(hiCol)
+        struct(lit(b).as("band"),
+          shiftright(half, 8 * (b % 4)).bitwiseAND(lit(255L)).as("nib"))
+      }: _*)).as("bk"))
+      .select(col(idCol), col("__hi"), col("__lo"),
+        col("bk.band"), col("bk.nib"))
+    val banded =
+      if (maxBlock <= 0) bandedAll
+      else {
+        val big = bandedAll.groupBy("band", "nib")
+          .agg(count(lit(1)).as("__m")).where(col("__m") > maxBlock)
+          .select("band", "nib")
+        bandedAll.join(broadcast(big), Seq("band", "nib"), "left_anti")
+      }
+    val a = banded.select(col("band"), col("nib"), col(idCol).as("id_a"),
+      col("__hi").as("__ha"), col("__lo").as("__la"))
+    val b = banded.select(col("band"), col("nib"), col(idCol).as("id_b"),
+      col("__hi").as("__hb"), col("__lo").as("__lb"))
+    a.join(b, Seq("band", "nib"))
+      .where(col("id_a") < col("id_b") &&
+        hamming64(col("__ha"), col("__la"), col("__hb"), col("__lb"))
+          <= maxHamming)
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("__ha"), col("__la"), col("__hb"), col("__lb"))
+          .as("hamming"))
+      .distinct()
+  }
+
   /** Triangle count over an undirected edge list (id_a < id_b): two
     * equi-joins — e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) — each triangle counted
     * once because every edge is stored in canonical orientation. The

@@ -134,5 +134,131 @@ object QueriesRound6f {
         |    THEN (pd.n_novel * 1000000) // pd.n_windows END AS novelty_ppm
         |FROM (SELECT DISTINCT doc_id FROM documents) d
         |LEFT JOIN pd USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin)))
+        |ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- q220: image NEAR-dup pairs via banded aHash -----------------
+    // The scale path q218 documents: each part's image is its class
+    // pattern (key%17) with ONE pixel perturbed (+64 at position
+    // key%256), so same-class keys render almost-identical images and
+    // their aHashes differ in a few bits. Pairs with Hamming <= 6 are
+    // found by 8-bit band blocking over the 64-bit hash — EXACT by
+    // pigeonhole (6 < 8 bands), so the brute-force all-pairs oracle
+    // must agree; the engine never materializes all pairs.
+    QueryDef("q220_image_neardup",
+      (s, d) => {
+        val mk = udf { (key: Long) =>
+          val v = (key % 17).toInt; val p = (key % 256).toInt
+          val px = Array.tabulate(256) { i =>
+            (v * 37 + i * i * 13 + (if (i == p) 64 else 0)) % 256
+          }
+          Multimodal.makeBmp(16, 16, px)
+        }
+        val hashed = part(s, d).where(col("p_partkey") <= 120)
+          .select(col("p_partkey").as("id"),
+            Multimodal.imageAHash(mk(col("p_partkey"))).as("h"))
+          .select(col("id"), col("h.hash_hi").as("hash_hi"),
+            col("h.hash_lo").as("hash_lo"))
+        Dedup.hammingNearDupPairs64(hashed, "id", "hash_hi", "hash_lo",
+            maxHamming = 6)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH k AS (SELECT p_partkey, p_partkey % 17 AS v,
+        |    p_partkey % 256 AS p FROM part WHERE p_partkey <= 120),
+        |px AS (SELECT p_partkey, list_transform(generate_series(0, 255),
+        |    i -> (v * 37 + i * i * 13
+        |          + CASE WHEN i = p THEN 64 ELSE 0 END) % 256) AS ps
+        |  FROM k),
+        |bs AS (SELECT p_partkey, CAST(list_sum(ps) AS BIGINT) AS total,
+        |    list_transform(generate_series(0, 63), b ->
+        |      ps[((b // 8) * 2) * 16 + (b % 8) * 2 + 1]
+        |      + ps[((b // 8) * 2) * 16 + (b % 8) * 2 + 2]
+        |      + ps[((b // 8) * 2 + 1) * 16 + (b % 8) * 2 + 1]
+        |      + ps[((b // 8) * 2 + 1) * 16 + (b % 8) * 2 + 2]) AS blocks
+        |  FROM px),
+        |bits AS (SELECT p_partkey, list_transform(generate_series(1, 64),
+        |    p -> CASE WHEN 64 * blocks[p] >= total THEN 1 ELSE 0 END) AS bit
+        |  FROM bs),
+        |h AS (SELECT p_partkey,
+        |    CAST(list_sum(list_transform(generate_series(33, 64),
+        |      p -> bit[p] * (CAST(1 AS BIGINT) << (p - 33)))) AS BIGINT) AS hi,
+        |    CAST(list_sum(list_transform(generate_series(1, 32),
+        |      p -> bit[p] * (CAST(1 AS BIGINT) << (p - 1)))) AS BIGINT) AS lo
+        |  FROM bits)
+        |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+        |    AS INTEGER) AS hamming
+        |FROM h a JOIN h b ON a.p_partkey < b.p_partkey
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
+        |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- q221: per-domain rank normalization -------------------------
+    // Quality scores are only comparable WITHIN a domain (each
+    // language's length distribution differs); rank-normalizing to
+    // [0, 1e6] makes one global keep/drop threshold meaningful. Pure
+    // integer percent-rank: rank() over the lang-partitioned window
+    // (ties share a rank — no arbitrary order), pr_ppm =
+    // (rank-1)·10⁶ div (n-1). Partitioned window only — no global
+    // sort; the q199 two-level trick is the documented path if a
+    // single domain outgrows one executor's sort.
+    QueryDef("q221_rank_normalize",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("lang").orderBy("n_chars")
+        val n = Window.partitionBy("lang")
+        documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"),
+            rank().over(w).cast("long").as("rnk"),
+            count(lit(1)).over(n).as("n"))
+          .withColumn("pr_ppm",
+            when(col("n") > 1, expr("((rnk - 1) * 1000000L) div (n - 1)"))
+              .otherwise(lit(0L)))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, n_chars,
+        |  CAST(rank() OVER (PARTITION BY lang ORDER BY n_chars) AS BIGINT)
+        |    AS rnk,
+        |  CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n,
+        |  CASE WHEN count(*) OVER (PARTITION BY lang) > 1
+        |    THEN (CAST(rank() OVER (PARTITION BY lang ORDER BY n_chars)
+        |      AS BIGINT) - 1) * 1000000
+        |      // (count(*) OVER (PARTITION BY lang) - 1)
+        |    ELSE 0 END AS pr_ppm
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- q222: calibration bins for the q217 label model -------------
+    // Reliability diagram in exact integers: the generative
+    // P(pos) = n_chars/600 (that IS q217's label rule) quantized to
+    // ppm, bucketed into deciles; per bucket the mean predicted ppm
+    // vs the observed positive share ppm, and their gap. A calibrated
+    // model shows gap ≈ 0; one map-side-combining agg over the corpus.
+    QueryDef("q222_calibration_bins",
+      (s, d) => {
+        val h = Sampling.hashLong(
+          concat(col("doc_id").cast("string"), lit("#lbl")))
+        documents(s, d).select(
+            expr("(least(n_chars, 600) * 1000000L) div 600").as("pred_ppm"),
+            (h % 600 < col("n_chars")).cast("long").as("is_pos"))
+          .withColumn("bucket", expr("pred_ppm div 100000"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), sum("is_pos").as("n_pos"),
+            sum("pred_ppm").as("sum_pred"))
+          .select(col("bucket"), col("n"), col("n_pos"),
+            expr("sum_pred div n").as("mean_pred_ppm"),
+            expr("(n_pos * 1000000L) div n").as("obs_ppm"),
+            abs(expr("sum_pred div n") - expr("(n_pos * 1000000L) div n"))
+              .as("gap_ppm"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH lab AS (SELECT
+        |    (least(n_chars, 600) * 1000000) // 600 AS pred_ppm,
+        |    CASE WHEN ${DuckSql.hashLong("doc_id || '#lbl'")} % 600 < n_chars
+        |      THEN 1 ELSE 0 END AS is_pos
+        |  FROM documents)
+        |SELECT pred_ppm // 100000 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(is_pos) AS BIGINT) AS n_pos,
+        |  CAST(sum(pred_ppm) // count(*) AS BIGINT) AS mean_pred_ppm,
+        |  CAST(sum(is_pos) * 1000000 // count(*) AS BIGINT) AS obs_ppm,
+        |  CAST(abs(sum(pred_ppm) // count(*)
+        |    - sum(is_pos) * 1000000 // count(*)) AS BIGINT) AS gap_ppm
+        |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin)))
 }

@@ -103,6 +103,46 @@ class Round6fSpec extends SparkSpec {
     assert(!Multimodal.averageHash(trunc).valid)
   }
 
+  // ---- Dedup.hammingNearDupPairs64 ---------------------------------
+
+  test("banded 64-bit hamming join equals brute force (pigeonhole exact)") {
+    // fingerprints as (hi, lo) halves; distances spread across bands
+    val rng = new scala.util.Random(7)
+    val fps = (1L to 40L).map { id =>
+      val base = if (id % 2 == 0) 0x12345678L else 0x7fedcba9L
+      // flip up to 9 random bits of the 64 so some pairs exceed 7
+      var hi = base; var lo = base ^ 0x0f0f0f0fL
+      (0 until rng.nextInt(10)).foreach { _ =>
+        val b = rng.nextInt(64)
+        if (b < 32) lo ^= 1L << b else hi ^= 1L << (b - 32)
+      }
+      (id, hi, lo)
+    }
+    val df = fps.toDF("id", "hi", "lo")
+    val got = Dedup.hammingNearDupPairs64(df, "id", "hi", "lo", maxHamming = 7)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    val want = (for {
+      (a, ha, la) <- fps; (b, hb, lb) <- fps if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+      if d <= 7
+    } yield (a, b, d)).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("hamming64 block cap drops degenerate blocks only") {
+    // 5 identical fingerprints blow past a cap of 3 in every band ->
+    // all their pairs drop; a distinct near pair survives
+    val df = (Seq.fill(5)((0x11L, 0x22L)).zipWithIndex.map {
+      case ((h, l), i) => (i.toLong + 1, h, l)
+    } ++ Seq((10L, 0x40000011L, 0x22L), (11L, 0x40000011L, 0x23L)))
+      .toDF("id", "hi", "lo")
+    val got = Dedup.hammingNearDupPairs64(df, "id", "hi", "lo",
+        maxHamming = 2, maxBlock = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 11L)))
+  }
+
   // ---- Dedup.windowNovelty -----------------------------------------
 
   test("window novelty credits the smallest-id owner of each window") {
