@@ -93,6 +93,61 @@ object Text {
       .groupBy("pair").agg(count(lit(1)).as("freq"))
   }
 
+  /** One BPE-style merge applied to a token array: every adjacent
+    * occurrence of (x, y) becomes the single token x‖joiner‖y.
+    * Requires x ≠ y (the caller's pair selection enforces it) — then
+    * merge sites cannot overlap, so "all sites merge" IS the greedy
+    * left-to-right BPE pass, and the whole rewrite is one
+    * position-indexed transform+filter (no sequential fold, no UDF):
+    * position i emits the merged token if (i, i+1) is a site, drops
+    * if (i-1, i) is a site, else passes through. */
+  def mergeAdjacentPair(toks: Column, x: Column, y: Column,
+                        joiner: String): Column =
+    // size < 2: no possible site — and the guard matters for
+    // correctness under ANSI: sequence(1, 0) DESCENDS to [1, 0], so
+    // the unguarded transform would element_at an empty array
+    when(size(toks) < 2, toks).otherwise(filter(
+      transform(sequence(lit(1), size(toks)), i => {
+        // per-branch laziness of CASE WHEN guards every element_at
+        // against out-of-range indices (ANSI-safe)
+        val nextIsY = when(i < size(toks),
+          element_at(toks, i + 1) === y).otherwise(lit(false))
+        val prevIsX = when(i > lit(1),
+          element_at(toks, i - 1) === x).otherwise(lit(false))
+        when(element_at(toks, i) === x && nextIsY, concat(x, lit(joiner), y))
+          .otherwise(when(prevIsX && element_at(toks, i) === y, lit(null))
+            .otherwise(element_at(toks, i)))
+      }),
+      z => z.isNotNull))
+
+  /** One round of corpus-level BPE merge training over a (key, toks)
+    * frame: count adjacent pairs with x ≠ y (map-side-combining
+    * hash-agg — the q108 shape), pick the most frequent (ties broken
+    * on (x, y) ascending — engine-portable for ASCII tokens), and
+    * rewrite every document with [[mergeAdjacentPair]]. The winning
+    * pair rides a broadcast 1-row frame into the rewrite — no
+    * driver-side collect, so rounds chain lazily. Returns
+    * (rewritten frame, 1-row (x, y, cnt) frame). */
+  def bpeMergeRound(df: DataFrame, toksCol: String,
+                    joiner: String = "_"): (DataFrame, DataFrame) = {
+    val t = col(toksCol)
+    val pairs = df
+      .select(explode(when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1),
+          i => struct(element_at(t, i).as("x"), element_at(t, i + 1).as("y"))))
+        .otherwise(array().cast("array<struct<x:string,y:string>>"))).as("p"))
+      .where(col("p.x") =!= col("p.y"))
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(count(lit(1)).as("cnt"))
+    val best = pairs.orderBy(col("cnt").desc, col("x"), col("y")).limit(1)
+    val merged = df.crossJoin(broadcast(best.select(
+        col("x").as("__bx"), col("y").as("__by"), col("cnt").as("__bc"))))
+      .withColumn(toksCol,
+        mergeAdjacentPair(t, col("__bx"), col("__by"), joiner))
+      .drop("__bx", "__by", "__bc")
+    (merged, best)
+  }
+
   /** Small multilingual stopword inventory for the language-ID
     * heuristic. Public knowledge (most-frequent function words). */
   val stopwords: Map[String, Seq[String]] = Map(

@@ -260,5 +260,80 @@ object QueriesRound6f {
         |  CAST(sum(is_pos) * 1000000 // count(*) AS BIGINT) AS obs_ppm,
         |  CAST(abs(sum(pred_ppm) // count(*)
         |    - sum(is_pos) * 1000000 // count(*)) AS BIGINT) AS gap_ppm
-        |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin)))
+        |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- q223: BPE merge training, two corpus-level rounds -----------
+    // Tokenizer TRAINING as a distributed operator (q108 counts pairs;
+    // this one executes the merge loop): per round, count adjacent
+    // pairs with x ≠ y (map-side-combining hash-agg), pick the global
+    // argmax (count desc, then (x, y) — engine-portable for ASCII
+    // tokens), rewrite every document via the position-indexed merge
+    // (no fold, no UDF — x ≠ y makes merge sites non-overlapping, so
+    // "all sites" IS greedy BPE), repeat on the rewritten corpus. The
+    // winner rides a broadcast 1-row frame — rounds chain with no
+    // driver collect. Repartition barriers pin the token arrays so
+    // CollapseProject can't inline the tokenizer (or a whole round's
+    // rewrite) into the next round's multi-reference lambda. Output:
+    // each round's merge, its count at selection, corpus tokens after.
+    QueryDef("q223_bpe_train",
+      (s, d) => {
+        import graft.ops.Text
+        val toks0 = documents(s, d)
+          .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+          .repartition(col("doc_id"))
+        val (m1raw, b1) = Text.bpeMergeRound(toks0, "toks")
+        val m1 = m1raw.repartition(col("doc_id"))
+        val (m2, b2) = Text.bpeMergeRound(m1, "toks")
+        def tot(m: org.apache.spark.sql.DataFrame) =
+          m.agg(sum(size(col("toks"))).as("tokens_after"))
+        val r1 = b1.crossJoin(broadcast(tot(m1)))
+          .select(lit(1L).as("round"), col("x"), col("y"), col("cnt"),
+            col("tokens_after"))
+        val r2 = b2.crossJoin(broadcast(tot(m2)))
+          .select(lit(2L).as("round"), col("x"), col("y"), col("cnt"),
+            col("tokens_after"))
+        r1.unionAll(r2).orderBy("round")
+      },
+      Some(s"""WITH t0 AS (SELECT doc_id, ${DuckSql.toks("text")} AS t
+        |    FROM documents),
+        |g1 AS (SELECT unnest(list_transform(
+        |    generate_series(1, greatest(len(t) - 1, 0)),
+        |    i -> t[i] || '#' || t[i+1])) AS bg FROM t0),
+        |c1 AS (SELECT string_split(bg, '#')[1] AS x,
+        |    string_split(bg, '#')[2] AS y, count(*) AS cnt FROM g1
+        |  WHERE string_split(bg, '#')[1] <> string_split(bg, '#')[2]
+        |  GROUP BY 1, 2),
+        |b1 AS (SELECT x, y, CAST(cnt AS BIGINT) AS cnt FROM c1
+        |  ORDER BY cnt DESC, x, y LIMIT 1),
+        |t1 AS (SELECT doc_id, list_filter(list_transform(
+        |    generate_series(1, len(t)), i ->
+        |      CASE WHEN t[i] = b.x AND i < len(t) AND t[i+1] = b.y
+        |             THEN b.x || '_' || b.y
+        |           WHEN i > 1 AND t[i-1] = b.x AND t[i] = b.y THEN NULL
+        |           ELSE t[i] END), z -> z IS NOT NULL) AS t
+        |  FROM t0, b1 b),
+        |g2 AS (SELECT unnest(list_transform(
+        |    generate_series(1, greatest(len(t) - 1, 0)),
+        |    i -> t[i] || '#' || t[i+1])) AS bg FROM t1),
+        |c2 AS (SELECT string_split(bg, '#')[1] AS x,
+        |    string_split(bg, '#')[2] AS y, count(*) AS cnt FROM g2
+        |  WHERE string_split(bg, '#')[1] <> string_split(bg, '#')[2]
+        |  GROUP BY 1, 2),
+        |b2 AS (SELECT x, y, CAST(cnt AS BIGINT) AS cnt FROM c2
+        |  ORDER BY cnt DESC, x, y LIMIT 1),
+        |t2 AS (SELECT doc_id, list_filter(list_transform(
+        |    generate_series(1, len(t)), i ->
+        |      CASE WHEN t[i] = b.x AND i < len(t) AND t[i+1] = b.y
+        |             THEN b.x || '_' || b.y
+        |           WHEN i > 1 AND t[i-1] = b.x AND t[i] = b.y THEN NULL
+        |           ELSE t[i] END), z -> z IS NOT NULL) AS t
+        |  FROM t1, b2 b)
+        |SELECT 1 AS round, b1.x, b1.y, b1.cnt,
+        |  (SELECT CAST(sum(len(t)) AS BIGINT) FROM t1) AS tokens_after
+        |FROM b1
+        |UNION ALL
+        |SELECT 2 AS round, b2.x, b2.y, b2.cnt,
+        |  (SELECT CAST(sum(len(t)) AS BIGINT) FROM t2) AS tokens_after
+        |FROM b2
+        |ORDER BY round""".stripMargin)))
 }

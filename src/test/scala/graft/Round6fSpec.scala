@@ -143,6 +143,47 @@ class Round6fSpec extends SparkSpec {
     assert(got == Set((10L, 11L)))
   }
 
+  // ---- Text.mergeAdjacentPair / bpeMergeRound ----------------------
+
+  private def merge(toks: Seq[String], x: String, y: String): Seq[String] = {
+    val df = Seq(Tuple1(toks)).toDF("t")
+    df.select(graft.ops.Text.mergeAdjacentPair(col("t"),
+        lit(x), lit(y), "_").as("m"))
+      .as[Seq[String]].collect()(0)
+  }
+
+  test("mergeAdjacentPair merges every non-overlapping site") {
+    assert(merge(Seq("a", "b", "a", "b", "c"), "a", "b")
+      == Seq("a_b", "a_b", "c"))
+    assert(merge(Seq("a", "a", "b"), "a", "b") == Seq("a", "a_b"))
+    assert(merge(Seq("x", "y", "y"), "x", "y") == Seq("x_y", "y"))
+    assert(merge(Seq("b", "a"), "a", "b") == Seq("b", "a"))   // no site
+    assert(merge(Seq("a"), "a", "b") == Seq("a"))             // too short
+    assert(merge(Seq.empty[String], "a", "b") == Seq.empty)
+  }
+
+  test("bpeMergeRound picks the argmax pair with (x, y) tie-break") {
+    val docs = Seq(
+      (1L, Seq("t", "u", "t", "u")),    // (t,u) x2, (u,t) x1
+      (2L, Seq("p", "q")),              // (p,q) x1
+      (3L, Seq("t", "u"))               // (t,u) -> 3 total
+    ).toDF("doc_id", "toks")
+    val (m, best) = graft.ops.Text.bpeMergeRound(docs, "toks")
+    assert(best.as[(String, String, Long)].collect().toSeq
+      == Seq(("t", "u", 3L)))
+    val got = m.orderBy("doc_id").select("toks")
+      .as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq("t_u", "t_u"), Seq("p", "q"), Seq("t_u")))
+  }
+
+  test("bpeMergeRound ignores self-pairs (x == y)") {
+    val docs = Seq((1L, Seq("a", "a", "a", "b", "c"))).toDF("doc_id", "toks")
+    val (_, best) = graft.ops.Text.bpeMergeRound(docs, "toks")
+    // (a,a) x2 is excluded; survivors all count 1 -> lexicographic
+    assert(best.as[(String, String, Long)].collect().toSeq
+      == Seq(("a", "b", 1L)))
+  }
+
   // ---- Dedup.windowNovelty -----------------------------------------
 
   test("window novelty credits the smallest-id owner of each window") {
