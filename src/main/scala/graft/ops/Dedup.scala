@@ -731,6 +731,43 @@ object Dedup {
       .distinct()
   }
 
+  /** Prefix-duplicate pairs: (a, b) where a's token array is a PROPER
+    * prefix of b's (len_a < len_b, len_a >= minPrefix) — the truncated
+    * re-crawl / cut-off-mirror shape that n-gram Jaccard scores low
+    * (a 10% fragment of a long page shares few shingles with it) and
+    * exact dedup misses entirely. Complete by construction: a prefix
+    * pair agrees on the first minPrefix tokens, so the equi-join on
+    * the first-minPrefix-token fingerprint finds every pair; slice
+    * equality verifies. Same degenerate-block cap as the other pair
+    * joins (boilerplate identical openings put m docs in one block).
+    * Equal-length identical docs are [[exactDedup]]'s domain, not
+    * this operator's. */
+  def prefixDupPairs(df: DataFrame, idCol: String, toksCol: String,
+                     minPrefix: Int = 8,
+                     maxBlock: Int = 100000): DataFrame = {
+    val base = df.select(col(idCol), col(toksCol).as("__t"))
+      .withColumn("__n", size(col("__t")).cast("long"))
+      .where(col("__n") >= minPrefix)
+      .withColumn("__fp",
+        md5(concat_ws(" ", slice(col("__t"), 1, minPrefix))))
+    val capped =
+      if (maxBlock <= 0) base
+      else {
+        val big = base.groupBy("__fp")
+          .agg(count(lit(1)).as("__m")).where(col("__m") > maxBlock)
+          .select("__fp")
+        base.join(broadcast(big), Seq("__fp"), "left_anti")
+      }
+    val a = capped.select(col("__fp"), col(idCol).as("id_a"),
+      col("__t").as("__ta"), col("__n").as("len_a"))
+    val b = capped.select(col("__fp"), col(idCol).as("id_b"),
+      col("__t").as("__tb"), col("__n").as("len_b"))
+    a.join(b, Seq("__fp"))
+      .where(col("len_a") < col("len_b") &&
+        slice(col("__tb"), lit(1), col("len_a").cast("int")) === col("__ta"))
+      .select(col("id_a"), col("id_b"), col("len_a"), col("len_b"))
+  }
+
   /** Hamming distance between two 64-bit fingerprints carried as
     * signed-safe 32-bit halves (the [[graft.ops.Multimodal.averageHash]]
     * layout). */

@@ -335,5 +335,43 @@ object QueriesRound6f {
         |SELECT 2 AS round, b2.x, b2.y, b2.cnt,
         |  (SELECT CAST(sum(len(t)) AS BIGINT) FROM t2) AS tokens_after
         |FROM b2
-        |ORDER BY round""".stripMargin)))
+        |ORDER BY round""".stripMargin)),
+
+    // ---- q224: prefix-duplicate pairs (truncated re-crawls) ----------
+    // The dup family Jaccard scores LOW: a cut-off mirror of a long
+    // page shares few shingles with it, yet is pure duplication. The
+    // corpus is augmented with deterministic truncated twins (docs
+    // with doc_id % 50 == 0 and >= 16 tokens reappear as their first
+    // half under id + 1e6 — both engines plant identical twins), then
+    // every (proper-prefix, superset) pair is found by equi-joining on
+    // the first-8-token fingerprint (complete: a prefix pair agrees
+    // there) and verified by slice equality — never all-pairs.
+    QueryDef("q224_prefix_dups",
+      (s, d) => {
+        import graft.ops.Text
+        val toks = documents(s, d)
+          .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+          .repartition(col("doc_id"))
+        val trunc = toks
+          .where(col("doc_id") % 50 === 0 && size(col("toks")) >= 16)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            expr("slice(toks, 1, size(toks) div 2)").as("toks"))
+        Dedup.prefixDupPairs(toks.unionByName(trunc), "doc_id", "toks")
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH t0 AS (SELECT doc_id, ${DuckSql.toks("text")} AS tks
+        |    FROM documents),
+        |tr AS (SELECT doc_id + 1000000 AS doc_id,
+        |    tks[1:(len(tks) // 2)] AS tks
+        |  FROM t0 WHERE doc_id % 50 = 0 AND len(tks) >= 16),
+        |u AS (SELECT * FROM t0 UNION ALL SELECT * FROM tr),
+        |t AS (SELECT doc_id, tks, CAST(len(tks) AS BIGINT) AS n FROM u
+        |  WHERE len(tks) >= 8)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  a.n AS len_a, b.n AS len_b
+        |FROM t a JOIN t b
+        |  ON array_to_string(a.tks[1:8], ' ') = array_to_string(b.tks[1:8], ' ')
+        |  AND a.n < b.n
+        |WHERE b.tks[1:CAST(a.n AS INTEGER)] = a.tks
+        |ORDER BY 1, 2""".stripMargin)))
 }

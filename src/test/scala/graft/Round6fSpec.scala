@@ -143,6 +143,23 @@ class Round6fSpec extends SparkSpec {
     assert(got == Set((10L, 11L)))
   }
 
+  // ---- Dedup.prefixDupPairs ----------------------------------------
+
+  test("prefix dup pairs finds proper prefixes only, above minPrefix") {
+    val t = "w1 w2 w3 w4 w5 w6 w7 w8".split(" ").toSeq
+    val docs = Seq(
+      (1L, t ++ Seq("x", "y", "z")),     // superset of 2 and 3
+      (2L, t ++ Seq("x")),               // prefix of 1
+      (3L, t),                           // prefix of 1 and 2
+      (4L, t.take(7)),                   // below minPrefix: ignored
+      (5L, t ++ Seq("x", "y", "z")),     // identical to 1: NOT a pair
+      (6L, Seq("a", "b") ++ t)           // different first tokens
+    ).toDF("doc_id", "toks")
+    val got = Dedup.prefixDupPairs(docs, "doc_id", "toks", minPrefix = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((2L, 1L), (3L, 1L), (3L, 2L), (2L, 5L), (3L, 5L)))
+  }
+
   // ---- Text.mergeAdjacentPair / bpeMergeRound ----------------------
 
   private def merge(toks: Seq[String], x: String, y: String): Seq[String] = {
