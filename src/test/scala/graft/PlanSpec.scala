@@ -315,4 +315,45 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("q217: AUC windows the distinct-score frame, never ranks the corpus") {
+    val p = planOf("q217_auc_exact")
+    // an Aggregate feeds the Window (appears below it in the tree):
+    // the cumulative sum runs over per-score counts, not documents
+    val lines = p.linesIterator.toSeq
+    val wIdx = lines.indexWhere(_.contains("Window"))
+    assert(wIdx >= 0, p.take(3000))
+    assert(lines.drop(wIdx).exists(_.contains("HashAggregate")),
+      lines.drop(wIdx).mkString("\n"))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("q220: banded hamming pairs equi-join on bands, never cross-join") {
+    val p = planOf("q220_image_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    // band/nib join keys present in a hash-based join
+    assert(p.contains("band"), p.take(3000))
+  }
+
+  test("q221: rank normalization windows are lang-partitioned, never global") {
+    val p = planOf("q221_rank_normalize")
+    assert(!p.contains("SinglePartition"), p.take(3000))
+    assert(p.contains("hashpartitioning(lang"), p.take(3000))
+  }
+
+  test("q223: BPE winner broadcasts into the rewrite, pair counts combine map-side") {
+    val p = planOf("q223_bpe_train")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(3000)) // 1-row winner frame rides a broadcast
+    assert(p.contains("partial_count"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q224: prefix dups equi-join on the prefix fingerprint, never all-pairs") {
+    val p = planOf("q224_prefix_dups")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert(p.contains("__fp"), p.take(3000))
+  }
 }
