@@ -399,6 +399,93 @@ class PropertySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("property: windowNovelty matches the brute-force first-owner scan") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docGen = Gen.chooseNum(1, 14)
+      .flatMap(len => Gen.listOfN(len, Gen.oneOf(vocab)))
+      .map(_.mkString(" "))
+    val docs = samples(docGen, 40, seed = 23L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val n = 3
+    val windows: Map[Long, Set[Seq[String]]] = docs.map { case (id, t) =>
+      id -> t.split(" ").toSeq.sliding(n).filter(_.size == n).map(_.toSeq).toSet
+    }.toMap
+    val owner: Map[Seq[String], Long] = windows.toSeq
+      .flatMap { case (id, ws) => ws.map(_ -> id) }
+      .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).min }
+    val want = docs.map { case (id, _) =>
+      val ws = windows(id)
+      val novel = ws.count(owner(_) == id).toLong
+      (id, ws.size.toLong, novel,
+        if (ws.isEmpty) None else Some(novel * 1000000L / ws.size))
+    }.toSet
+    val got = Dedup.windowNovelty(docs.toDF("doc_id", "text"),
+        "doc_id", "text", n)
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    assert(got == want)
+  }
+
+  test("property: prefixDupPairs equals the brute-force proper-prefix scan") {
+    val vocab = Vector("u", "v", "w")  // tiny vocab: prefix collisions abound
+    val docGen = Gen.chooseNum(2, 10)
+      .flatMap(len => Gen.listOfN(len, Gen.oneOf(vocab)))
+    val docs = samples(docGen, 50, seed = 31L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val minPrefix = 3
+    val want = (for {
+      (a, ta) <- docs; (b, tb) <- docs
+      if a != b && ta.size >= minPrefix && ta.size < tb.size &&
+        tb.take(ta.size) == ta
+    } yield (a, b, ta.size.toLong, tb.size.toLong)).toSet
+    val got = Dedup.prefixDupPairs(docs.toDF("doc_id", "toks"),
+        "doc_id", "toks", minPrefix = minPrefix)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("property: mergeAdjacentPair equals the sequential greedy BPE pass") {
+    val vocab = Vector("a", "b", "c")
+    val caseGen = for {
+      toks <- Gen.chooseNum(0, 12).flatMap(Gen.listOfN(_, Gen.oneOf(vocab)))
+      x <- Gen.oneOf(vocab); y <- Gen.oneOf(vocab) if x != y
+    } yield (toks, x, y)
+    val cases = samples(caseGen, 120, seed = 57L).zipWithIndex
+      .map { case ((t, x, y), i) => (i.toLong, t, x, y) }
+    def ref(t: Seq[String], x: String, y: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < t.size) {
+        if (i + 1 < t.size && t(i) == x && t(i + 1) == y) {
+          out += s"${x}_$y"; i += 2
+        } else { out += t(i); i += 1 }
+      }
+      out.toSeq
+    }
+    val got = cases.toDF("id", "toks", "x", "y")
+      .select(col("id"), Text.mergeAdjacentPair(col("toks"),
+        col("x"), col("y"), "_").as("m"))
+      .as[(Long, Seq[String])].collect().toMap
+    cases.foreach { case (id, t, x, y) =>
+      assert(got(id) == ref(t, x, y), s"case $id: $t merge ($x,$y)")
+    }
+  }
+
+  test("property: aucPpm equals the brute-force pair count") {
+    val rowGen = for {
+      score <- Gen.chooseNum(0L, 6L)   // narrow range: ties guaranteed
+      pos <- Gen.oneOf(true, false)
+    } yield (score, pos)
+    val rows = samples(rowGen, 300, seed = 71L)
+    val pos = rows.filter(_._2).map(_._1); val neg = rows.filterNot(_._2).map(_._1)
+    val u2 = (for { p <- pos; n <- neg } yield
+      if (p > n) 2L else if (p == n) 1L else 0L).sum
+    val r = graft.ops.Eval.aucPpm(rows.toDF("score", "is_pos"),
+      "score", "is_pos").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((pos.size.toLong, neg.size.toLong, u2,
+        u2 * 1000000L / (2L * pos.size * neg.size))))
+  }
+
   test("property: binPack bins are exclusive-cumsum consistent and total") {
     val sizeGen = Gen.chooseNum(1L, 150L)
     val sizes = samples(sizeGen, 120, seed = 23L).zipWithIndex
