@@ -148,6 +148,52 @@ object Text {
     (merged, best)
   }
 
+  /** Sorted-neighbor longest-common-prefix audit (the suffix-array-
+    * adjacency trick applied at document granularity): each doc's LCP
+    * in TOKENS with its predecessor in (first-token partition, text
+    * order). Boilerplate-heavy corpora (shared page headers, template
+    * openings) surface as long LCPs without any pair join — ONE
+    * partitioned sort, no doc×doc. The first doc of each first-token
+    * partition has no predecessor (lcp null); docs sharing no first
+    * token are never compared — exactly the blocking a boilerplate
+    * audit wants. A first-token hot key ("the"-initial web text)
+    * skews the sort; sub-partition on the first TWO tokens (same
+    * blocking argument) before reaching for salting.
+    *
+    * LCP itself is position arithmetic, not a fold: first differing
+    * index via array_min over the mismatch positions, m on total
+    * agreement. */
+  def sortedNeighborLcp(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .repartition(col(idCol))
+      .withColumn("__ft",
+        when(size(col("__t")) > 0, element_at(col("__t"), 1))
+          .otherwise(lit("")))
+      .withColumn("__key", concat_ws(" ", col("__t")))
+    val w = Window.partitionBy("__ft").orderBy(col("__key"), col(idCol))
+    val prev = lag(col("__t"), 1).over(w)
+    // coalesce to 0 so the guard below stays FALSE (not null) with no
+    // predecessor — And(null, _) would evaluate the element_at branch
+    val m = coalesce(least(size(col("__t")), size(col("__prev"))), lit(0))
+      .cast("int")
+    val firstDiff = array_min(filter(
+      transform(sequence(lit(1), greatest(col("__m"), lit(1))), i =>
+        when(col("__m") >= 1 &&
+          element_at(col("__t"), i) =!= element_at(col("__prev"), i), i)),
+      z => z.isNotNull))
+    toks.withColumn("__prev", prev)
+      .withColumn("__m", m)
+      .withColumn("lcp",
+        when(col("__prev").isNull, lit(null).cast("long"))
+          .otherwise(coalesce(firstDiff - 1,
+            col("__m").cast("long")).cast("long")))
+      .select(col(idCol), size(col("__t")).cast("long").as("n_tokens"),
+        col("lcp"))
+  }
+
   /** Small multilingual stopword inventory for the language-ID
     * heuristic. Public knowledge (most-frequent function words). */
   val stopwords: Map[String, Seq[String]] = Map(

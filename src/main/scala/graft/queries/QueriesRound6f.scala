@@ -373,5 +373,101 @@ object QueriesRound6f {
         |  ON array_to_string(a.tks[1:8], ' ') = array_to_string(b.tks[1:8], ' ')
         |  AND a.n < b.n
         |WHERE b.tks[1:CAST(a.n AS INTEGER)] = a.tks
-        |ORDER BY 1, 2""".stripMargin)))
+        |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- q225: sorted-neighbor LCP boilerplate audit -----------------
+    // The suffix-array-adjacency trick at document granularity: ONE
+    // partitioned sort (first-token blocking), each doc's longest
+    // common token prefix with its sorted predecessor — template
+    // openings and shared headers surface as long LCPs with no pair
+    // join anywhere. First doc per block: lcp null. LCP is position
+    // arithmetic (array_min over mismatch positions), not a fold.
+    QueryDef("q225_sorted_lcp",
+      (s, d) => graft.ops.Text.sortedNeighborLcp(
+          documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, ${DuckSql.toks("text")} AS tks
+        |    FROM documents),
+        |o AS (SELECT doc_id, tks, CAST(len(tks) AS BIGINT) AS n,
+        |    coalesce(tks[1], '') AS ft,
+        |    array_to_string(tks, ' ') AS key FROM t),
+        |l AS (SELECT doc_id, tks, n,
+        |    lag(tks) OVER (PARTITION BY ft ORDER BY key, doc_id) AS prev
+        |  FROM o)
+        |SELECT doc_id, n AS n_tokens,
+        |  CASE WHEN prev IS NULL THEN NULL ELSE
+        |    CAST(coalesce(list_min(list_filter(
+        |        generate_series(1, least(len(tks), len(prev))),
+        |        i -> tks[i] <> prev[i])) - 1,
+        |      least(len(tks), len(prev))) AS BIGINT) END AS lcp
+        |FROM l ORDER BY doc_id""".stripMargin)),
+
+    // ---- q226: embedding centroid drift between hash splits ----------
+    // Representation-drift audit: per label, the cosine between the
+    // train-split and val-split centroid (q81 hash split). Components
+    // quantize to millis (the q147/q201 round-parity discipline), so
+    // centroid sums, the dot, and both squared norms are exact
+    // BIGINTs; the only floats are two correctly-rounded sqrts and
+    // one division at the very end (round 6dp — engine-identical).
+    // The corpus shuffles once to (label, split, pos) partial sums;
+    // everything after runs on the O(labels × dims) centroid frame.
+    QueryDef("q226_centroid_drift",
+      (s, d) => {
+        val h = Sampling.hashLong(col("vec_id"))
+        val comp = embeddings(s, d)
+          .select(col("label").cast("long").as("label"),
+            when(h % 100 < 80, lit("train")).otherwise(lit("val"))
+              .as("split"),
+            posexplode(col("embedding")))
+          .select(col("label"), col("split"), col("pos"),
+            round(col("col").cast("double") * 1000, 0).cast("long").as("q"))
+        val cent = comp.groupBy("label", "split", "pos")
+          .agg(sum("q").as("s"))
+        val tr = cent.where(col("split") === "train")
+          .select(col("label"), col("pos"), col("s").as("sa"))
+        val va = cent.where(col("split") === "val")
+          .select(col("label"), col("pos"), col("s").as("sb"))
+        val dots = tr.join(va, Seq("label", "pos"))
+          .groupBy("label")
+          .agg(sum(col("sa") * col("sb")).as("dot"),
+            sum(col("sa") * col("sa")).as("na2"),
+            sum(col("sb") * col("sb")).as("nb2"))
+        val ns = embeddings(s, d)
+          .select(col("label").cast("long").as("label"),
+            when(h % 100 < 80, 1L).otherwise(0L).as("tr"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_total"), sum("tr").as("n_train"))
+        dots.join(ns, Seq("label"))
+          .select(col("label"), col("n_train"),
+            (col("n_total") - col("n_train")).as("n_val"), col("dot"),
+            round(col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))), 6)
+              .as("cos_drift"))
+          .orderBy("label")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    embedding,
+        |    CASE WHEN ${DuckSql.hashLong("vec_id")} % 100 < 80
+        |      THEN 'train' ELSE 'val' END AS split
+        |  FROM embeddings),
+        |c0 AS (SELECT label, split, unnest(list_transform(
+        |    generate_series(1, len(embedding)), i -> {'p': i,
+        |      'q': CAST(round(CAST(embedding[i] AS DOUBLE) * 1000, 0)
+        |        AS BIGINT)})) AS pq FROM e),
+        |comp AS (SELECT label, split, (pq).p AS pos, (pq).q AS q FROM c0),
+        |cent AS (SELECT label, split, pos, CAST(sum(q) AS BIGINT) AS s
+        |  FROM comp GROUP BY 1, 2, 3),
+        |j AS (SELECT a.label,
+        |    CAST(sum(a.s * b.s) AS BIGINT) AS dot,
+        |    CAST(sum(a.s * a.s) AS BIGINT) AS na2,
+        |    CAST(sum(b.s * b.s) AS BIGINT) AS nb2
+        |  FROM cent a JOIN cent b ON a.label = b.label AND a.pos = b.pos
+        |  WHERE a.split = 'train' AND b.split = 'val' GROUP BY 1),
+        |n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_total,
+        |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_train
+        |  FROM e GROUP BY 1)
+        |SELECT j.label, n.n_train, n.n_total - n.n_train AS n_val, j.dot,
+        |  round(j.dot / (sqrt(j.na2) * sqrt(j.nb2)), 6) AS cos_drift
+        |FROM j JOIN n ON n.label = j.label
+        |ORDER BY j.label""".stripMargin)))
 }

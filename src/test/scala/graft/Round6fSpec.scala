@@ -143,6 +143,31 @@ class Round6fSpec extends SparkSpec {
     assert(got == Set((10L, 11L)))
   }
 
+  // ---- Text.sortedNeighborLcp --------------------------------------
+
+  test("sorted-neighbor LCP pairs each doc with its in-block predecessor") {
+    val docs = Seq(
+      (1L, "the cat sat down"),     // block "the": order by text
+      (2L, "the cat sat up"),       //   prev=1 -> lcp 3
+      (3L, "the dog ran"),          //   prev=2 -> lcp 1
+      (4L, "zebra stripes"),        // block "zebra": first -> null
+      (5L, "the cat sat down"),     //   identical to 1, ties on id
+      (6L, "")                      // empty: block "", no predecessor
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Text.sortedNeighborLcp(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    // block "the" text order: (1) "the cat sat down", (5) same text,
+    // (2) "the cat sat up", (3) "the dog ran"
+    assert(got == Seq(
+      (1L, 4L, None),
+      (2L, 4L, Some(3L)),
+      (3L, 3L, Some(1L)),
+      (4L, 2L, None),
+      (5L, 4L, Some(4L)),
+      (6L, 0L, None)))
+  }
+
   // ---- Dedup.prefixDupPairs ----------------------------------------
 
   test("prefix dup pairs finds proper prefixes only, above minPrefix") {
