@@ -469,5 +469,88 @@ object QueriesRound6f {
         |SELECT j.label, n.n_train, n.n_total - n.n_train AS n_val, j.dot,
         |  round(j.dot / (sqrt(j.na2) * sqrt(j.nb2)), 6) AS cos_drift
         |FROM j JOIN n ON n.label = j.label
-        |ORDER BY j.label""".stripMargin)))
+        |ORDER BY j.label""".stripMargin)),
+
+    // ---- q227: exponential time-decay scoring, exact integers --------
+    // Recency-weighted scoring without pow(): half-life decay as a
+    // power-of-two divisor — contribution = cents div 2^(age_weeks),
+    // age anchored to a fixed reference date so the number is a
+    // constant of the data. The standard trending/freshness score
+    // (q95's counterpart) with zero float accumulation; values are
+    // non-negative so truncating div and floor div agree across
+    // engines. One map-side-combining agg.
+    QueryDef("q227_decay_score",
+      (s, d) => events(s, d)
+        .select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents"),
+          expr("datediff(DATE'2024-02-01', CAST(ts AS DATE)) div 7")
+            .cast("int").as("w"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("cents").as("raw_cents"),
+          sum(expr("cents div shiftleft(1L, w)")).as("decayed_cents"))
+        .orderBy("event_type"),
+      Some("""WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |    datediff('day', CAST(ts AS DATE), DATE '2024-02-01') // 7 AS w
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS raw_cents,
+        |  CAST(sum(cents // (1 << w)) AS BIGINT) AS decayed_cents
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- q228: inter-rater agreement (Cohen's kappa), exact ----------
+    // Label-quality audit for annotation pipelines: two deterministic
+    // 3-class raters (different md5 salts, both correlated with
+    // n_chars so kappa lands above chance), kappa as ONE integer
+    // ratio: kappa = (po − pe)/(1 − pe) cross-multiplies to
+    // (agree·n − Σ_c nA_c·nB_c)·10⁶ div (n² − Σ_c nA_c·nB_c). The
+    // marginal products come off a 3-row class frame; the corpus is
+    // scanned once, aggregated map-side.
+    QueryDef("q228_cohens_kappa",
+      (s, d) => {
+        def rater(salt: String) = {
+          val h = Sampling.hashLong(
+            concat(col("doc_id").cast("string"), lit(salt)))
+          when(col("n_chars") + h % 200 > 450, 2L)
+            .when(col("n_chars") + h % 200 > 250, 1L).otherwise(0L)
+        }
+        val rated = documents(s, d).select(
+          rater("#ra").as("ra"), rater("#rb").as("rb"))
+        val agree = rated.agg(count(lit(1)).as("n"),
+          sum(when(col("ra") === col("rb"), 1L).otherwise(0L)).as("agree"))
+        val cls = s.range(3).select(col("id").as("c"))
+        val ma = rated.groupBy(col("ra").as("c")).agg(count(lit(1)).as("na"))
+        val mb = rated.groupBy(col("rb").as("c")).agg(count(lit(1)).as("nb"))
+        val pe = cls.join(ma, Seq("c"), "left").join(mb, Seq("c"), "left")
+          .agg(sum(coalesce(col("na"), lit(0L)) *
+            coalesce(col("nb"), lit(0L))).as("pe_num"))
+        agree.crossJoin(broadcast(pe))
+          .select(col("n"), col("agree"), col("pe_num"),
+            expr("((agree * n - pe_num) * 1000000L) div (n * n - pe_num)")
+              .as("kappa_ppm"))
+      },
+      Some(s"""WITH r AS (SELECT
+        |    CASE WHEN n_chars + ${DuckSql.hashLong("doc_id || '#ra'")} % 200
+        |           > 450 THEN 2
+        |         WHEN n_chars + ${DuckSql.hashLong("doc_id || '#ra'")} % 200
+        |           > 250 THEN 1 ELSE 0 END AS ra,
+        |    CASE WHEN n_chars + ${DuckSql.hashLong("doc_id || '#rb'")} % 200
+        |           > 450 THEN 2
+        |         WHEN n_chars + ${DuckSql.hashLong("doc_id || '#rb'")} % 200
+        |           > 250 THEN 1 ELSE 0 END AS rb
+        |  FROM documents),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT) AS agree
+        |  FROM r),
+        |c AS (SELECT unnest(generate_series(0, 2)) AS c),
+        |ma AS (SELECT ra AS c, count(*) AS na FROM r GROUP BY 1),
+        |mb AS (SELECT rb AS c, count(*) AS nb FROM r GROUP BY 1),
+        |pe AS (SELECT CAST(sum(coalesce(na, 0) * coalesce(nb, 0))
+        |    AS BIGINT) AS pe_num
+        |  FROM c LEFT JOIN ma USING (c) LEFT JOIN mb USING (c))
+        |SELECT ag.n, ag.agree, pe.pe_num,
+        |  CAST(((ag.agree * ag.n - pe.pe_num) * 1000000)
+        |    // (ag.n * ag.n - pe.pe_num) AS BIGINT) AS kappa_ppm
+        |FROM ag, pe""".stripMargin)))
 }
