@@ -378,6 +378,54 @@ object Graph {
     out
   }
 
+  /** Bounded-round synchronous label propagation (community
+    * detection): labels start as node ids; each round every node
+    * adopts the most frequent label among its NEIGHBORS, ties broken
+    * by smallest label — fully deterministic, so an oracle replays the
+    * rounds as chained CTEs (the `pageRank` discipline). Communities
+    * are a different question from the CC family: CC answers
+    * reachability, LPA clusters by connection DENSITY, so a bridge
+    * edge between two dense clusters keeps them distinct labels.
+    *
+    * Per round: one src-keyed join of the broadcast O(|V|) label frame
+    * into the once-laid-out symmetric edges, a (dst, label) combining
+    * count, and a struct-max argmax — no windows, no doc×doc. The
+    * round count is a compile-time bound (known job shape), and each
+    * superseded label frame is freed when the next materializes. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int = 2,
+                       broadcastLabels: Boolean = true): DataFrame = {
+    require(rounds >= 1, "labelPropagation needs at least one round")
+    val hint: DataFrame => DataFrame =
+      if (broadcastLabels) df => broadcast(df) else df => df
+    val directed = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    val e = layoutEdges(
+      directed.union(directed.select(col("dst").as("src"), col("src").as("dst"))),
+      "src", "dst")
+    var labels = e.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val cnt = e
+        .join(hint(labels.select(col("id").as("src"), col("label"))), Seq("src"))
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+      // argmax by (count desc, label asc) via struct max: negate the
+      // label so the lexicographic max breaks count ties downward
+      val best = cnt.groupBy("id")
+        .agg(max(struct(col("__c"), (-col("label")).as("__nl"))).as("__b"))
+        .select(col("id"), (-col("__b.__nl")).as("__new"))
+      val old = labels
+      labels = labels.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("__new"), col("label")).as("label"))
+        .localCheckpoint()
+      Checkpoints.free(old)
+    }
+    Checkpoints.free(e)
+    labels
+  }
+
   /** Bounded-round multi-source BFS: hop distance from the nearest
     * seed, capped at `hops` rounds. Returns (id, dist) for reached
     * nodes only. Integer distances + `min` folds make every value

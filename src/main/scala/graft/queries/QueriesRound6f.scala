@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables._
-import graft.ops.{Dedup, Eval, Multimodal, Sampling}
+import graft.ops.{Dedup, Eval, Graph, Multimodal, Sampling}
 import org.apache.spark.sql.functions._
 
 /** Round-6 sixth batch: exact classifier evaluation (ROC AUC via the
@@ -552,5 +552,46 @@ object QueriesRound6f {
         |SELECT ag.n, ag.agree, pe.pe_num,
         |  CAST(((ag.agree * ag.n - pe.pe_num) * 1000000)
         |    // (ag.n * ag.n - pe.pe_num) AS BIGINT) AS kappa_ppm
-        |FROM ag, pe""".stripMargin)))
+        |FROM ag, pe""".stripMargin)),
+
+    // ---- q229: label-propagation communities -------------------------
+    // Community detection over the co-purchase graph (q171's edges):
+    // a different question from the CC family — CC answers
+    // reachability, LPA clusters by connection DENSITY. Two
+    // deterministic synchronous rounds (argmax neighbor label, count
+    // desc / label asc), each one broadcast-join + combining count on
+    // the once-laid-out edges; the oracle replays both rounds as
+    // chained CTEs (the q145 discipline).
+    QueryDef("q229_label_propagation",
+      (s, d) => {
+        val li = lineitem(s, d).where(col("l_orderkey") % 7 === 0)
+          .select("l_orderkey", "l_partkey")
+        val e = li.withColumnRenamed("l_partkey", "src")
+          .join(li.withColumnRenamed("l_partkey", "dst"), "l_orderkey")
+          .where(col("src") < col("dst"))
+          .select("src", "dst")
+        Graph.labelPropagation(e, "src", "dst", rounds = 2)
+          .orderBy("id")
+      },
+      Some("""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+        |    WHERE l_orderkey % 7 = 0),
+        |d AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey <> b.l_partkey),
+        |l0 AS (SELECT DISTINCT src AS id, src AS label FROM d),
+        |c1 AS (SELECT d.dst AS id, l.label, count(*) AS c
+        |  FROM d JOIN l0 l ON l.id = d.src GROUP BY 1, 2),
+        |b1 AS (SELECT id, label FROM c1
+        |  QUALIFY row_number() OVER (PARTITION BY id
+        |    ORDER BY c DESC, label) = 1),
+        |l1 AS (SELECT l0.id, coalesce(b1.label, l0.label) AS label
+        |  FROM l0 LEFT JOIN b1 USING (id)),
+        |c2 AS (SELECT d.dst AS id, l.label, count(*) AS c
+        |  FROM d JOIN l1 l ON l.id = d.src GROUP BY 1, 2),
+        |b2 AS (SELECT id, label FROM c2
+        |  QUALIFY row_number() OVER (PARTITION BY id
+        |    ORDER BY c DESC, label) = 1),
+        |l2 AS (SELECT l1.id, coalesce(b2.label, l1.label) AS label
+        |  FROM l1 LEFT JOIN b2 USING (id))
+        |SELECT id, label FROM l2 ORDER BY id""".stripMargin)))
 }

@@ -143,6 +143,24 @@ class Round6fSpec extends SparkSpec {
     assert(got == Set((10L, 11L)))
   }
 
+  // ---- Graph.labelPropagation --------------------------------------
+
+  test("label propagation keeps bridged dense clusters distinct") {
+    // two triangles joined by one bridge edge (3-4)
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val got = graft.ops.Graph.labelPropagation(e, "src", "dst", rounds = 2)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    // hand-replayed synchronous rounds (argmax count, min-label ties):
+    // r1: 1->2 2->1 3->1 4->3 5->4 6->4
+    // r2: 1->1 2->1 3->1 4->4 5->3 6->3
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L),
+      (5L, 3L), (6L, 3L)))
+    // triangle A ends uniformly labeled; no A label leaks into B
+    assert(got.filter(_._1 <= 3).map(_._2).toSet == Set(1L))
+    assert(got.filter(_._1 >= 4).map(_._2).toSet.intersect(Set(1L, 2L)).isEmpty)
+  }
+
   // ---- Text.sortedNeighborLcp --------------------------------------
 
   test("sorted-neighbor LCP pairs each doc with its in-block predecessor") {
