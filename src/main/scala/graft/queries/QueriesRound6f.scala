@@ -593,5 +593,65 @@ object QueriesRound6f {
         |    ORDER BY c DESC, label) = 1),
         |l2 AS (SELECT l1.id, coalesce(b2.label, l1.label) AS label
         |  FROM l1 LEFT JOIN b2 USING (id))
-        |SELECT id, label FROM l2 ORDER BY id""".stripMargin)))
+        |SELECT id, label FROM l2 ORDER BY id""".stripMargin)),
+
+    // ---- q230: point-in-time (temporal) join against SCD2 ------------
+    // Feature-store training-data correctness: each observation joins
+    // the dimension version VALID AT ITS TIME — t ∈ [valid_from,
+    // valid_to) over q100's SCD2 history (upsert@1, delete@2 for
+    // key%10=0, re-insert@3 for key%20=0), so deleted periods emit
+    // nulls instead of leaking the future re-insert. Equi-join on the
+    // key with the validity window as a residual filter — per-key
+    // version chains are short, so the join never amplifies; the
+    // 3-row observation clock rides a broadcast.
+    QueryDef("q230_temporal_join",
+      (s, d) => {
+        import graft.ops.Relational
+        val base = customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+        val k = col("c_custkey")
+        val changes = base.where(k % 10 <= 1)
+          .select(k, lit("upsert").as("op"), lit(1L).as("seq"),
+            col("c_name"), col("c_acctbal"))
+          .unionAll(base.where(k % 10 === 0)
+            .select(k, lit("delete").as("op"), lit(2L).as("seq"),
+              col("c_name"), col("c_acctbal")))
+          .unionAll(base.where(k % 20 === 0)
+            .select(k, lit("upsert").as("op"), lit(3L).as("seq"),
+              concat(col("c_name"), lit("_v2")).as("c_name"),
+              (col("c_acctbal") + 50).as("c_acctbal")))
+        val dim = Relational.scd2History(changes, "c_custkey", "op", "seq")
+          .select(col("c_custkey").as("k"), col("c_name"),
+            col("c_acctbal"), col("valid_from"), col("valid_to"))
+        val facts = base.where(k % 10 <= 1).select(k)
+          .crossJoin(broadcast(s.range(1, 4).select(col("id").as("t"))))
+        facts.join(dim,
+            facts("c_custkey") === dim("k") &&
+              col("t") >= col("valid_from") &&
+              (col("valid_to").isNull || col("t") < col("valid_to")),
+            "left")
+          .select(facts("c_custkey"), col("t"), col("c_name"),
+            col("c_acctbal"))
+          .orderBy("c_custkey", "t")
+      },
+      Some("""WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |ch AS (
+        |  SELECT c_custkey, 'upsert' AS op, CAST(1 AS BIGINT) AS seq,
+        |      c_name, c_acctbal
+        |    FROM base WHERE c_custkey % 10 <= 1
+        |  UNION ALL SELECT c_custkey, 'delete', 2, c_name, c_acctbal
+        |    FROM base WHERE c_custkey % 10 = 0
+        |  UNION ALL SELECT c_custkey, 'upsert', 3, c_name || '_v2',
+        |      c_acctbal + 50
+        |    FROM base WHERE c_custkey % 20 = 0),
+        |h AS (SELECT *, lead(seq) OVER (PARTITION BY c_custkey
+        |    ORDER BY seq, op) AS valid_to FROM ch),
+        |dim AS (SELECT c_custkey AS k, c_name, c_acctbal,
+        |    seq AS valid_from, valid_to FROM h WHERE op = 'upsert'),
+        |f AS (SELECT c_custkey, unnest(generate_series(1, 3)) AS t
+        |  FROM base WHERE c_custkey % 10 <= 1)
+        |SELECT f.c_custkey, CAST(f.t AS BIGINT) AS t, d.c_name, d.c_acctbal
+        |FROM f LEFT JOIN dim d ON d.k = f.c_custkey
+        |  AND f.t >= d.valid_from
+        |  AND (d.valid_to IS NULL OR f.t < d.valid_to)
+        |ORDER BY 1, 2""".stripMargin)))
 }
