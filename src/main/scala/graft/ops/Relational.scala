@@ -496,6 +496,50 @@ object Relational {
     * cannot change the result (PropertySpec pins this against the
     * brute-force skyline, including bucket widths of 1 and beyond the
     * whole domain). */
+  /** Exact interpolated percentiles (percentile_cont semantics) over
+    * an integral value column, returned ×100 so the linear
+    * interpolation stays an integer: for percentile p over n values,
+    * pos = (n−1)·p, lower order statistic at 0-based index
+    * pos div 100, fraction r = pos mod 100, result =
+    * v_lo·(100−r) + v_hi·r. Never sorts the data: one combining
+    * count to the (group, value) frame, a cumulative window over that
+    * DOMAIN frame (the q136 equi-depth discipline — window rows =
+    * distinct values, not rows), then per-percentile conditional-min
+    * picks of the two bracketing order statistics. Engine-exact, so
+    * the oracle replays the same arithmetic rather than trusting any
+    * built-in quantile's rounding. */
+  def percentileContExact(df: DataFrame, groupCol: String,
+                          valueCol: String, pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 0 && p <= 100),
+      "pcts must be within [0, 100]")
+    val counts = df
+      .groupBy(col(groupCol), col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy("__v")
+    val n = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    val cum = counts
+      .withColumn("__cum", sum("__c").over(w))
+      .withColumn("__n", sum("__c").over(n))
+    val picks = pcts.flatMap { p =>
+      val pos = (col("__n") - 1) * p            // in hundredths of rank
+      val lo = expr(s"((__n - 1) * $p) div 100") + 1   // 1-based lower rank
+      val r = pos % 100
+      Seq(
+        min(when(col("__cum") >= lo, col("__v"))).as(s"__lo_$p"),
+        min(when(col("__cum") >= least(lo + 1, col("__n")), col("__v")))
+          .as(s"__hi_$p"),
+        max(r).as(s"__r_$p"))                    // constant per group
+    }
+    val outs = pcts.map { p =>
+      (col(s"__lo_$p") * (lit(100) - col(s"__r_$p")) +
+        col(s"__hi_$p") * col(s"__r_$p")).as(s"p${p}_x100")
+    }
+    cum.groupBy(col(groupCol))
+      .agg(picks.head, picks.tail: _*)
+      .select(col(groupCol) +: outs: _*)
+  }
+
   def paretoFrontier(df: DataFrame, xCol: String, yCol: String,
                      idCols: Seq[String], bucket: Long = 256L): DataFrame = {
     require(bucket > 0, "paretoFrontier needs a positive bucket width")

@@ -653,5 +653,44 @@ object QueriesRound6f {
         |FROM f LEFT JOIN dim d ON d.k = f.c_custkey
         |  AND f.t >= d.valid_from
         |  AND (d.valid_to IS NULL OR f.t < d.valid_to)
-        |ORDER BY 1, 2""".stripMargin)))
+        |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- q231: exact interpolated percentiles (percentile_cont) ------
+    // Closes the percentile family (disc q71/q144, approx q90, domain
+    // thresholds q182/q189): percentile_cont semantics replayed in
+    // pure integers — results ×100 so v_lo·(100−r) + v_hi·r is exact.
+    // Never sorts the fact table: combining counts to the (group,
+    // cents) domain frame, cumulative window over THAT, two
+    // conditional-min order-statistic picks per percentile. Both
+    // engines run the same arithmetic — no trust in any built-in
+    // quantile's rounding.
+    QueryDef("q231_percentile_cont",
+      (s, d) => {
+        import graft.ops.Relational
+        val cents = lineitem(s, d).select(col("l_returnflag"),
+          (col("l_extendedprice") * 100).cast("long").as("cents"))
+        Relational.percentileContExact(cents, "l_returnflag", "cents",
+            Seq(50, 90))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH c AS (SELECT l_returnflag AS g,
+        |    CAST(l_extendedprice * 100 AS BIGINT) AS v, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |w AS (SELECT g, v,
+        |    sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY g) AS n FROM c),
+        |a AS (SELECT g,
+        |    min(CASE WHEN cum >= ((n-1)*50)//100 + 1 THEN v END) AS lo50,
+        |    min(CASE WHEN cum >= least(((n-1)*50)//100 + 2, n) THEN v END)
+        |      AS hi50,
+        |    max((n-1)*50 % 100) AS r50,
+        |    min(CASE WHEN cum >= ((n-1)*90)//100 + 1 THEN v END) AS lo90,
+        |    min(CASE WHEN cum >= least(((n-1)*90)//100 + 2, n) THEN v END)
+        |      AS hi90,
+        |    max((n-1)*90 % 100) AS r90
+        |  FROM w GROUP BY 1)
+        |SELECT g AS l_returnflag,
+        |  CAST(lo50 * (100 - r50) + hi50 * r50 AS BIGINT) AS p50_x100,
+        |  CAST(lo90 * (100 - r90) + hi90 * r90 AS BIGINT) AS p90_x100
+        |FROM a ORDER BY 1""".stripMargin)))
 }

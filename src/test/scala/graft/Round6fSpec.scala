@@ -143,6 +143,23 @@ class Round6fSpec extends SparkSpec {
     assert(got == Set((10L, 11L)))
   }
 
+  // ---- Relational.percentileContExact ------------------------------
+
+  test("percentile_cont interpolation is exact and handles n=1 groups") {
+    val df = Seq(("a", 10L), ("a", 20L), ("a", 40L), ("a", 80L),
+      ("b", 7L)).toDF("g", "v")
+    val got = graft.ops.Relational.percentileContExact(df, "g", "v",
+        Seq(50, 90))
+      .orderBy("g").as[(String, Long, Long)].collect().toSeq
+    // a: p50 pos=150 -> 20*50+40*50=3000; p90 pos=270 -> 40*30+80*70=6800
+    assert(got == Seq(("a", 3000L, 6800L), ("b", 700L, 700L)))
+    // cross-check against Spark's own exact percentile on the doubles
+    val sp = df.where(col("g") === "a")
+      .agg(expr("percentile(v, array(0.5, 0.9))")).collect()(0)
+      .getSeq[Double](0)
+    assert(sp == Seq(30.0, 68.0))
+  }
+
   // ---- Graph.labelPropagation --------------------------------------
 
   test("label propagation keeps bridged dense clusters distinct") {
