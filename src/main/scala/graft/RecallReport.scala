@@ -41,6 +41,10 @@ object RecallReport {
     rows += (("brute force (exact)", "—", 1.0))
     rows += (("SRP-LSH single table", "8 planes",
       recall(pairs(Similarity.lshTopK(emb, queries, 10, nPlanes = 8)))))
+    for (p <- Seq(4, 6, 8))
+      rows += (("SRP-LSH multi-probe (1 table)", s"$p planes, radius 1",
+        recall(pairs(Similarity.lshTopKMultiProbe(emb, queries, 10,
+          nPlanes = p)))))
     for (t <- Seq(4, 8, 16))
       rows += ((s"SRP-LSH multi-table", s"3 planes x $t tables",
         recall(pairs(Similarity.lshTopKMulti(emb, queries, 10,

@@ -179,6 +179,47 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine")
   }
 
+  /** Multi-PROBE LSH top-k (Lv et al., VLDB 2007): the memory-lean
+    * alternative to multi-table amplification. The corpus is hashed
+    * ONCE (one bucket index — lshTopKMulti keeps nTables copies);
+    * each QUERY probes its own bucket plus every bucket at Hamming
+    * distance 1 (nPlanes single-bit flips) — vectors near a
+    * hyperplane land just across it, and those are exactly the
+    * buckets one bit away. Only the tiny probe side fans out
+    * (nPlanes+1 keys per query); the candidate join stays an
+    * equi-join on the bucket id, and a candidate pair matches via
+    * exactly one probe key (the corpus vector's bucket), so no dedup
+    * aggregate is needed. Index memory of ONE table buys most of the
+    * recall of many — see RECALL.md for the measured trade. */
+  def lshTopKMultiProbe(corpus: DataFrame, queries: DataFrame, k: Int,
+                        nPlanes: Int = 8, seed: Long = 42, dim: Int = 64,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      normNative(col(vecCol)).as("__cn"),
+      srpBucket(col(vecCol), planes).as("__bucket"))
+    val probeSet: Column = array(
+      (col("__b0") +: (0 until nPlanes).map(i =>
+        col("__b0").bitwiseXOR(lit(1L << i)))): _*)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        normNative(col(vecCol)).as("__qn"),
+        srpBucket(col(vecCol), planes).as("__b0"))
+      .select(col("query_id"), col("__qv"), col("__qn"),
+        explode(probeSet).as("__bucket"))
+    val scored = c.join(broadcast(q), Seq("__bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(dotNative(col("__qv"), col("__cv")) /
+          (col("__qn") * col("__cn")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select("query_id", "neighbor_id", "cosine")
+  }
+
   /** IVF (inverted-file) approximate top-k — the other classic ANN
     * scale path. The corpus is partitioned into `nCells` Voronoi cells
     * around centroids (deterministic seed pick + one Lloyd refinement,

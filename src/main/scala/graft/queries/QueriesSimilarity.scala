@@ -296,5 +296,37 @@ object QueriesSimilarity {
         |SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
         |WHERE vec_id NOT IN (SELECT id FROM grp WHERE id != group_id)
         |ORDER BY vec_id""".stripMargin
+      }),
+
+    // ---- q232: multi-PROBE LSH top-k ---------------------------------
+    // The memory-lean recall amplification (Lv et al., VLDB 2007):
+    // ONE bucket index (q141 keeps nTables copies); each query probes
+    // its bucket plus all nPlanes Hamming-distance-1 buckets. The
+    // probe set {b, b⊕1, b⊕2, …} is EXACTLY the buckets with
+    // bit_count(xor) <= 1, which is how the oracle states the
+    // candidate condition; a pair matches via one probe key only, so
+    // no dedup stage exists in either engine.
+    QueryDef("q232_lsh_multiprobe",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        Similarity.lshTopKMultiProbe(emb, emb.where(col("vec_id") < 20),
+            k = 5, nPlanes = 6)
+          .orderBy("query_id", "neighbor_id")
+      },
+      Some {
+        val cos = s"round(${DuckSql.dot("q.embedding", "c.embedding", Dim)} / (q.nrm * c.nrm), 4)"
+        s"""WITH bk AS (SELECT vec_id, embedding,
+        |    sqrt(${DuckSql.dot("embedding", "embedding", Dim)}) AS nrm,
+        |    ${srpBucketSql("embedding", 42L, 6)} AS bucket
+        |  FROM embeddings)
+        |SELECT query_id, neighbor_id, cosine FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    $cos + 0 AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY $cos DESC, c.vec_id) AS rn
+        |  FROM bk q JOIN bk c ON c.vec_id != q.vec_id
+        |    AND bit_count(xor(c.bucket, q.bucket)) <= 1
+        |  WHERE q.vec_id < 20)
+        |WHERE rn <= 5 ORDER BY query_id, neighbor_id""".stripMargin
       }))
 }

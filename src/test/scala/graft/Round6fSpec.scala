@@ -143,6 +143,23 @@ class Round6fSpec extends SparkSpec {
     assert(got == Set((10L, 11L)))
   }
 
+  // ---- Similarity.lshTopKMultiProbe --------------------------------
+
+  test("multi-probe recall dominates single-table at the same planes") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val queries = emb.where(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val truth = pairs(graft.ops.Similarity.bruteForceTopK(emb, queries, 5))
+    val single = pairs(graft.ops.Similarity.lshTopK(emb, queries, 5, nPlanes = 4))
+    val multi = pairs(graft.ops.Similarity.lshTopKMultiProbe(
+      emb, queries, 5, nPlanes = 4))
+    // probe set includes the exact bucket -> candidates are a superset;
+    // ranking by exact cosine makes recall monotone in the candidate set
+    assert(truth.intersect(multi).size >= truth.intersect(single).size)
+    assert(multi.nonEmpty)
+  }
+
   // ---- Relational.percentileContExact ------------------------------
 
   test("percentile_cont interpolation is exact and handles n=1 groups") {
