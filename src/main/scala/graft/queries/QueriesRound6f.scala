@@ -692,5 +692,94 @@ object QueriesRound6f {
         |SELECT g AS l_returnflag,
         |  CAST(lo50 * (100 - r50) + hi50 * r50 AS BIGINT) AS p50_x100,
         |  CAST(lo90 * (100 - r90) + hi90 * r90 AS BIGINT) AS p90_x100
-        |FROM a ORDER BY 1""".stripMargin)))
+        |FROM a ORDER BY 1""".stripMargin)),
+
+    // ---- q233: rendezvous (HRW) sharding + minimal movement ----------
+    // Highest-random-weight routing: doc's owner = argmax over shards
+    // of md5(doc_id # shard) — pure map-side expression, no routing
+    // table. The property that matters operationally: removing shard 7
+    // re-routes ONLY shard 7's documents (an argmax over a subset that
+    // still contains the old winner is unchanged), so `gained` across
+    // surviving shards sums to exactly shard 7's population. The
+    // output hash-verifies that minimal-movement arithmetic.
+    QueryDef("q233_rendezvous_sharding",
+      (s, d) => {
+        def owner(n: Int) = array_max(
+          transform(sequence(lit(0), lit(n - 1)), sh =>
+            struct(
+              conv(substring(md5(concat(col("doc_id").cast("string"),
+                lit("#"), sh.cast("string"))), 1, 8), 16, 10)
+                .cast("long").as("h"),
+              sh.cast("long").as("s")))).getField("s")
+        val owned = documents(s, d)
+          .select(owner(8).as("s8"), owner(7).as("s7"))
+        val n8 = owned.groupBy(col("s8").as("shard"))
+          .agg(count(lit(1)).as("n8"))
+        val n7 = owned.groupBy(col("s7").as("shard"))
+          .agg(count(lit(1)).as("n7"))
+        s.range(8).select(col("id").as("shard"))
+          .join(n8, Seq("shard"), "left").join(n7, Seq("shard"), "left")
+          .select(col("shard"),
+            coalesce(col("n8"), lit(0L)).as("n8"),
+            coalesce(col("n7"), lit(0L)).as("n7"),
+            (coalesce(col("n7"), lit(0L)) - coalesce(col("n8"), lit(0L)))
+              .as("gained"))
+          .orderBy("shard")
+      },
+      Some(s"""WITH x AS (SELECT doc_id,
+        |    unnest(generate_series(0, 7)) AS sh FROM documents),
+        |h AS (SELECT doc_id, sh,
+        |    ${DuckSql.hashLong("doc_id || '#' || sh")} AS hv FROM x),
+        |o8 AS (SELECT doc_id, sh AS s8 FROM h
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY hv DESC, sh DESC) = 1),
+        |o7 AS (SELECT doc_id, sh AS s7 FROM h WHERE sh < 7
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY hv DESC, sh DESC) = 1),
+        |n8 AS (SELECT s8 AS shard, count(*) AS n8 FROM o8 GROUP BY 1),
+        |n7 AS (SELECT s7 AS shard, count(*) AS n7 FROM o7 GROUP BY 1)
+        |SELECT s.shard, CAST(coalesce(n8.n8, 0) AS BIGINT) AS n8,
+        |  CAST(coalesce(n7.n7, 0) AS BIGINT) AS n7,
+        |  CAST(coalesce(n7.n7, 0) - coalesce(n8.n8, 0) AS BIGINT) AS gained
+        |FROM (SELECT unnest(generate_series(0, 7)) AS shard) s
+        |LEFT JOIN n8 USING (shard) LEFT JOIN n7 USING (shard)
+        |ORDER BY shard""".stripMargin)),
+
+    // ---- q234: Merkle-style partition digests (anti-entropy) ---------
+    // Which partitions differ between two replicas, without comparing
+    // rows: per shard, an order-insensitive content digest (sum of
+    // 32-bit row fingerprints — commutative, mergeable, exactly the
+    // reaggregation algebra q151/q202 rest on). Replica B is replica A
+    // with doc_id % 97 == 0 documents perturbed; only shards holding a
+    // perturbed doc report dirty. At scale this is the sync audit that
+    // avoids shipping 100 TB to find a 2-row diff.
+    QueryDef("q234_partition_digest",
+      (s, d) => {
+        val shard = Sampling.hashBucket(col("doc_id"), 8).as("shard")
+        def digest(textCol: org.apache.spark.sql.Column) = sum(
+          Sampling.hashLong(concat(col("doc_id").cast("string"), lit(":"),
+            md5(textCol))))
+        documents(s, d)
+          .select(col("doc_id"), col("text"), shard)
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n"),
+            digest(col("text")).as("digest_a"),
+            digest(when(col("doc_id") % 97 === 0,
+              concat(col("text"), lit("x"))).otherwise(col("text")))
+              .as("digest_b"))
+          .withColumn("dirty", col("digest_a") =!= col("digest_b"))
+          .orderBy("shard")
+      },
+      Some(s"""WITH r AS (SELECT doc_id, text,
+        |    ${DuckSql.hashLong("doc_id")} % 8 AS shard,
+        |    CASE WHEN doc_id % 97 = 0 THEN text || 'x' ELSE text END AS tb
+        |  FROM documents)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(${DuckSql.hashLong("doc_id || ':' || md5(text)")})
+        |    AS BIGINT) AS digest_a,
+        |  CAST(sum(${DuckSql.hashLong("doc_id || ':' || md5(tb)")})
+        |    AS BIGINT) AS digest_b,
+        |  sum(${DuckSql.hashLong("doc_id || ':' || md5(text)")})
+        |    <> sum(${DuckSql.hashLong("doc_id || ':' || md5(tb)")}) AS dirty
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)))
 }
