@@ -781,5 +781,64 @@ object QueriesRound6f {
         |    AS BIGINT) AS digest_b,
         |  sum(${DuckSql.hashLong("doc_id || ':' || md5(text)")})
         |    <> sum(${DuckSql.hashLong("doc_id || ':' || md5(tb)")}) AS dirty
-        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)))
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- q235: A/B comparison with Welch's t, exact moments ----------
+    // Data-ablation experiment readout: users hash-split into arms,
+    // per event_type the Welch t-statistic on value. Every moment is
+    // an exact BIGINT (counts, cent sums, cent² sums — the variance
+    // numerator n·Σx² − (Σx)² never sees a float), so the only doubles
+    // are the final divisions/sqrt — the SAME IEEE expression on both
+    // engines, rounded at 6dp. One map-side-combining agg; the
+    // per-arm pivot happens via conditional sums, never a join.
+    QueryDef("q235_ab_ttest",
+      (s, d) => {
+        val arm = (Sampling.hashLong(col("user_id")) % 2 === 0)
+        val cents = round(col("value") * 100, 0).cast("long")
+        val g = events(s, d).select(col("event_type"),
+            when(arm, 1L).otherwise(0L).as("a"),
+            cents.as("x"))
+          .groupBy("event_type")
+          .agg(sum("a").as("na"), sum(lit(1L) - col("a")).as("nb"),
+            sum(col("a") * col("x")).as("sa"),
+            sum((lit(1L) - col("a")) * col("x")).as("sb"),
+            sum(col("a") * col("x") * col("x")).as("qa"),
+            sum((lit(1L) - col("a")) * col("x") * col("x")).as("qb"))
+        g.select(col("event_type"), col("na"), col("nb"),
+            round((col("sa").cast("double") / col("na")) -
+              (col("sb").cast("double") / col("nb")), 6).as("mean_diff"),
+            round(((col("sa").cast("double") / col("na")) -
+              (col("sb").cast("double") / col("nb"))) /
+              sqrt(
+                ((col("na") * col("qa") - col("sa") * col("sa")).cast("double") /
+                  (col("na").cast("double") * (col("na") - 1))) / col("na") +
+                ((col("nb") * col("qb") - col("sb") * col("sb")).cast("double") /
+                  (col("nb").cast("double") * (col("nb") - 1))) / col("nb")),
+              6).as("t_stat"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH e AS (SELECT event_type,
+        |    CASE WHEN ${DuckSql.hashLong("user_id")} % 2 = 0
+        |      THEN 1 ELSE 0 END AS a,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS x
+        |  FROM events),
+        |g AS (SELECT event_type,
+        |    CAST(sum(a) AS BIGINT) AS na,
+        |    CAST(sum(1 - a) AS BIGINT) AS nb,
+        |    CAST(sum(a * x) AS BIGINT) AS sa,
+        |    CAST(sum((1 - a) * x) AS BIGINT) AS sb,
+        |    CAST(sum(a * x * x) AS BIGINT) AS qa,
+        |    CAST(sum((1 - a) * x * x) AS BIGINT) AS qb
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, na, nb,
+        |  round(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb, 6)
+        |    AS mean_diff,
+        |  round((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) /
+        |    sqrt(
+        |      (CAST(na * qa - sa * sa AS DOUBLE) /
+        |        (CAST(na AS DOUBLE) * (na - 1))) / na +
+        |      (CAST(nb * qb - sb * sb AS DOUBLE) /
+        |        (CAST(nb AS DOUBLE) * (nb - 1))) / nb),
+        |    6) AS t_stat
+        |FROM g ORDER BY 1""".stripMargin)))
 }
