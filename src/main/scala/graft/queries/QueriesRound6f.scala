@@ -840,5 +840,32 @@ object QueriesRound6f {
         |      (CAST(nb * qb - sb * sb AS DOUBLE) /
         |        (CAST(nb AS DOUBLE) * (nb - 1))) / nb),
         |    6) AS t_stat
-        |FROM g ORDER BY 1""".stripMargin)))
+        |FROM g ORDER BY 1""".stripMargin)),
+
+    // ---- q236: incremental view maintenance (IVM) ---------------------
+    // The don't-recompute-the-world primitive: a materialized per-
+    // customer aggregate (n orders, total cents) built from the
+    // pre-cutoff fact slice is UPDATED with the post-cutoff delta by
+    // pure reaggregation algebra (counts and sums add; the q151/q202
+    // merge discipline) — new keys appear via the full-outer union,
+    // nothing rescans the base slice. The oracle is the full
+    // recompute, so the maintained view must equal it exactly.
+    QueryDef("q236_incremental_view",
+      (s, d) => {
+        val cents = round(col("o_totalprice") * 100, 0).cast("long")
+        def aggOf(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n"), sum(cents).as("cents"))
+        val cut = lit("1996-01-01").cast("date")
+        val base = aggOf(orders(s, d).where(col("o_orderdate") < cut))
+        val delta = aggOf(orders(s, d).where(col("o_orderdate") >= cut))
+        base.unionByName(delta)
+          .groupBy("o_custkey")
+          .agg(sum("n").as("n"), sum("cents").as("cents"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)))
 }
