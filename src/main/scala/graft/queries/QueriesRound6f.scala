@@ -867,5 +867,82 @@ object QueriesRound6f {
       Some("""SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
         |    AS cents
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)))
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- q237: HTML boilerplate strip, round-trip verified -----------
+    // The web-extraction stage (trafilatura-lite): each doc is wrapped
+    // in deterministic markup (tags, an entity encoding, a nav link —
+    // both engines build the identical page), then the extractor
+    // strips tags, decodes the entity, and normalizes whitespace. The
+    // gate: normText(extracted) must equal normText(original) —
+    // md5-compared per doc, reported per lang. Tag stripping is one
+    // RE2∩Java-dialect regexp_replace (q139 discipline); everything is
+    // embarrassingly parallel map work.
+    QueryDef("q237_html_strip",
+      (s, d) => {
+        import graft.ops.Text
+        val html = concat(lit("<html><body><nav><a href=\"http://h"),
+          (col("doc_id") % 7).cast("string"),
+          lit(".example.com/p"), col("doc_id").cast("string"),
+          lit("\">home</a></nav><p class=\"main\">"),
+          regexp_replace(col("text"), "e", "&#101;"),
+          lit("</p><br/><footer>(c) corp</footer></body></html>"))
+        val stripped = regexp_replace(
+          regexp_replace(html, "<(nav|footer)>.*?</(nav|footer)>", " "),
+          "<[^>]*>", " ")
+        val decoded = regexp_replace(stripped, "&#101;", "e")
+        documents(s, d)
+          .select(col("lang"),
+            (md5(Text.normText(decoded)) === md5(Text.normText(col("text"))))
+              .cast("long").as("ok"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum("ok").as("n_ok"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH h AS (SELECT lang, text,
+        |    '<html><body><nav><a href="http://h' || (doc_id % 7)
+        |    || '.example.com/p' || doc_id || '">home</a></nav><p class="main">'
+        |    || replace(text, 'e', '&#101;')
+        |    || '</p><br/><footer>(c) corp</footer></body></html>' AS html
+        |  FROM documents),
+        |x AS (SELECT lang, text, regexp_replace(regexp_replace(regexp_replace(
+        |    html, '<(nav|footer)>.*?</(nav|footer)>', ' ', 'g'),
+        |    '<[^>]*>', ' ', 'g'), '&#101;', 'e', 'g') AS extracted
+        |  FROM h)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN md5(${DuckSql.norm("extracted")})
+        |    = md5(${DuckSql.norm("text")}) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_ok
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- q238: outlink extraction + host in-degree -------------------
+    // The crawl-frontier feed: every href host extracted with ONE
+    // regexp_extract_all pass (no parser), exploded, counted — the
+    // host in-degree ranking that seeds crawl prioritization and the
+    // domain-blocklist join (q193). Links are deterministic (three per
+    // doc, two hash-spread hosts and one constant), so the ranking is
+    // a constant of the data.
+    QueryDef("q238_outlink_hosts",
+      (s, d) => {
+        documents(s, d)
+          .select(explode(expr(
+            """regexp_extract_all(""" +
+              """concat('<a href="http://h', cast(doc_id % 7 as string),""" +
+              """ '.example.com/x">a</a><a href="http://m',""" +
+              """ cast((doc_id * 3) % 11 as string),""" +
+              """ '.mirror.net/y">b</a><a href="https://static.example/z">c</a>'),""" +
+              """ 'href="https?://([^/"]+)', 1)""")).as("host"))
+          .groupBy("host").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("host"))
+      },
+      Some("""WITH h AS (SELECT
+        |    '<a href="http://h' || (doc_id % 7)
+        |    || '.example.com/x">a</a><a href="http://m' || ((doc_id * 3) % 11)
+        |    || '.mirror.net/y">b</a><a href="https://static.example/z">c</a>'
+        |      AS html
+        |  FROM documents),
+        |l AS (SELECT unnest(regexp_extract_all(html,
+        |    'href="https?://([^/"]+)', 1)) AS host FROM h)
+        |SELECT host, CAST(count(*) AS BIGINT) AS n
+        |FROM l GROUP BY 1 ORDER BY n DESC, host""".stripMargin)))
 }
