@@ -303,6 +303,52 @@ object Multimodal {
   /** Average-hash column from a binary BMP column. */
   def imageAHash(content: Column): Column = aHashUdf(content)
 
+  /** 64-bit energy-envelope fingerprint over 16-bit mono PCM WAV
+    * bytes — the audio counterpart of [[averageHash]]: the clip is
+    * cut into 64 equal windows (frame count must divide evenly),
+    * window energy = Σ|sample| (integer), bit i set iff
+    * 64·energy_i ≥ total (the same division-free mean threshold).
+    * Re-encoded or slightly-edited copies of a clip keep most bits,
+    * so [[Dedup.hammingNearDupPairs64]] over (hash_hi, hash_lo) gives
+    * audio near-dup candidates with no codec anywhere. Corrupt,
+    * non-mono, or non-divisible input is data (valid=false). */
+  def audioFingerprint64(bytes: Array[Byte]): AHashMeta = {
+    val meta = parseWavHeader(bytes)
+    if (!meta.valid || meta.bits_per_sample != 16 || meta.channels != 1)
+      return AHashMeta(0L, 0L, 0L, valid = false)
+    val (dataOff, dataLen) = findDataChunk(bytes)
+    if (dataOff < 0) return AHashMeta(0L, 0L, 0L, valid = false)
+    val n = math.min(dataLen / 2, ((bytes.length - dataOff) / 2).toLong).toInt
+    if (n == 0 || n % 64 != 0) return AHashMeta(0L, 0L, 0L, valid = false)
+    val win = n / 64
+    val sums = new Array[Long](64)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val s = ((bytes(dataOff + 2 * i) & 0xff) |
+        (bytes(dataOff + 2 * i + 1) << 8)).toShort
+      val a = math.abs(s.toLong)
+      sums(i / win) += a
+      total += a
+      i += 1
+    }
+    var hi = 0L; var lo = 0L; var nSet = 0L
+    var b = 0
+    while (b < 64) {
+      if (64L * sums(b) >= total) {
+        nSet += 1
+        if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+      }
+      b += 1
+    }
+    AHashMeta(hi, lo, nSet, valid = true)
+  }
+
+  private val audioFpUdf = udf(audioFingerprint64 _)
+
+  /** Energy-envelope fingerprint column from a binary WAV column. */
+  def audioFingerprint(content: Column): Column = audioFpUdf(content)
+
   /** Synthesize a PCM WAV byte array (s16le). Used by tests and the
     * stubbed decode path. */
   def makeWav(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {

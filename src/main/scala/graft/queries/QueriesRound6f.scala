@@ -944,5 +944,57 @@ object QueriesRound6f {
         |l AS (SELECT unnest(regexp_extract_all(html,
         |    'href="https?://([^/"]+)', 1)) AS host FROM h)
         |SELECT host, CAST(count(*) AS BIGINT) AS n
-        |FROM l GROUP BY 1 ORDER BY n DESC, host""".stripMargin)))
+        |FROM l GROUP BY 1 ORDER BY n DESC, host""".stripMargin)),
+
+    // ---- q239: audio near-dup via energy-envelope fingerprints -------
+    // Dedup across the THIRD modality (text q42/q172, image q220):
+    // deterministic clips share a class envelope (key%13) with one
+    // window's amplitude perturbed per key, the REAL RIFF/PCM byte
+    // walk computes the 64-window energy fingerprint, and the same
+    // 8-band Hamming join used for images finds near-identical clips —
+    // one generic pair operator serves every 64-bit fingerprint. Bits
+    // have closed form (windows are constant-amplitude: bit ⟺
+    // 64·amp_w ≥ Σamp), so the brute-force oracle replays exactly.
+    QueryDef("q239_audio_neardup",
+      (s, d) => {
+        val mk = udf { (key: Long) =>
+          val v = (key % 13).toInt; val p = (key % 64).toInt
+          val samples = Array.tabulate[Short](64 * 80) { i =>
+            val w = i / 80
+            ((v * 53 + w * w * 29) % 997 +
+              (if (w == p) 300 else 0)).toShort
+          }
+          Multimodal.makeWav(16000, 1, samples)
+        }
+        val hashed = part(s, d).where(col("p_partkey") <= 150)
+          .select(col("p_partkey").as("id"),
+            Multimodal.audioFingerprint(mk(col("p_partkey"))).as("h"))
+          .select(col("id"), col("h.hash_hi").as("hash_hi"),
+            col("h.hash_lo").as("hash_lo"))
+        Dedup.hammingNearDupPairs64(hashed, "id", "hash_hi", "hash_lo",
+            maxHamming = 6)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH k AS (SELECT p_partkey, p_partkey % 13 AS v,
+        |    p_partkey % 64 AS p FROM part WHERE p_partkey <= 150),
+        |a AS (SELECT p_partkey, list_transform(generate_series(0, 63), w ->
+        |    (v * 53 + w * w * 29) % 997
+        |    + CASE WHEN w = p THEN 300 ELSE 0 END) AS amp FROM k),
+        |t AS (SELECT p_partkey, amp, CAST(list_sum(amp) AS BIGINT) AS total
+        |  FROM a),
+        |bits AS (SELECT p_partkey, list_transform(generate_series(1, 64),
+        |    w -> CASE WHEN 64 * amp[w] >= total THEN 1 ELSE 0 END) AS bit
+        |  FROM t),
+        |h AS (SELECT p_partkey,
+        |    CAST(list_sum(list_transform(generate_series(33, 64),
+        |      w -> bit[w] * (CAST(1 AS BIGINT) << (w - 33)))) AS BIGINT) AS hi,
+        |    CAST(list_sum(list_transform(generate_series(1, 32),
+        |      w -> bit[w] * (CAST(1 AS BIGINT) << (w - 1)))) AS BIGINT) AS lo
+        |  FROM bits)
+        |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+        |    AS INTEGER) AS hamming
+        |FROM h a JOIN h b ON a.p_partkey < b.p_partkey
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
+        |ORDER BY 1, 2""".stripMargin)))
 }

@@ -103,6 +103,29 @@ class Round6fSpec extends SparkSpec {
     assert(!Multimodal.averageHash(trunc).valid)
   }
 
+  // ---- Multimodal.audioFingerprint64 -------------------------------
+
+  test("audio fingerprint sets bits for above-mean energy windows") {
+    // 64 windows x 4 frames: first 32 windows loud, rest silent
+    val samples = Array.tabulate[Short](256)(i => if (i < 128) 800 else 0)
+    val h = Multimodal.audioFingerprint64(Multimodal.makeWav(16000, 1, samples))
+    assert(h.valid && h.n_set == 32L &&
+      h.hash_lo == 0xffffffffL && h.hash_hi == 0L)
+    // constant clip: ties count as set -> all 64 bits
+    val c = Multimodal.audioFingerprint64(
+      Multimodal.makeWav(16000, 1, Array.fill[Short](256)(100)))
+    assert(c.valid && c.n_set == 64L)
+  }
+
+  test("audio fingerprint treats corrupt, stereo, and ragged input as data") {
+    assert(!Multimodal.audioFingerprint64(Array[Byte](1, 2, 3)).valid)
+    val stereo = Multimodal.makeWav(16000, 2, Array.fill[Short](256)(5))
+    assert(!Multimodal.audioFingerprint64(stereo).valid)
+    // 100 frames: not divisible into 64 windows
+    val ragged = Multimodal.makeWav(16000, 1, Array.fill[Short](100)(5))
+    assert(!Multimodal.audioFingerprint64(ragged).valid)
+  }
+
   // ---- Dedup.hammingNearDupPairs64 ---------------------------------
 
   test("banded 64-bit hamming join equals brute force (pigeonhole exact)") {
