@@ -349,6 +349,70 @@ object Multimodal {
   /** Energy-envelope fingerprint column from a binary WAV column. */
   def audioFingerprint(content: Column): Column = audioFpUdf(content)
 
+  // -------------------------------------------------------------------
+  // ISO-BMFF (MP4) box structure — the video-container counterpart of
+  // the RIFF walk: [u32 size BE][4CC type][payload], size includes the
+  // 8-byte header; size==1 switches to a 64-bit largesize (header 16);
+  // size==0 means to-EOF. Only STRUCTURE is parsed (codec payloads
+  // stay opaque bytes, per the multimodal model) — enough for the real
+  // pipeline decisions: is there a moov (playable/indexable), how big
+  // is the media payload, is the file truncated.
+  // -------------------------------------------------------------------
+  case class Mp4Meta(n_boxes: Long, has_moov: Boolean, mdat_bytes: Long,
+                     valid: Boolean)
+
+  def parseMp4Boxes(bytes: Array[Byte]): Mp4Meta = {
+    if (bytes == null || bytes.length < 8)
+      return Mp4Meta(0L, has_moov = false, 0L, valid = false)
+    def be32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+    var off = 0L
+    var n = 0L; var moov = false; var mdat = 0L
+    while (off + 8 <= bytes.length) {
+      val size0 = be32(off.toInt)
+      val typ = new String(bytes.slice(off.toInt + 4, off.toInt + 8), "US-ASCII")
+      val (size, hdr) =
+        if (size0 == 1L) {
+          if (off + 16 > bytes.length)
+            return Mp4Meta(n, moov, mdat, valid = false)
+          (be64(off.toInt + 8), 16L)
+        } else if (size0 == 0L) (bytes.length - off, 8L)
+        else (size0, 8L)
+      if (size < hdr || off + size > bytes.length)
+        return Mp4Meta(n, moov, mdat, valid = false)
+      n += 1
+      if (typ == "moov") moov = true
+      if (typ == "mdat") mdat += size - hdr
+      off += size
+    }
+    Mp4Meta(n, moov, mdat, valid = off == bytes.length)
+  }
+
+  private val mp4Udf = udf(parseMp4Boxes _)
+
+  /** MP4 box-structure metadata from a binary column. */
+  def mp4Metadata(content: Column): Column = mp4Udf(content)
+
+  /** Synthesize an MP4-like box stream: ftyp, an optional 64-bit
+    * largesize free box, moov, mdat with the given payload sizes. */
+  def makeMp4Boxes(moovPayload: Int, mdatPayload: Int,
+                   withLargesize: Boolean = false): Array[Byte] = {
+    val large = if (withLargesize) 16 + 4 else 0
+    val buf = java.nio.ByteBuffer.allocate(16 + large + 8 + moovPayload +
+      8 + mdatPayload).order(java.nio.ByteOrder.BIG_ENDIAN)
+    buf.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(512)
+    if (withLargesize)
+      buf.putInt(1).put("free".getBytes("US-ASCII")).putLong(20L).putInt(7)
+    buf.putInt(8 + moovPayload).put("moov".getBytes("US-ASCII"))
+      .put(new Array[Byte](moovPayload))
+    buf.putInt(8 + mdatPayload).put("mdat".getBytes("US-ASCII"))
+      .put(new Array[Byte](mdatPayload))
+    buf.array()
+  }
+
   /** Synthesize a PCM WAV byte array (s16le). Used by tests and the
     * stubbed decode path. */
   def makeWav(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {

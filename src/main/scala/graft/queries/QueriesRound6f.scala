@@ -996,5 +996,40 @@ object QueriesRound6f {
         |    AS INTEGER) AS hamming
         |FROM h a JOIN h b ON a.p_partkey < b.p_partkey
         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
-        |ORDER BY 1, 2""".stripMargin)))
+        |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- q240: MP4 box-structure audit --------------------------------
+    // The video-container counterpart of the RIFF walk: a REAL
+    // ISO-BMFF box parser (u32-BE sizes, 4CC types, 64-bit largesize
+    // when size==1, truncation = valid=false) over deterministic box
+    // streams — keys ≡ 0 (mod 5) carry a largesize free box, so both
+    // header widths are exercised. Output: box count, moov present,
+    // media payload bytes — the playability/size triage a video-ingest
+    // pipeline runs before ever touching a codec. Closed-form oracle
+    // from the synthesis parameters.
+    QueryDef("q240_mp4_boxes",
+      (s, d) => {
+        val mk = udf { (key: Long) =>
+          Multimodal.makeMp4Boxes(
+            moovPayload = (key % 32).toInt,
+            mdatPayload = ((key * 7) % 100).toInt,
+            withLargesize = key % 5 == 0)
+        }
+        part(s, d).where(col("p_partkey") <= 150)
+          .select(col("p_partkey"),
+            Multimodal.mp4Metadata(mk(col("p_partkey"))).as("m"))
+          .select(col("p_partkey"),
+            col("m.n_boxes").as("n_boxes"),
+            col("m.has_moov").as("has_moov"),
+            col("m.mdat_bytes").as("mdat_bytes"),
+            col("m.valid").as("valid"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey,
+        |  CAST(CASE WHEN p_partkey % 5 = 0 THEN 4 ELSE 3 END AS BIGINT)
+        |    AS n_boxes,
+        |  true AS has_moov,
+        |  CAST((p_partkey * 7) % 100 AS BIGINT) AS mdat_bytes,
+        |  true AS valid
+        |FROM part WHERE p_partkey <= 150 ORDER BY p_partkey""".stripMargin)))
 }

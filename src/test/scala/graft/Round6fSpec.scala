@@ -103,6 +103,27 @@ class Round6fSpec extends SparkSpec {
     assert(!Multimodal.averageHash(trunc).valid)
   }
 
+  // ---- Multimodal.parseMp4Boxes ------------------------------------
+
+  test("MP4 box walk handles largesize, truncation, and to-EOF sizes") {
+    val ok = Multimodal.parseMp4Boxes(
+      Multimodal.makeMp4Boxes(10, 25, withLargesize = true))
+    assert(ok.valid && ok.n_boxes == 4L && ok.has_moov && ok.mdat_bytes == 25L)
+    val plain = Multimodal.parseMp4Boxes(Multimodal.makeMp4Boxes(0, 0))
+    assert(plain.valid && plain.n_boxes == 3L && plain.mdat_bytes == 0L)
+    // truncated mid-box: data up to the cut is reported, valid=false
+    val trunc = Multimodal.parseMp4Boxes(
+      Multimodal.makeMp4Boxes(10, 25).dropRight(5))
+    assert(!trunc.valid && trunc.has_moov)
+    assert(!Multimodal.parseMp4Boxes(Array[Byte](0, 0)).valid)
+    // size==0 (to EOF): final box swallows the rest
+    val buf = java.nio.ByteBuffer.allocate(20)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    buf.putInt(0).put("mdat".getBytes("US-ASCII")).put(new Array[Byte](12))
+    val eof = Multimodal.parseMp4Boxes(buf.array())
+    assert(eof.valid && eof.n_boxes == 1L && eof.mdat_bytes == 12L)
+  }
+
   // ---- Multimodal.audioFingerprint64 -------------------------------
 
   test("audio fingerprint sets bits for above-mean energy windows") {
