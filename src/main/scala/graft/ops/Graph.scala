@@ -495,6 +495,67 @@ object Graph {
     dist
   }
 
+  /** Bounded-round single-source shortest paths over WEIGHTED edges
+    * (Bellman-Ford): after `rounds` relaxations each reached node
+    * carries the minimum total weight over all paths of at most
+    * `rounds` edges from any seed. Weights are integer (cents,
+    * micros — caller's unit) and the fold is `min`, so every value is
+    * partition-order-independent and an oracle replays the rounds as
+    * chained CTEs (q241) exactly like `boundedBfs`.
+    *
+    * Multi-edges collapse to their minimum weight up front (the only
+    * weight a shortest path can use), fused into the one layout
+    * shuffle: repartition on dst first, then the (src, dst) min-agg —
+    * HashPartitioning on dst already satisfies the grouping's
+    * clustering, so the aggregation adds no second exchange, and the
+    * dst layout makes each round's per-edge relaxation aggregate
+    * (group by dst) exchange-free under the broadcast-distance hint
+    * (the `boundedBfs` discipline). Negative weights are rejected:
+    * with `min` re-aggregation they would still converge, but bounded
+    * rounds + negative cycles make "shortest within k hops" the only
+    * honest semantics and the callers here are cost graphs.
+    *
+    * Scale posture: rounds move only the O(|V|) distance frame
+    * (broadcast by default; `broadcastDist = false` falls back to the
+    * shuffle-join shape for node sets beyond one executor); the edge
+    * frame is scanned in place from its cache; superseded distance
+    * frames unpersist as soon as the next round materializes. */
+  def weightedSssp(edges: DataFrame, srcCol: String, dstCol: String,
+                   weightCol: String, seeds: DataFrame, rounds: Int,
+                   broadcastDist: Boolean = true): DataFrame = {
+    require(rounds >= 0, "weightedSssp needs a non-negative round bound")
+    val hint: DataFrame => DataFrame =
+      if (broadcastDist) df => broadcast(df) else df => df
+    val laid = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("w").isNotNull)
+      .repartition(col("dst"))
+      .groupBy("src", "dst").agg(min("w").as("w"))
+      .sortWithinPartitions("dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    require(laid.where(col("w") < 0).isEmpty,
+      "weightedSssp needs non-negative weights")
+    var dist = seeds.select(col(seeds.columns.head).cast("long").as("id"))
+      .distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relaxed = laid
+        .join(hint(dist.withColumnRenamed("id", "src")), "src")
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      val old = dist
+      dist = dist.union(relaxed)
+        .groupBy("id").agg(min("dist").as("dist"))
+        .localCheckpoint()
+      Checkpoints.free(old)
+    }
+    Checkpoints.free(laid)
+    dist
+  }
+
   /** HITS hubs-and-authorities (Kleinberg) with INTEGER-EXACT
     * arithmetic: scores live in micro-units and each half-step
     * normalizes by the maximum (score * 1e6 div max), so every round

@@ -488,4 +488,62 @@ object Similarity {
       .where(col("__rn") <= k)
       .select("query_id", "neighbor_id", "cosine_q8")
   }
+
+  /** Dominant direction of the corpus' uncentered second-moment (Gram)
+    * matrix via bounded-round power iteration — the 1-component PCA a
+    * curation pipeline uses to find (and project out, or audit) the
+    * "rogue dimension" that dominates embedding similarity. All
+    * arithmetic is integer-exact: components quantize to millis (the
+    * q147/q201/q226 round-parity discipline), Gram entries are BIGINT
+    * sums of milli-products, and each round rescales the iterate to
+    * max-abs 1000 with an explicit floor division written as
+    * (x − pmod(x, m)) div m — identical on any engine for signed x and
+    * positive m, because the numerator is an exact multiple of m. The
+    * whole computation is partition-order-independent, so an oracle
+    * replays every round as chained CTEs (q242).
+    *
+    * Scale posture: the corpus is scanned ONCE (each row expands to
+    * dims² (i, j, q_i·q_j) terms, map-side-combined straight down to
+    * the dims×dims Gram frame — never a row×row join); every
+    * iteration then runs on the O(dims²) frame with the O(dims)
+    * iterate broadcast. Overflow headroom: |q| ≤ ~2000 millis, so a
+    * Gram entry is ≤ 4·10⁶·n rows and the rescaled iterate keeps
+    * every product under 10¹⁸ for corpora to ~10¹⁰ rows.
+    *
+    * Returns (pos 1-based, v) — the iterate after `rounds` rounds,
+    * scaled to max |v| = 1000. */
+  def gramPowerIteration(emb: DataFrame, vecCol: String = "embedding",
+                         dims: Int = 64, rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, "gramPowerIteration needs at least one round")
+    val qv = transform(slice(col(vecCol), 1, dims),
+      x => round(x.cast("double") * 1000, 0).cast("long"))
+    val pairTerms = flatten(transform(col("__q"), (xi, i) =>
+      transform(col("__q"), (xj, j) =>
+        struct((i + 1).cast("long").as("i"), (j + 1).cast("long").as("j"),
+          (xi * xj).as("p")))))
+    val gram = emb.select(qv.as("__q"))
+      .select(explode(pairTerms).as("e"))
+      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+      .agg(sum("e.p").as("g"))
+      .localCheckpoint()
+    var v = gram.select(col("j").as("pos")).distinct()
+      .withColumn("v", lit(1000L)).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val w = gram.join(broadcast(v.withColumnRenamed("pos", "j")), "j")
+        .groupBy(col("i").as("pos"))
+        .agg(sum(col("g") * col("v")).as("w"))
+      val m = w.agg(greatest(max(abs(col("w"))), lit(1L)).as("m"))
+      val old = v
+      v = w.crossJoin(broadcast(m))
+        .withColumn("__wm", col("w") * 1000)
+        // BIGINT floor division for signed x, positive m: subtract the
+        // non-negative remainder, then `div` (exact-multiple quotient)
+        .select(col("pos"),
+          expr("(__wm - pmod(__wm, m)) div m").cast("long").as("v"))
+        .localCheckpoint()
+      Checkpoints.free(old)
+    }
+    Checkpoints.free(gram)
+    v
+  }
 }

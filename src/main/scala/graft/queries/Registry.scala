@@ -25,7 +25,8 @@ object Registry {
       QueriesRound6c.defs ++
       QueriesRound6d.defs ++
       QueriesRound6e.defs ++
-      QueriesRound6f.defs
+      QueriesRound6f.defs ++
+      QueriesRound6g.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
