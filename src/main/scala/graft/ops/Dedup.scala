@@ -379,6 +379,57 @@ object Dedup {
         md5(coalesce(col("__clean"), lit(""))).as("clean_md5"))
   }
 
+  /** CONTENT-DEFINED chunking + cross-doc chunk-share audit — the
+    * storage-dedup primitive (CDC) at token granularity: a token opens
+    * a new chunk iff its md5-derived 32-bit value ≡ 0 (mod
+    * `modBoundary`), so chunk boundaries follow CONTENT, not offsets —
+    * an insertion re-chunks only the two chunks it touches, where
+    * q180's fixed 8-token grid shifts every segment after the edit.
+    * Expected chunk length ≈ `modBoundary` tokens. Output: one row per
+    * doc — chunk count, how many of its chunks also occur verbatim in
+    * at least one OTHER doc, and that share in ppm (integer floor) —
+    * the shift-robust boilerplate signal.
+    *
+    * Scale shape mirrors `segmentDedup`: chunk text never leaves its
+    * doc's rows (corpus frequency runs on md5 fingerprints, one
+    * distinct + one partial-combining count), the shared-fp set joins
+    * back on fp (shuffle join, AQE demotes to broadcast when small),
+    * and assembly buffers one doc's tokens at a time. The chunk-id
+    * window is per-doc (partitioned, never global). */
+  def cdcChunkShares(df: DataFrame, idCol: String, textCol: String,
+                     modBoundary: Int = 8): DataFrame = {
+    require(modBoundary > 0, s"need a positive boundary modulus, got $modBoundary")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__p"))
+      .rowsBetween(Long.MinValue, 0)
+    val toks = df
+      .select(col(idCol), posexplode(Text.tokens(col(textCol)))
+        .as(Seq("__p", "__t")))
+      .repartition(col(idCol))
+      .withColumn("__b",
+        (Sampling.hashLong(col("__t")) % modBoundary === 0).cast("long"))
+      .withColumn("__chunk", sum(col("__b")).over(w))
+    val chunks = toks.groupBy(col(idCol), col("__chunk"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("__p"), col("__t")))),
+          x => x.getField("__t")), " ").as("__ctext"))
+      .select(col(idCol), col("__chunk"), md5(col("__ctext")).as("__fp"))
+    val shared = chunks.select(col(idCol), col("__fp")).distinct()
+      .groupBy("__fp").agg(count(lit(1)).as("__m"))
+      .where(col("__m") > 1).select("__fp")
+    val marked = chunks.join(shared.withColumn("__hit", lit(1)),
+        Seq("__fp"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_shared"))
+    df.select(col(idCol)).join(marked, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("shared_ppm",
+        expr("(n_shared * 1000000) div greatest(n_chunks, 1)"))
+  }
+
   /** Duplicate GROUPS from candidate pairs via iterative label
     * propagation (connected components): every id starts as its own
     * label; each round, a node adopts the minimum label among itself

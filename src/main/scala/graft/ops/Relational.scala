@@ -574,4 +574,29 @@ object Relational {
       .select(idCols.map(col) ++ Seq(col("__x").as(xCol),
         col("__y").as(yCol)): _*)
   }
+
+  /** Row-level diff between two snapshots of a keyed table — the data-
+    * versioning primitive behind "what changed between yesterday's
+    * corpus and today's": one full-outer join on the key comparing a
+    * caller-supplied row fingerprint (md5 of the payload columns —
+    * compare hashes, never wide payloads). Each key classifies as
+    * added (key only in `v2`), removed (only in `v1`), changed (both,
+    * fingerprints differ), or unchanged. Complements q234's per-shard
+    * digests (which FIND the shards that differ without moving rows):
+    * this is the row-granularity report you run on the few shards the
+    * digests flagged.
+    *
+    * Scale: one key-partitioned shuffle per side, fingerprints
+    * computed map-side; nothing is ever collected or broadcast. */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame, keyCol: String,
+                   fpCol: String): DataFrame = {
+    val a = v1.select(col(keyCol).as("k"), col(fpCol).as("__fa"))
+    val b = v2.select(col(keyCol).as("k"), col(fpCol).as("__fb"))
+    a.join(b, Seq("k"), "full_outer")
+      .select(col("k").as(keyCol),
+        when(col("__fa").isNull, "added")
+          .when(col("__fb").isNull, "removed")
+          .when(col("__fa") =!= col("__fb"), "changed")
+          .otherwise("unchanged").as("diff_class"))
+  }
 }

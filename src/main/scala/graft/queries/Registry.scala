@@ -26,7 +26,8 @@ object Registry {
       QueriesRound6d.defs ++
       QueriesRound6e.defs ++
       QueriesRound6f.defs ++
-      QueriesRound6g.defs
+      QueriesRound6g.defs ++
+      QueriesRound6h.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
