@@ -575,6 +575,45 @@ object Relational {
         col("__y").as(yCol)): _*)
   }
 
+  /** All point pairs within `radius` (Euclidean) via GRID BUCKETING —
+    * the 2D spatial join, solved with the same pigeonhole discipline
+    * as the Hamming-band joins (q220): cell side == radius, so any
+    * qualifying pair sits in the same or an adjacent cell, and probing
+    * each point against its 3×3 cell neighborhood is COMPLETE — a
+    * brute-force oracle must agree exactly. Coordinates are integers
+    * (caller's fixed-point unit, non-negative) and the distance check
+    * is dist² ≤ radius² in BIGINT — no sqrt, no float anywhere.
+    *
+    * Scale: one 9× fan-out of the point set joined on the cell key —
+    * never point×point. Each unordered pair is produced exactly once
+    * (probe a → home b, kept iff id_a < id_b ... and the mirrored
+    * probe b → home a is the same cell pair, filtered by the id
+    * order). Density skew (a mega-cell) amplifies the bucket join the
+    * same way a degenerate LSH band does — cap or sub-split cells for
+    * adversarial point sets (the q42 bucket-cap discipline). */
+  def gridDistanceJoin(points: DataFrame, idCol: String, xCol: String,
+                       yCol: String, radius: Long): DataFrame = {
+    require(radius > 0, s"need a positive radius, got $radius")
+    val p = points.select(col(idCol).cast("long").as("id"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .withColumn("cx", expr(s"x div ${radius}L"))
+      .withColumn("cy", expr(s"y div ${radius}L"))
+    val home = p.select(col("id").as("id_b"), col("x").as("xb"),
+      col("y").as("yb"), col("cx"), col("cy"))
+    val probe = p
+      .withColumn("__dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("__dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
+        (col("cx") + col("__dx")).as("cx"), (col("cy") + col("__dy")).as("cy"))
+    probe.join(home, Seq("cx", "cy"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("dist2",
+        (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb")))
+      .where(col("dist2") <= lit(radius * radius))
+      .select("id_a", "id_b", "dist2")
+  }
+
   /** Row-level diff between two snapshots of a keyed table — the data-
     * versioning primitive behind "what changed between yesterday's
     * corpus and today's": one full-outer join on the key comparing a

@@ -521,7 +521,12 @@ object Similarity {
       transform(col("__q"), (xj, j) =>
         struct((i + 1).cast("long").as("i"), (j + 1).cast("long").as("j"),
           (xi * xj).as("p")))))
+    // the corpus may arrive in a handful of input splits (a small
+    // parquet is ONE partition) while the dims²-per-row expansion is
+    // pure CPU — spread it across the session's parallelism first
+    val shufflePartitions = emb.sparkSession.sessionState.conf.numShufflePartitions
     val gram = emb.select(qv.as("__q"))
+      .repartition(shufflePartitions)
       .select(explode(pairTerms).as("e"))
       .groupBy(col("e.i").as("i"), col("e.j").as("j"))
       .agg(sum("e.p").as("g"))

@@ -27,7 +27,8 @@ object Registry {
       QueriesRound6e.defs ++
       QueriesRound6f.defs ++
       QueriesRound6g.defs ++
-      QueriesRound6h.defs
+      QueriesRound6h.defs ++
+      QueriesRound6i.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

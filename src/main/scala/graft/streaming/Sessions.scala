@@ -259,6 +259,10 @@ object Sessions {
         r(rightTs) >= l(leftTs) - expr(s"interval $lowerSec seconds") &&
         r(rightTs) <= l(leftTs) + expr(s"interval $upperSec seconds"),
       joinType)
+      // full-outer: a right-unmatched row carries a NULL left key —
+      // coalesce keeps the key observable (no-op for inner/left, where
+      // the left key is always populated on emitted rows)
+      .withColumn(keyCol, coalesce(l(keyCol), col("__rkey")))
       .drop("__rkey")
   }
 
@@ -290,6 +294,61 @@ object Sessions {
       fresh.write.mode("append").parquet(targetDir)
       ()
     }
+
+  /** Streaming changelog apply — the CDC fold (`Relational
+    * .applyChangelog`, q92) run AT INGEST instead of in a nightly
+    * batch: each micro-batch folds into a keyed snapshot where the row
+    * with the maximum (orderCols) wins and a winning delete erases the
+    * key. The merge is an argmax, hence ASSOCIATIVE and COMMUTATIVE —
+    * the final snapshot is independent of how the stream was
+    * micro-batched or ordered, which is what makes it hash-comparable
+    * to the batch window oracle (q251) and restart-safe.
+    *
+    * Mechanics: foreachBatch reduces the batch to latest-per-key, reads
+    * the previous snapshot version, re-argmaxes the union, and writes a
+    * NEW versioned parquet snapshot (never overwriting the version it
+    * is reading — the swap-not-rewrite discipline; a lakehouse table
+    * format would replace the version chain with a transactional
+    * MERGE). State is O(live keys). `orderCols` must be unique per key
+    * (e.g. ts + event id) so the argmax is total. Returns the final
+    * snapshot with winning deletes REMOVED. */
+  def streamingChangelogApply(changes: DataFrame, keyCol: String,
+                              orderCols: Seq[String], deleteCol: String,
+                              workDir: String): DataFrame = {
+    val spark = changes.sparkSession
+    def latest(df: DataFrame): DataFrame = {
+      df.groupBy(col(keyCol))
+        .agg(max(struct(orderCols.map(col) ++
+          df.columns.filterNot(c => c == keyCol || orderCols.contains(c))
+            .map(col): _*)).as("__s"))
+        .select(col(keyCol) +: orderCols.map(c => col(s"__s.$c").as(c)) ++:
+          df.columns.filterNot(c => c == keyCol || orderCols.contains(c))
+            .map(c => col(s"__s.$c").as(c)): _*)
+    }
+    @volatile var current: Option[String] = None
+    val q = changes.writeStream
+      .option("checkpointLocation", s"$workDir/_ckpt")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val fresh = latest(batch)
+        val merged = current match {
+          case Some(prev) =>
+            latest(spark.read.parquet(prev).unionByName(fresh))
+          case None => fresh
+        }
+        val out = s"$workDir/v$id"
+        merged.write.mode("overwrite").parquet(out)
+        current = Some(out)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    current match {
+      case Some(dir) => spark.read.parquet(dir).where(!col(deleteCol))
+      case None => sys.error("streamingChangelogApply: the stream produced no micro-batch")
+    }
+  }
 
   /** Streaming near-duplicate candidate detection: each arriving
     * document is banded row-locally (`Dedup.rowBandKeys` — the same
