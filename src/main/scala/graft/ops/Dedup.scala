@@ -430,6 +430,80 @@ object Dedup {
         expr("(n_shared * 1000000) div greatest(n_chunks, 1)"))
   }
 
+  /** WINNOWING fingerprint selection (Schleimer/Wilkerson/Aiken, the
+    * MOSS algorithm): over each doc's sequence of `shingleN`-token
+    * shingle hashes, every window of `w` consecutive hashes selects
+    * its minimum (rightmost position on ties), and the doc's
+    * fingerprint set is the distinct selected (hash, position) pairs.
+    * The guarantee: any verbatim overlap of at least w + shingleN − 1
+    * tokens between two docs shares at least one SELECTED fingerprint
+    * — detection density ~2/(w+1) of all shingles with a hard
+    * worst-case floor, unlike mod-p sampling (q245's boundary rule)
+    * which can miss arbitrarily long matches.
+    *
+    * The min-with-rightmost-tie is ONE integer window-min: each
+    * position packs to hash·2²⁰ + (2²⁰−1−pos), so the numeric minimum
+    * is exactly (min hash, max pos) — no struct comparators, and the
+    * identical BIGINT arithmetic replays in any engine (q252).
+    * Positions are capped at 2²⁰−1 (a million shingles ≈ guard for
+    * absurd docs; overflowing rows are dropped, counted by the
+    * caller's totals if needed).
+    *
+    * Output per doc: n_shingles, n_windows (full windows only),
+    * n_selected, n_shared_selected (selected fingerprints also
+    * SELECTED by some other doc — the MOSS match signal), and
+    * density_ppm. Scale shape: per-doc window (partitioned, never
+    * global), cross-doc sharing on md5-derived hashes via one
+    * distinct + count (the `cdcChunkShares` discipline). */
+  def winnowedFingerprints(df: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int = 4, w: Int = 4): DataFrame = {
+    require(shingleN > 0 && w > 0, s"need positive shingleN/w, got $shingleN/$w")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__p")).rowsBetween(0, w - 1)
+    val sh = df
+      .select(col(idCol),
+        posexplode(wordShingles(Text.tokens(col(textCol)), shingleN))
+          .as(Seq("__p", "__sh")))
+      .where(col("__p") < (1 << 20) - 1)
+      .repartition(col(idCol))
+      .withColumn("__packed",
+        Sampling.hashLong(col("__sh")) * (1L << 20) +
+          (lit((1 << 20) - 1) - col("__p")))
+    val counts = sh.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"))
+    val selected = sh
+      .withColumn("__min", min(col("__packed")).over(win))
+      // only FULL windows select (the last w−1 frames are partial)
+      .withColumn("__nw",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol))))
+      .where(col("__p") <= col("__nw") - w)
+      .select(col(idCol),
+        expr("__min div 1048576").as("__h"),
+        (lit((1 << 20) - 1) - pmod(col("__min"), lit(1L << 20))).as("__pos"))
+      .distinct()
+    val shared = selected.select(col(idCol), col("__h")).distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__m"))
+      .where(col("__m") > 1).select("__h")
+    val perDoc = selected
+      .join(shared.withColumn("__hit", lit(1)), Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_selected"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L))
+          .as("n_shared_selected"))
+    df.select(col(idCol))
+      .join(counts, Seq(idCol), "left")
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        greatest(coalesce(col("n_shingles"), lit(0L)) - (w - 1), lit(0L))
+          .as("n_windows"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        coalesce(col("n_shared_selected"), lit(0L)).as("n_shared_selected"))
+      .withColumn("density_ppm",
+        expr("(n_selected * 1000000) div greatest(n_shingles, 1)"))
+  }
+
   /** Duplicate GROUPS from candidate pairs via iterative label
     * propagation (connected components): every id starts as its own
     * label; each round, a node adopts the minimum label among itself

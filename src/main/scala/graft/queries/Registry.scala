@@ -28,7 +28,8 @@ object Registry {
       QueriesRound6f.defs ++
       QueriesRound6g.defs ++
       QueriesRound6h.defs ++
-      QueriesRound6i.defs
+      QueriesRound6i.defs ++
+      QueriesRound6j.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
