@@ -614,6 +614,72 @@ object Relational {
       .select("id_a", "id_b", "dist2")
   }
 
+  /** Interval × interval OVERLAP join via 1D grid bucketing — the
+    * sessions×outages / validity×observation join family, solved with
+    * the `gridDistanceJoin` discipline in one dimension: every
+    * half-open interval [s, e) explodes to the cells it covers, the
+    * join runs on (keys, cell), and each overlapping pair is emitted
+    * EXACTLY ONCE — by the cell containing the overlap's start
+    * (max(sa, sb) div cell), which both intervals necessarily cover —
+    * so completeness needs no distinct and a quadratic oracle must
+    * agree. All arithmetic is integer (caller's time unit).
+    *
+    * Fan-out per row is ceil(len/cell): pick `cellSize` at or above
+    * the typical interval length. A pathologically long interval
+    * amplifies the explode the way a degenerate LSH bucket amplifies
+    * its join — cap or split outliers first (the q42 discipline). */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+                          idA: String, idB: String,
+                          startCol: String, endCol: String,
+                          cellSize: Long): DataFrame = {
+    require(cellSize > 0, s"need a positive cellSize, got $cellSize")
+    require(a.columns.contains(idA) && b.columns.contains(idB) && idA != idB,
+      s"idA/idB must name existing, distinct id columns (got $idA/$idB)")
+    def cells(df: DataFrame, idCol: String, side: String): DataFrame =
+      df.select(keyCols.map(col) ++ Seq(col(idCol).as(s"id_$side"),
+          col(startCol).cast("long").as(s"s_$side"),
+          col(endCol).cast("long").as(s"e_$side")): _*)
+        .where(col(s"s_$side") < col(s"e_$side"))
+        .withColumn("__cell", explode(sequence(
+          expr(s"s_$side div ${cellSize}L"),
+          expr(s"(e_$side - 1) div ${cellSize}L"))))
+    cells(a, idA, "a").join(cells(b, idB, "b"),
+        keyCols :+ "__cell")
+      .where(col("s_a") < col("e_b") && col("s_b") < col("e_a") &&
+        col("__cell") === expr(s"greatest(s_a, s_b) div ${cellSize}L"))
+      .select(keyCols.map(col) ++ Seq(
+        col("id_a").as(idA), col("id_b").as(idB),
+        (least(col("e_a"), col("e_b")) -
+          greatest(col("s_a"), col("s_b"))).as("overlap")): _*)
+  }
+
+  /** GOLDEN-RECORD survivorship — the merge step of entity resolution
+    * (match q44/q102 → cluster q45 → MERGE): within each cluster,
+    * every field independently keeps its value from the LATEST record
+    * that has it non-null (field-level survivorship, not row-level —
+    * the merged record can combine fields no single member carries).
+    *
+    * The per-field argmax is ONE string max: each candidate packs to
+    * zero-padded(ts) ++ zero-padded(id) ++ value, so lexicographic max
+    * IS (latest ts, then highest id) and the value rides along —
+    * engine-identical with no struct comparators and no null-ordering
+    * edge cases (all-null fields stay null). One hash-aggregation
+    * total; `tsCol`/`idCol` must be non-negative integers (they pad to
+    * 12 digits). */
+  def goldenRecord(df: DataFrame, clusterCol: String, tsCol: String,
+                   idCol: String, fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "goldenRecord needs at least one field")
+    val aggs = fields.map { f =>
+      max(when(col(f).isNotNull,
+        concat(lpad(col(tsCol).cast("string"), 12, "0"),
+          lpad(col(idCol).cast("string"), 12, "0"), col(f)))).as(s"__$f")
+    } :+ count(lit(1)).as("n_members")
+    df.groupBy(col(clusterCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(clusterCol) +:
+        fields.map(f => expr(s"substring(__$f, 25)").as(f)) :+
+        col("n_members"): _*)
+  }
+
   /** Row-level diff between two snapshots of a keyed table — the data-
     * versioning primitive behind "what changed between yesterday's
     * corpus and today's": one full-outer join on the key comparing a

@@ -29,7 +29,8 @@ object Registry {
       QueriesRound6g.defs ++
       QueriesRound6h.defs ++
       QueriesRound6i.defs ++
-      QueriesRound6j.defs
+      QueriesRound6j.defs ++
+      QueriesRound6k.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
