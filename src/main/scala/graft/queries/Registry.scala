@@ -30,7 +30,8 @@ object Registry {
       QueriesRound6h.defs ++
       QueriesRound6i.defs ++
       QueriesRound6j.defs ++
-      QueriesRound6k.defs
+      QueriesRound6k.defs ++
+      QueriesRound6l.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
