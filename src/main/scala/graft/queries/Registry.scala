@@ -31,7 +31,8 @@ object Registry {
       QueriesRound6i.defs ++
       QueriesRound6j.defs ++
       QueriesRound6k.defs ++
-      QueriesRound6l.defs
+      QueriesRound6l.defs ++
+      QueriesRound6m.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

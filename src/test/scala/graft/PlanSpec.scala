@@ -356,4 +356,25 @@ class PlanSpec extends SparkSpec {
       p.take(3000))
     assert(p.contains("__fp"), p.take(3000))
   }
+
+  test("q248: spatial join is an equi-join on cell keys, never point-by-point") {
+    val p = planOf("q248_spatial_grid_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert(p.contains("__cell") || p.contains("cx"), p.take(3000))
+  }
+
+  test("q255: interval overlap joins on (key, cell) — no cartesian, no range explosion") {
+    val p = planOf("q255_interval_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert(p.contains("__cell"), p.take(3000))
+  }
+
+  test("q257: phrase postings are filtered before the position join (term-selective scan)") {
+    val p = planOf("q257_phrase_search")
+    // both posting streams carry the literal term filter below the join
+    assert(p.contains("hash") && p.contains("agg"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }
