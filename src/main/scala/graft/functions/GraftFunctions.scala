@@ -22,6 +22,9 @@ object GraftFunctions {
       new ExpressionInfo(classOf[RollingHashShingles].getName, "graft_rolling_hash"),
       (args: Seq[Expression]) => RollingHashShingles(args(0),
         args(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("graft_fold_accents"),
+      new ExpressionInfo(classOf[UnicodeStripAccents].getName, "graft_fold_accents"),
+      (args: Seq[Expression]) => UnicodeStripAccents(args.head)),
     (FunctionIdentifier("graft_kmv_distinct"),
       new ExpressionInfo(classOf[KmvDistinct].getName, "graft_kmv_distinct"),
       (args: Seq[Expression]) => KmvDistinct(args.head,
@@ -42,6 +45,10 @@ object GraftFunctions {
     * Callers must have registered the functions on the session first
     * (any graft.ops.Similarity entry point does this). */
   def dotNative(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Column-level accent fold (NFD + strip combining marks) backed by
+    * the codegen'd expression; register the functions first. */
+  def foldAccents(c: Column): Column = call_function("graft_fold_accents", c)
 }
 
 /** SparkSessionExtensions hook: enables

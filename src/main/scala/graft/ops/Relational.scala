@@ -136,6 +136,33 @@ object Relational {
     saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Hybrid (heavy-key-isolated) skew join: measure each join key's
+    * frequency on the big side, split the big side at `threshold`, and
+    * run TWO joins — the heavy-key slice against a broadcast of the
+    * matching small-side subset (hot keys never shuffle at all; each
+    * hot key's rows stay where they already are and the dim rows come
+    * to them), the light remainder as an ordinary shuffle equi-join —
+    * then union. Complements [[saltedJoin]]: salting spreads a hot key
+    * over more reducers but still shuffles every row; isolation removes
+    * the hot keys from the shuffle entirely, which wins when the heavy
+    * slice is a small fraction of DISTINCT keys (so its dim subset is
+    * broadcast-sized) but a large fraction of ROWS — the canonical
+    * power-law layout of a 100 TB fact table. The frequency scan
+    * reuses the big side's first pass (map-side-combined count), and
+    * the heavy-key frame (distinct keys over threshold — small by
+    * construction) broadcasts into both the split and the dim subset.
+    * Results are identical to the direct inner join, in any order. */
+  def hybridSkewJoin(big: DataFrame, small: DataFrame, key: String,
+                     threshold: Long): DataFrame = {
+    val heavyKeys = big.groupBy(key).agg(count(lit(1)).as("__n"))
+      .where(col("__n") > threshold).select(key)
+    val heavyBig = big.join(broadcast(heavyKeys), Seq(key), "left_semi")
+    val lightBig = big.join(broadcast(heavyKeys), Seq(key), "left_anti")
+    val heavySmall = small.join(broadcast(heavyKeys), Seq(key), "left_semi")
+    heavyBig.join(broadcast(heavySmall), Seq(key))
+      .unionByName(lightBig.join(small, Seq(key)))
+  }
+
   /** Changelog (CDC) apply: fold a stream of upserts/deletes into a
     * base snapshot. `changes` carries the key, an op column
     * ('upsert' | 'delete'), an ordering column (sequence/ts), and the

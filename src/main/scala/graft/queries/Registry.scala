@@ -32,7 +32,8 @@ object Registry {
       QueriesRound6j.defs ++
       QueriesRound6k.defs ++
       QueriesRound6l.defs ++
-      QueriesRound6m.defs
+      QueriesRound6m.defs ++
+      QueriesRound6n.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
