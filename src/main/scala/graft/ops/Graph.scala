@@ -629,4 +629,57 @@ object Graph {
     if (!assumeLaidOut) Checkpoints.free(e)
     out
   }
+
+  /** Bounded k-truss peel over an UNDIRECTED canonical edge list
+    * (id_a < id_b, one row per edge): each round computes every edge's
+    * triangle support (number of triangles it participates in) and
+    * drops edges with support < k-2, for `rounds` rounds — the
+    * cohesive-subgraph filter that separates genuinely interlinked
+    * duplicate/citation clusters from chains of incidental pairwise
+    * matches (an edge in a k-truss has k-2 independent witnesses).
+    * Like [[kCore]], a FIXED round budget rather than
+    * convergence-polling: each extra round costs three O(|E|)
+    * equi-joins, and in curation graphs support stabilizes within a
+    * couple of peels; the result after r rounds is a superset of the
+    * true k-truss, shrinking toward it monotonically. Returns the
+    * surviving edges with their final-round support.
+    *
+    * Shape per round: the canonical-orientation triangle enumeration
+    * (e1⋈e2 on the shared middle node, closed by e3 — every triangle
+    * found exactly once, the `Dedup.triangleCount` pattern), then the
+    * three edge-role projections union into one map-side-combined
+    * support count, then an equi-join filter. All joins are on node
+    * ids; no cross joins; hub-degree skew is the thing to cap
+    * upstream (as `lshCandidatePairs` does with maxBucket).
+    * Superseded edge frames unpersist as each round materializes. */
+  def kTrussEdges(pairs: DataFrame, k: Int, rounds: Int = 2): DataFrame = {
+    require(k >= 3, "k-truss needs k >= 3 (support threshold k-2 >= 1)")
+    require(rounds >= 1, "kTrussEdges needs at least one round")
+    def support(e: DataFrame): DataFrame = {
+      val t = e.select(col("id_a").as("x"), col("id_b").as("y"))
+        .join(e.select(col("id_a").as("y"), col("id_b").as("z")), "y")
+        .join(e.select(col("id_a").as("x"), col("id_b").as("z")), Seq("x", "z"))
+        .select(col("x"), col("y"), col("z"))
+      t.select(col("x").as("id_a"), col("y").as("id_b"))
+        .union(t.select(col("x").as("id_a"), col("z").as("id_b")))
+        .union(t.select(col("y").as("id_a"), col("z").as("id_b")))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("support"))
+    }
+    var e = pairs.select(col("id_a").cast("long").as("id_a"),
+      col("id_b").cast("long").as("id_b")).distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      // inner join drops support-0 edges for free (no row, threshold
+      // k-2 >= 1 can't hold); survivors re-checkpoint, old frame frees
+      val old = e
+      e = e.join(support(e), Seq("id_a", "id_b"))
+        .where(col("support") >= k - 2)
+        .select("id_a", "id_b").localCheckpoint()
+      Checkpoints.free(old)
+    }
+    val out = e.join(support(e), Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("support"))
+      .localCheckpoint()
+    Checkpoints.free(e)
+    out
+  }
 }

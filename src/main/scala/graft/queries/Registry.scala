@@ -33,7 +33,8 @@ object Registry {
       QueriesRound6k.defs ++
       QueriesRound6l.defs ++
       QueriesRound6m.defs ++
-      QueriesRound6n.defs
+      QueriesRound6n.defs ++
+      QueriesRound6o.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
