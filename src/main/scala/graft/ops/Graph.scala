@@ -682,4 +682,57 @@ object Graph {
     Checkpoints.free(e)
     out
   }
+
+  /** Bounded topological layering of a DAG (Kahn's algorithm as a
+    * distributed peel): round r assigns layer r to every node with no
+    * incoming edge from the still-alive set, then removes those nodes
+    * — the dependency-scheduling readout ("which pipeline stages can
+    * run in parallel, and in what wave"). `rounds` bounds the peel the
+    * way [[kCore]]/[[kTrussEdges]] bound theirs: nodes deeper than
+    * `rounds` waves return layer = -1 (still blocked), so callers see
+    * exactly how far the budget reached; a cyclic input never
+    * terminates Kahn's algorithm anyway, and here simply leaves the
+    * cycle members at -1 — bounded rounds turn cycle detection into a
+    * readable output instead of a hang.
+    *
+    * Shape per round: one semi-join to restrict edges to alive
+    * endpoints, one distinct-dst projection (the blocked set), one
+    * anti-join (alive minus blocked = this wave). All joins on node
+    * ids; the alive frame is O(V) and re-checkpoints per round with
+    * the superseded frame freed. */
+  def topoLayers(edges: DataFrame, srcCol: String, dstCol: String,
+                 rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, "topoLayers needs at least one round")
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var alive = e0.select(col("src").as("id"))
+      .union(e0.select(col("dst").as("id"))).distinct().localCheckpoint()
+    var out: DataFrame = null
+    for (r <- 1 to rounds) {
+      val eAlive = e0
+        .join(alive.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(alive.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      val blocked = eAlive.select(col("dst").as("id")).distinct()
+      val wave = alive.join(blocked, Seq("id"), "left_anti")
+        .select(col("id"), lit(r).cast("int").as("layer"))
+      val oldAlive = alive
+      alive = oldAlive.join(wave.select("id"), Seq("id"), "left_anti")
+        .localCheckpoint()
+      out = if (out == null) wave.localCheckpoint()
+      else {
+        val prev = out
+        val merged = prev.unionByName(wave).localCheckpoint()
+        Checkpoints.free(prev)
+        merged
+      }
+      Checkpoints.free(oldAlive)
+    }
+    val result = out
+      .unionByName(alive.select(col("id"), lit(-1).cast("int").as("layer")))
+      .localCheckpoint()
+    Checkpoints.free(out); Checkpoints.free(alive)
+    e0.unpersist(false)
+    result
+  }
 }

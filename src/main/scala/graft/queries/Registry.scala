@@ -34,7 +34,8 @@ object Registry {
       QueriesRound6l.defs ++
       QueriesRound6m.defs ++
       QueriesRound6n.defs ++
-      QueriesRound6o.defs
+      QueriesRound6o.defs ++
+      QueriesRound6p.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
