@@ -35,7 +35,8 @@ object Registry {
       QueriesRound6m.defs ++
       QueriesRound6n.defs ++
       QueriesRound6o.defs ++
-      QueriesRound6p.defs
+      QueriesRound6p.defs ++
+      QueriesRound6q.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
