@@ -36,7 +36,8 @@ object Registry {
       QueriesRound6n.defs ++
       QueriesRound6o.defs ++
       QueriesRound6p.defs ++
-      QueriesRound6q.defs
+      QueriesRound6q.defs ++
+      QueriesRound6r.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
