@@ -37,7 +37,8 @@ object Registry {
       QueriesRound6o.defs ++
       QueriesRound6p.defs ++
       QueriesRound6q.defs ++
-      QueriesRound6r.defs
+      QueriesRound6r.defs ++
+      QueriesRound6s.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
