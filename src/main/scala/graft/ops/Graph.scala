@@ -590,6 +590,17 @@ object Graph {
       .localCheckpoint()
     // half-step: sum a broadcast score frame over one edge side,
     // rescale to max `scale`, left-join back onto the node frame
+    // the O(|V|) edge-fold `sums` feeds BOTH the max-scalar and the
+    // node join; materializing IT (not the joined result) makes the
+    // expensive O(|E|) join+aggregate run exactly once per half-step —
+    // the max and the rescale join then read the checkpointed O(|V|)
+    // blocks. (The earlier shape checkpointed the joined result
+    // instead, which still evaluated the edge fold twice inside that
+    // one job: q211 3.6 s → 3.3 s at sf0.1 — the edge-graph build
+    // dominates that query, so the per-round win is bounded. An
+    // unmaterialized chain
+    // is far worse still — 2^rounds sub-plan replication, measured
+    // 3.7 s → 9.9 s at iters = 2.)
     def halfStep(scores: DataFrame, scoreCol: String, joinSide: String,
                  aggSide: String, outCol: String): DataFrame = {
       val perSide = scores.where(col(scoreCol) > 0)
@@ -597,29 +608,28 @@ object Graph {
       val sums = e.join(hint(perSide), joinSide)
         .select(col(aggSide).as("id"), col("__c"))
         .groupBy("id").agg(sum("__c").as("__s"))
+        .localCheckpoint()
       val mx = sums.agg(max("__s").as("__mx"))
-      nodes.join(hint(sums), Seq("id"), "left")
+      val out = nodes.join(hint(sums), Seq("id"), "left")
         .crossJoin(hint(mx))
         .select(col("id"), col("__has_out"),
           coalesce(expr(s"(__s * ${scale}L) div __mx"), lit(0L)).as(outCol))
+        .localCheckpoint() // eager — sums' blocks are consumed here
+      Checkpoints.free(sums)
+      out
     }
-    // each half-step MUST materialize: `sums` feeds both the node join
-    // and the max-scalar, so an unmaterialized chain doubles the
-    // sub-plan per half-step (2^rounds replication — measured 3.7 s →
-    // 9.9 s when these checkpoints were dropped at iters = 2)
-    def mat(df: DataFrame): DataFrame = df.localCheckpoint()
     def freeIf(df: DataFrame): Unit = if (df != null) Checkpoints.free(df)
     var hubs = nodes.select(col("id"), col("__has_out"),
       when(col("__has_out"), lit(scale)).otherwise(lit(0L)).as("hub_micro"))
     var auths: DataFrame = null
     for (_ <- 1 to iters) {
-      val newAuths = mat(halfStep(hubs.withColumnRenamed("hub_micro", "__v"),
-        "__v", "src", "dst", "auth_micro"))
+      val newAuths = halfStep(hubs.withColumnRenamed("hub_micro", "__v"),
+        "__v", "src", "dst", "auth_micro")
       freeIf(auths)
       auths = newAuths
       val oldHubs = hubs
-      hubs = mat(halfStep(auths.withColumnRenamed("auth_micro", "__v"),
-        "__v", "dst", "src", "hub_micro"))
+      hubs = halfStep(auths.withColumnRenamed("auth_micro", "__v"),
+        "__v", "dst", "src", "hub_micro")
       freeIf(oldHubs)
     }
     val out = hubs.select(col("id"), col("hub_micro"))
