@@ -110,9 +110,13 @@ object QueriesRound6l {
     // floats. Top 40 pairs with co-support ≥ 3.
     QueryDef("q260_item_item_cf",
       (s, d) => {
+        // consumed three times (pair self-join + mega-basket cap +
+        // degrees) — persist so the scan+distinct runs once (q206
+        // discipline; Bench/Verify sweep persists between queries)
         val bi = lineitem(s, d)
           .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
           .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val pairs = Relational.basketPairs(bi, "basket", "item")
           .where(col("pair_cnt") >= 3)
         val deg = bi.groupBy(col("item")).agg(count(lit(1)).as("deg"))
