@@ -38,7 +38,8 @@ object Registry {
       QueriesRound6p.defs ++
       QueriesRound6q.defs ++
       QueriesRound6r.defs ++
-      QueriesRound6s.defs
+      QueriesRound6s.defs ++
+      QueriesRound6t.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
