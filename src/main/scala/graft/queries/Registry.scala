@@ -39,7 +39,8 @@ object Registry {
       QueriesRound6q.defs ++
       QueriesRound6r.defs ++
       QueriesRound6s.defs ++
-      QueriesRound6t.defs
+      QueriesRound6t.defs ++
+      QueriesRound6u.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
