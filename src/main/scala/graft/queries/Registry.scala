@@ -40,7 +40,8 @@ object Registry {
       QueriesRound6r.defs ++
       QueriesRound6s.defs ++
       QueriesRound6t.defs ++
-      QueriesRound6u.defs
+      QueriesRound6u.defs ++
+      QueriesRound6v.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

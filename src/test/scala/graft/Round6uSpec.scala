@@ -27,4 +27,15 @@ class Round6uSpec extends SparkSpec {
     assert(r.getAs[Long]("n") == docs.count())
     assert(r.getAs[Long]("p") == docs.where(col("doc_id") % 2 === 0).count())
   }
+
+  test("q289 purity: complete pair coverage per cluster, bounds hold") {
+    val out = graft.queries.Registry.byName("q289_cluster_purity")
+      .fn(spark, sf)
+    // every intra-cluster pair is audited: n_pairs == size choose 2
+    assert(out.where(col("n_pairs") * 2 =!= col("size") * (col("size") - 1))
+      .count() == 0)
+    assert(out.where(col("min_jaccard_ppm") > col("mean_jaccard_ppm") ||
+      col("mean_jaccard_ppm") > 1000000 || col("size") < 2).count() == 0)
+    assert(out.count() > 0)
+  }
 }
