@@ -177,12 +177,21 @@ object Bench {
     val fs = failed.take(20).map("\"" + shortName(_) + "\"")
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line =
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
-    // stop BEFORE printing: the metric line must be the LAST stdout so
-    // the driver's tail window always contains it in full — anything
-    // the shutdown path writes after it would push its head out
+    // TWO lines, total LAST: the driver keeps only the last ~4 KB of
+    // stdout and parses the metric line out of that tail. A single
+    // combined line puts the total at the HEAD and the ~3.4 KB
+    // per-query map after it, so suite growth pushes the total out of
+    // the window (lost the round's headline number in r1, r5, r6).
+    // With the map on its own line FIRST and a ~150-byte compact total
+    // line LAST, the total always survives any suite size, and the map
+    // survives too whenever it fits in tail-minus-total.
+    val mapLine = s"""{"metric":"queries","queries":$qs}"""
+    val totalLine =
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","n":${results.size},"failed":$fs,"sf":"$sfDir"}"""
+    // stop BEFORE printing: anything the shutdown path writes after the
+    // metric lines would push them out of the tail window
     spark.stop()
-    println(line)
+    println(mapLine)
+    println(totalLine)
   }
 }

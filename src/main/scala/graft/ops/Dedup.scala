@@ -236,9 +236,13 @@ object Dedup {
     * fingerprint self-equi-join (never doc × doc) and a pair hash-agg.
     * `maxDocsPerShingle` is the same degenerate-bucket cap as
     * `lshCandidatePairs`: a boilerplate window shared by m docs would
-    * contribute m² pairs, so windows above the cap are dropped via a
-    * broadcast anti-join (deterministic, replayed identically by the
-    * oracle, q170). */
+    * contribute m² pairs, so windows above the cap are dropped via an
+    * anti-join (deterministic, replayed identically by the oracle,
+    * q170). The over-cap set is NOT force-broadcast — at web scale the
+    * boilerplate-window set is itself large (the same reasoning as
+    * [[segmentDedup]]'s over-cap anti-join); a shuffled anti-join on
+    * the fingerprint key scales with it, and AQE demotes to broadcast
+    * on its own whenever the set is actually small. */
   def sharedShinglePairs(df: DataFrame, idCol: String, textCol: String,
                          n: Int, maxDocsPerShingle: Int = 10000): DataFrame = {
     val fps = shingleRows(df, idCol, textCol, n)
@@ -250,7 +254,7 @@ object Dedup {
         val big = fps.groupBy("fp")
           .agg(count(lit(1)).as("__m")).where(col("__m") > maxDocsPerShingle)
           .select("fp")
-        fps.join(broadcast(big), Seq("fp"), "left_anti")
+        fps.join(big, Seq("fp"), "left_anti")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
     val a = capped.select(col("fp"), col(idCol).as("id_a"))

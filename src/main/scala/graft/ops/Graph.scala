@@ -675,8 +675,16 @@ object Graph {
         .union(t.select(col("y").as("id_a"), col("z").as("id_b")))
         .groupBy("id_a", "id_b").agg(count(lit(1)).as("support"))
     }
-    var e = pairs.select(col("id_a").cast("long").as("id_a"),
-      col("id_b").cast("long").as("id_b")).distinct().localCheckpoint()
+    // canonicalize internally: the triangle enumeration assumes ONE
+    // orientation per undirected edge (id_a < id_b); a caller passing
+    // both orientations or reversed pairs would silently under- or
+    // double-count support, so least/greatest + distinct removes the
+    // precondition for one cheap projection. Self-loops drop (a = b
+    // can't be part of a triangle under strict orientation).
+    var e = pairs.select(
+      least(col("id_a"), col("id_b")).cast("long").as("id_a"),
+      greatest(col("id_a"), col("id_b")).cast("long").as("id_b"))
+      .where(col("id_a") < col("id_b")).distinct().localCheckpoint()
     for (_ <- 1 to rounds) {
       // inner join drops support-0 edges for free (no row, threshold
       // k-2 >= 1 can't hold); survivors re-checkpoint, old frame frees

@@ -154,8 +154,14 @@ object Relational {
     * Results are identical to the direct inner join, in any order. */
   def hybridSkewJoin(big: DataFrame, small: DataFrame, key: String,
                      threshold: Long): DataFrame = {
+    // materialize the frequency count ONCE (eager localCheckpoint,
+    // small by construction) instead of embedding the aggregation
+    // subtree in three broadcast branches — correctness never depended
+    // on it, but without it avoiding a triple scan of the big side
+    // relied on ReuseExchange matching the three copies (the Graph-ops
+    // checkpoint discipline, applied here per the r6 advice)
     val heavyKeys = big.groupBy(key).agg(count(lit(1)).as("__n"))
-      .where(col("__n") > threshold).select(key)
+      .where(col("__n") > threshold).select(key).localCheckpoint()
     val heavyBig = big.join(broadcast(heavyKeys), Seq(key), "left_semi")
     val lightBig = big.join(broadcast(heavyKeys), Seq(key), "left_anti")
     val heavySmall = small.join(broadcast(heavyKeys), Seq(key), "left_semi")
@@ -279,6 +285,38 @@ object Relational {
     within.join(broadcast(offsets), "__g")
       .withColumn(outCol, col("__w") + col("__off"))
       .drop("__g", "__w", "__off")
+  }
+
+  /** Two-level GLOBAL RANK over `(scoreCol DESC, idCol ASC)` WITHOUT a
+    * single-partition window of the data — the retrieval-ranking shape
+    * (RRF fusion, leaderboards) where [[twoLevelRowNumber]]'s
+    * distinct-single-key precondition fails because scores tie heavily
+    * (a lexical hit-count is 0 for most of the corpus). Rows bucket on
+    * the COMPOSITE (-score, idCol div idWidth): the pair is monotone in
+    * the target order (score descending dominates; within a score the
+    * id-range is monotone in id), so per-bucket positions from a
+    * PARTITIONED row_number plus an exclusive prefix sum over the
+    * per-bucket counts reproduce the global rank bit-for-bit (pinned in
+    * RelationalExtSpec against the naive window). Every partition is
+    * bounded by idWidth rows regardless of score skew; the only
+    * global-order window runs over the O(distinct-scores x
+    * id-range/idWidth) non-empty bucket frame, joined back broadcast —
+    * never the corpus. */
+  def twoLevelRankDesc(df: DataFrame, scoreCol: String, idCol: String,
+                       idWidth: Long, outCol: String): DataFrame = {
+    require(idWidth >= 1, s"idWidth must be positive, got $idWidth")
+    val hg = df.withColumn("__gs", -col(scoreCol))
+      .withColumn("__gi", expr(s"$idCol div ${idWidth}L"))
+    val wIn = Window.partitionBy("__gs", "__gi").orderBy(col(idCol))
+    val within = hg.withColumn("__w", row_number().over(wIn).cast("long"))
+    val wPre = Window.orderBy(col("__gs"), col("__gi"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hg.groupBy("__gs", "__gi").agg(count(lit(1)).as("__gt"))
+      .select(col("__gs"), col("__gi"),
+        coalesce(sum("__gt").over(wPre), lit(0L)).as("__off"))
+    within.join(broadcast(offsets), Seq("__gs", "__gi"))
+      .withColumn(outCol, col("__w") + col("__off"))
+      .drop("__gs", "__gi", "__w", "__off")
   }
 
   /** Snapshot diff — the INVERSE of applyChangelog: compare two

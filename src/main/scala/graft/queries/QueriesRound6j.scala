@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables._
-import graft.ops.{Dedup, Text}
+import graft.ops.{Dedup, Relational, Text}
 import org.apache.spark.sql.functions._
 
 /** Round-6 tenth batch: winnowing fingerprint selection (the MOSS
@@ -114,9 +114,11 @@ object QueriesRound6j {
     // inner product of millis-quantized embeddings against the vec 0
     // probe — MIPS retrieval, no floats) fuse by RRF:
     // 10⁶ div (60 + rank), summed. Ranks break ties by doc_id, so the
-    // whole fusion is integer-deterministic. The global rank window
-    // runs over the joined candidate set; at corpus scale the q199
-    // two-level numbering replaces it. Top 25 by fused score.
+    // whole fusion is integer-deterministic. Both rankings use the
+    // two-level global rank (Relational.twoLevelRankDesc): partitioned
+    // per-(score, id-range) row numbers + a broadcast prefix-sum over
+    // the bucket counts — no single-partition window of the corpus
+    // anywhere in the plan (pinned in PlanSpec). Top 25 by fused score.
     QueryDef("q254_rrf_hybrid",
       (s, d) => {
         val toks = Text.tokens(col("text"))
@@ -133,13 +135,11 @@ object QueriesRound6j {
           .select(col("vec_id").as("doc_id"),
             aggregate(zip_with(col("__q"), col("__pq"), (a, b) => a * b),
               lit(0L), (acc, v) => acc + v).as("dot"))
-        val ranked = lex.join(sem, Seq("doc_id"))
-          .withColumn("r_lex", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .orderBy(col("lex_score").desc, col("doc_id"))))
-          .withColumn("r_sem", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .orderBy(col("dot").desc, col("doc_id"))))
+        val joined = lex.join(sem, Seq("doc_id"))
+        val ranked = Relational.twoLevelRankDesc(
+          Relational.twoLevelRankDesc(joined, "lex_score", "doc_id",
+            4096L, "r_lex"),
+          "dot", "doc_id", 4096L, "r_sem")
           .withColumn("fused_micro",
             expr("1000000 div (60 + r_lex) + 1000000 div (60 + r_sem)"))
         ranked.orderBy(col("fused_micro").desc, col("doc_id")).limit(25)

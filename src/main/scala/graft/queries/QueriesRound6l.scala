@@ -17,18 +17,24 @@ object QueriesRound6l {
     // The curve that picks a vocab size: corpus token types ranked by
     // (count desc, token), cumulative token mass at vocab sizes
     // 500/1000/2000/4000 in ppm of all tokens. One corpus shuffle to
-    // type counts; the rank window and cumulative sum run over the
-    // O(types) domain frame only. Complements q204 (OOV at a FIXED
-    // vocab) with the whole tradeoff curve.
+    // type counts; only the top `maxSize` types can contribute a curve
+    // point (the join condition is rk <= vocab_size <= maxSize), so the
+    // candidates come from a distributed top-k (TakeOrderedAndProject:
+    // per-partition heaps + a k-row merge, plan-pinned) and the rank/
+    // cumsum window runs over that CONSTANT-sized frame — never over
+    // the corpus vocabulary, which at web scale is itself huge.
+    // Complements q204 (OOV at a FIXED vocab) with the tradeoff curve.
     QueryDef("q258_vocab_coverage",
       (s, d) => {
         import s.implicits._
         val counts = documents(s, d)
           .select(explode(Text.tokens(col("text"))).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("n"))
+        val maxSize = 30
+        val top = counts.orderBy(col("n").desc, col("tok")).limit(maxSize)
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("n").desc, col("tok"))
-        val ranked = counts
+        val ranked = top
           .withColumn("rk", row_number().over(w))
           .withColumn("cum", sum("n").over(
             w.rowsBetween(Long.MinValue, 0)))

@@ -171,9 +171,14 @@ object QueriesRound6n {
     // 2022): classes here are the document sources; W(t,c) =
     // tf(t,c) * ln(1 + A / f(t)) with A = mean tokens per class and
     // f(t) the corpus-wide term count. Two hash-aggregations plus a
-    // broadcast of the per-term totals; ranking happens per-class on
-    // the ROUNDED weight (integer tf ties broken by term) so the
-    // window order replays exactly. Top-10 terms label each class.
+    // broadcast of the per-term totals; the weight is an INTEGER micro
+    // surrogate — floor(tf·ln(1+A/f)·10⁶ + 0.5) — because Spark's
+    // round(double, n) (shortest-decimal BigDecimal) and DuckDB's
+    // (binary) diverge at .5 boundaries while floor on the identical
+    // IEEE double is bit-equal in both engines; the only residual
+    // cross-engine exposure is a 1-ulp libm-ln difference landing
+    // exactly on a floor boundary (~1e-9 per term, vs ~1e-6 for a
+    // 6-dp float output). Top-10 terms label each class.
     QueryDef("q266_ctfidf_terms",
       (s, d) => {
         val t = documents(s, d)
@@ -186,14 +191,15 @@ object QueriesRound6n {
             col("__ncls").cast("double")).as("__a"))
         val w = tf.join(broadcast(fTot), "tok")
           .crossJoin(broadcast(scal))
-          .withColumn("w", round(col("tf").cast("double") *
-            log(lit(1.0) + col("__a") / col("f").cast("double")), 6))
+          .withColumn("w_micro", floor(col("tf").cast("double") *
+            log(lit(1.0) + col("__a") / col("f").cast("double")) *
+            lit(1000000.0) + lit(0.5)).cast("long"))
         w.withColumn("rank", row_number().over(
             Window.partitionBy("source")
-              .orderBy(col("w").desc, col("tok").asc)))
+              .orderBy(col("w_micro").desc, col("tok").asc)))
           .where(col("rank") <= 10)
           .select(col("source"), col("rank"), col("tok"),
-            col("tf"), col("f"), col("w"))
+            col("tf"), col("f"), col("w_micro"))
           .orderBy("source", "rank")
       },
       Some(s"""WITH t AS (SELECT source, unnest(${DuckSql.toks("text")}) AS tok
@@ -203,13 +209,14 @@ object QueriesRound6n {
         |sc AS (SELECT CAST(sum(tf) AS DOUBLE) /
         |    count(DISTINCT source) AS a FROM tf),
         |w AS (SELECT tf.source, tf.tok, tf.tf, ft.f,
-        |    round(CAST(tf.tf AS DOUBLE) * ln(1 + sc.a / CAST(ft.f AS DOUBLE)),
-        |      6) + 0 AS w
+        |    CAST(floor(CAST(tf.tf AS DOUBLE)
+        |      * ln(1 + sc.a / CAST(ft.f AS DOUBLE))
+        |      * 1000000 + 0.5) AS BIGINT) AS w_micro
         |  FROM tf JOIN ft USING (tok), sc),
         |r AS (SELECT *, row_number() OVER (PARTITION BY source
-        |    ORDER BY w DESC, tok ASC) AS rank FROM w)
+        |    ORDER BY w_micro DESC, tok ASC) AS rank FROM w)
         |SELECT source, rank, tok, CAST(tf AS BIGINT) AS tf,
-        |  CAST(f AS BIGINT) AS f, w
+        |  CAST(f AS BIGINT) AS f, w_micro
         |FROM r WHERE rank <= 10 ORDER BY source, rank""".stripMargin)),
 
     // ---- q267: l-diversity audit --------------------------------------

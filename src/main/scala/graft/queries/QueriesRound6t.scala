@@ -11,12 +11,6 @@ import org.apache.spark.sql.functions._
   */
 object QueriesRound6t {
 
-  /** Scratch database on local disk for layout-demo tables; created
-    * idempotently, tables overwrite per run. */
-  private def scratch(s: org.apache.spark.sql.SparkSession): Unit =
-    s.sql("CREATE DATABASE IF NOT EXISTS graft_tmp " +
-      "LOCATION '/tmp/graft_scratch_wh'")
-
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q285: bucketed co-located join ------------------------------
@@ -32,28 +26,23 @@ object QueriesRound6t {
     // per-run write volume.
     QueryDef("q285_bucketed_join",
       (s, d) => {
-        scratch(s)
-        // a previous SESSION's run leaves the managed-table directory
-        // behind with no metastore entry (each Verify/Bench session
-        // starts a fresh catalog), and saveAsTable refuses to reuse
-        // the location — drop any entry AND delete the stale path
-        Seq("q285_orders", "q285_lineitem").foreach { t =>
-          s.sql(s"DROP TABLE IF EXISTS graft_tmp.$t")
-          val p = new org.apache.hadoop.fs.Path(s"/tmp/graft_scratch_wh/$t")
-          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-        }
+        // scratch namespace keyed by (application id, data dir) so
+        // concurrent sessions at different scale factors never race on
+        // one path; `reset` also clears a crashed run's stale dir
+        val db = Scratch.db(s, d)
+        Seq("q285_orders", "q285_lineitem").foreach(Scratch.reset(s, d, _))
         orders(s, d).where(col("o_orderkey") % 4 === 0)
           .select("o_orderkey", "o_orderpriority")
           .write.format("parquet").bucketBy(8, "o_orderkey")
           .sortBy("o_orderkey").mode("overwrite")
-          .saveAsTable("graft_tmp.q285_orders")
+          .saveAsTable(s"$db.q285_orders")
         lineitem(s, d).where(col("l_orderkey") % 4 === 0)
           .select("l_orderkey", "l_extendedprice", "l_discount")
           .write.format("parquet").bucketBy(8, "l_orderkey")
           .sortBy("l_orderkey").mode("overwrite")
-          .saveAsTable("graft_tmp.q285_lineitem")
-        s.table("graft_tmp.q285_lineitem")
-          .join(s.table("graft_tmp.q285_orders"),
+          .saveAsTable(s"$db.q285_lineitem")
+        s.table(s"$db.q285_lineitem")
+          .join(s.table(s"$db.q285_orders"),
             col("l_orderkey") === col("o_orderkey"))
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n"),
@@ -79,7 +68,7 @@ object QueriesRound6t {
     // write→prune→read cycle loses nothing.
     QueryDef("q286_partition_pruned_read",
       (s, d) => {
-        val dir = "/tmp/graft_scratch_wh/q286_docs"
+        val dir = s"${Scratch.dir(s, d)}/q286_docs"
         documents(s, d)
           .write.partitionBy("lang").mode("overwrite").parquet(dir)
         s.read.parquet(dir)

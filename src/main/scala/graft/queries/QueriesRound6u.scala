@@ -71,7 +71,7 @@ object QueriesRound6u {
     // pre-evolution rows. The oracle replays the generational union.
     QueryDef("q288_schema_evolution_read",
       (s, d) => {
-        val dir = "/tmp/graft_scratch_wh/q288_docs"
+        val dir = s"${Scratch.dir(s, d)}/q288_docs"
         val base = documents(s, d).select(col("doc_id"), col("lang"))
         base.where(col("doc_id") % 2 === 0)
           .write.mode("overwrite").parquet(s"$dir/gen=v1")

@@ -258,10 +258,38 @@ class PlanSpec extends SparkSpec {
     assert(aggIdx > wIdx && wIdx >= 0, p.take(3000))
   }
 
-  test("q170: over-cap window guard is a broadcast anti-join, pairs never cross-join") {
+  test("q170: over-cap window guard is an anti-join, pairs never cross-join") {
+    // the over-cap fingerprint set is NOT force-broadcast (the
+    // segmentDedup discipline: at web scale that set is itself large;
+    // AQE demotes a shuffled anti-join to broadcast when it is small)
     val p = planOf("q170_shared_shingles")
     assert(p.contains("LeftAnti"), p.take(3000))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
+  test("q254: hybrid-RRF ranks have no single-partition window of the corpus") {
+    // twoLevelRankDesc: the windows over the joined candidate frame
+    // are PARTITIONED by the (-score, id-range) bucket; the only
+    // global-order windows run over the O(buckets) count frames
+    val p = planOf("q254_rrf_hybrid")
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    val overDocs = winLines.filter(_.contains("doc_id"))
+    assert(overDocs.nonEmpty && overDocs.forall(_.contains("__g")),
+      winLines.mkString("\n"))
+  }
+
+  test("q258: the coverage window runs over a top-k pruned constant frame") {
+    // candidates come from a distributed top-k (TakeOrderedAndProject
+    // = per-partition heaps + k-row merge) BEFORE the rank window, so
+    // the global-order window frame is bounded by the largest vocab
+    // size in the curve (a query constant), never the corpus vocab
+    val p = planOf("q258_vocab_coverage")
+    val lines = p.linesIterator.toSeq
+    val topkIdx = lines.indexWhere(_.contains("TakeOrderedAndProject"))
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    assert(topkIdx >= 0, p.take(3000))
+    assert(winIdx >= 0 && topkIdx > winIdx, // deeper in the tree = later line
       p.take(3000))
   }
 

@@ -43,6 +43,26 @@ class RelationalExtSpec extends SparkSpec {
       Set("k", "tag", "seq"))
   }
 
+  test("twoLevelRankDesc equals row_number over (score desc, id) with heavy ties") {
+    // heavy score ties (the lexical-score shape that breaks
+    // twoLevelRowNumber's distinct-key precondition), negative scores,
+    // and ids straddling bucket boundaries
+    val df = Seq(
+      (1L, 0L), (2L, 0L), (3L, 5L), (4L, 0L), (9L, 0L), (10L, 5L),
+      (11L, -2L), (12L, 0L), (25L, 7L), (26L, 7L), (99L, 0L), (100L, -2L))
+      .toDF("id", "score")
+    val naive = df.select(col("id"), row_number().over(
+        Window.orderBy(col("score").desc, col("id"))).cast("long").as("rk"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val two = Relational.twoLevelRankDesc(df, "score", "id", 10L, "rk")
+      .select("id", "rk")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two == naive)
+    // original columns survive, temps dropped
+    assert(Relational.twoLevelRankDesc(df, "score", "id", 10L, "rk")
+      .columns.toSet == Set("id", "score", "rk"))
+  }
+
   test("twoLevelCumSum keeps the original columns") {
     val hist = Seq((1L, 2L, "x"), (7L, 3L, "y")).toDF("c", "cnt", "tag")
     val out = Relational.twoLevelCumSum(hist, "c", "cnt", 5L)

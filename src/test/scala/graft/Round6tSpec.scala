@@ -10,8 +10,9 @@ class Round6tSpec extends SparkSpec {
     // run the query once so the bucketed tables exist, then pin the
     // join's plan: bucket-to-bucket sort-merge, nothing to shuffle
     graft.queries.Registry.byName("q285_bucketed_join").fn(spark, sf).count()
-    val j = spark.table("graft_tmp.q285_lineitem")
-      .join(spark.table("graft_tmp.q285_orders"),
+    val db = graft.queries.Scratch.db(spark, sf)
+    val j = spark.table(s"$db.q285_lineitem")
+      .join(spark.table(s"$db.q285_orders"),
         col("l_orderkey") === col("o_orderkey"))
     val plan = j.queryExecution.executedPlan.toString
     assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"),
@@ -24,7 +25,8 @@ class Round6tSpec extends SparkSpec {
   test("q286: the partitioned read prunes to the filtered language") {
     graft.queries.Registry.byName("q286_partition_pruned_read")
       .fn(spark, sf).count()
-    val read = spark.read.parquet("/tmp/graft_scratch_wh/q286_docs")
+    val read = spark.read
+      .parquet(s"${graft.queries.Scratch.dir(spark, sf)}/q286_docs")
       .where(col("lang") === "en")
     val plan = read.queryExecution.executedPlan.toString
     // the lang predicate must land in PartitionFilters (directory
