@@ -336,6 +336,72 @@ object Similarity {
     (0 until math.max(maxIter, 0)).foldLeft(seeds)((c, _) => lloydStep(c))
   }
 
+  /** Persistable form of a trained IVF index: one row per centroid,
+    * (cell INT, centroid ARRAY<FLOAT>). Write it once with
+    * `.write.parquet(...)`, then search any number of times — across
+    * sessions and ingest increments — with [[ivfTopKFromIndex]],
+    * never retraining (the q285 write→read layout lifecycle applied
+    * to the vector index). */
+  def centroidIndexDF(spark: org.apache.spark.sql.SparkSession,
+                      cents: Array[(Int, Array[Float])]): DataFrame = {
+    import spark.implicits._
+    cents.toSeq.map { case (cell, cv) => (cell, cv.toSeq) }
+      .toDF("cell", "centroid")
+  }
+
+  /** IVF search against a LOADED centroid index table (the
+    * [[centroidIndexDF]] schema) — the search half of the
+    * train-once / write / load / search lifecycle. The O(nCells×dim)
+    * index folds into ONE row of (cell, centroid, norm) structs and
+    * broadcasts into both the corpus assignment and the query probes,
+    * so cell assignment is a map-side array_max over the broadcast
+    * structs: no Lloyd, no seed scan, no corpus shuffle — the plan
+    * contains a scan of the index table and nothing recomputed.
+    * Scores are bit-equal to [[ivfTopKWith]] on the same centroids:
+    * graft_dot is the same sequential double fold whether the centroid
+    * arrives as a literal or a table column, and the struct (cos,
+    * cell) max/sort tie-breaks match cellScores'. */
+  def ivfTopKFromIndex(corpus: DataFrame, queries: DataFrame, k: Int,
+                       index: DataFrame, nProbe: Int = 4,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val centArr = index
+      .select(struct(col("cell").cast("int").as("cell"), col("centroid"),
+        normNative(col("centroid")).as("cn")).as("__c"))
+      .agg(sort_array(collect_list(col("__c"))).as("__cents"))
+    def scores(vec: Column, nrm: Column): Column =
+      transform(col("__cents"), c =>
+        struct((dotNative(vec, c.getField("centroid")) /
+          (nrm * c.getField("cn"))).as("cos"),
+          c.getField("cell").as("cell")))
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        normNative(col(vecCol)).as("__cn"))
+      .crossJoin(broadcast(centArr))
+      .select(col("neighbor_id"), col("__cv"), col("__cn"),
+        array_max(scores(col("__cv"), col("__cn"))).getField("cell").as("__cell"))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        normNative(col(vecCol)).as("__qn"))
+      .crossJoin(broadcast(centArr))
+      .select(col("query_id"), col("__qv"), col("__qn"),
+        slice(reverse(array_sort(scores(col("__qv"), col("__qn")))),
+          1, nProbe).as("__probes"))
+      .select(col("query_id"), col("__qv"), col("__qn"),
+        explode(col("__probes")).as("__probe"))
+      .select(col("query_id"), col("__qv"), col("__qn"),
+        col("__probe.cell").as("__cell"))
+    val scored = c.join(broadcast(q), Seq("__cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(dotNative(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 4))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(wq))
+      .where(col("__rn") <= k)
+      .select("query_id", "neighbor_id", "cosine")
+  }
+
   /** IVF search against a frozen centroid index (see trainCentroids). */
   def ivfTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
                   refined: Array[(Int, Array[Float])], nProbe: Int = 4,

@@ -41,7 +41,8 @@ object Registry {
       QueriesRound6s.defs ++
       QueriesRound6t.defs ++
       QueriesRound6u.defs ++
-      QueriesRound6v.defs
+      QueriesRound6v.defs ++
+      QueriesRound7.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
