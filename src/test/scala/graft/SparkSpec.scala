@@ -7,8 +7,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * `sbt test` fast). */
 object TestSpark {
   lazy val spark: SparkSession = {
+    // local[4, 2]: 4 threads, TWO task attempts — local mode defaults
+    // to maxFailures=1 (first task failure kills the job), which would
+    // make the ChaosSpec retry/exactly-once scenarios untestable; a
+    // second attempt only changes behavior when a task actually fails
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[4, 2]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
