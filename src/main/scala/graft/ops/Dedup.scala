@@ -25,6 +25,36 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** Bloom-filter membership of incoming fingerprints against an
+    * existing corpus's fingerprint set — the cheap FIRST gate of
+    * incremental exact dedup at web scale (q292). The "filter" is the
+    * DISTINCT table of the k md5-derived bit positions the existing
+    * fps set (size min(n·k, mBits) rows — exact, engine-portable, and
+    * at most the bit-array's information content); an incoming row is
+    * `claimed` iff all k of its positions are present. The Bloom
+    * theorem holds by construction: an fp present in `existing` set
+    * exactly the positions the same fp probes, so false negatives are
+    * impossible (pinned on planted duplicates in Round7Spec); false
+    * positives are the design trade the caller measures. All joins are
+    * keyed on positions; nothing row × row. */
+  def bloomClaimed(existing: DataFrame, incoming: DataFrame, fpCol: String,
+                   mBits: Int, k: Int): DataFrame = {
+    require(mBits > 0 && k > 0, s"need positive mBits/k, got $mBits/$k")
+    def pos(f: Column, j: Column): Column =
+      Sampling.hashLong(concat(f, lit("#bl"), j.cast("string"))) % mBits
+    val bits = existing.select(col(fpCol)).distinct()
+      .select(col(fpCol), explode(sequence(lit(0), lit(k - 1))).as("__j"))
+      .select(pos(col(fpCol), col("__j")).as("__p")).distinct()
+    val hits = incoming.select(col(fpCol)).distinct()
+      .select(col(fpCol), explode(sequence(lit(0), lit(k - 1))).as("__j"))
+      .select(col(fpCol), pos(col(fpCol), col("__j")).as("__p"))
+      .join(bits, Seq("__p"), "left_semi")
+      .groupBy(col(fpCol)).agg(count(lit(1)).as("__nhit"))
+    incoming.join(hits, Seq(fpCol), "left")
+      .withColumn("claimed", coalesce(col("__nhit"), lit(0L)) === k)
+      .drop("__nhit")
+  }
+
   /** Word n-gram shingles from a token array (positions via
     * transform+slice — no explode, no shuffle). Empty when the doc has
     * fewer than n tokens. */

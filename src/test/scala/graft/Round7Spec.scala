@@ -41,4 +41,39 @@ class Round7Spec extends SparkSpec {
     // the only nested-loop is the one-row centroid-array broadcast
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("q292: Bloom gate never false-negatives on planted duplicates, at any m") {
+    import spark.implicits._
+    // 40 existing fps; incoming = 25 EXACT dups + 25 fresh. At m=64
+    // the filter saturates (plenty of false positives) — the theorem
+    // under test is that a planted duplicate is ALWAYS claimed.
+    val existing = (0 until 40).map(i => s"fp_$i").toDF("fp")
+    val incoming = ((0 until 25).map(i => (s"fp_$i", true)) ++
+      (0 until 25).map(i => (s"fresh_$i", false))).toDF("fp", "is_dup")
+    for (m <- Seq(64, 1 << 10, 1 << 20)) {
+      val out = graft.ops.Dedup.bloomClaimed(existing, incoming, "fp", m, 4)
+        .collect().map(r => r.getAs[String]("fp") ->
+          r.getAs[Boolean]("claimed")).toMap
+      (0 until 25).foreach(i =>
+        assert(out(s"fp_$i"), s"false negative at m=$m for fp_$i"))
+    }
+    // and at a roomy m the fresh fps are (almost surely) not claimed
+    val roomy = graft.ops.Dedup.bloomClaimed(existing, incoming, "fp", 1 << 20, 4)
+      .where(!col("is_dup") && col("claimed")).count()
+    assert(roomy == 0L)
+  }
+
+  test("q291: zorder layout scans no more than linear and covers all matches") {
+    val rows = graft.queries.Registry.byName("q291_zorder_pruning")
+      .fn(spark, sf).collect()
+      .map(r => r.getAs[String]("layout") ->
+        (r.getAs[Long]("files_scanned"), r.getAs[Long]("rows_scanned"),
+          r.getAs[Long]("rows_matched"))).toMap
+    val (lf, lr, lm) = rows("linear_x")
+    val (zf, zr, zm) = rows("zorder")
+    assert(lm == zm) // the true match count is layout-independent
+    // min/max pruning is sound: scanned rows always cover the matches
+    assert(lr >= lm && zr >= zm)
+    assert(zf > 0 && lf > 0)
+  }
 }
