@@ -42,7 +42,8 @@ object Registry {
       QueriesRound6t.defs ++
       QueriesRound6u.defs ++
       QueriesRound6v.defs ++
-      QueriesRound7.defs
+      QueriesRound7.defs ++
+      QueriesRound7b.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
