@@ -58,6 +58,21 @@ object RecallReport {
           nProbe = p)))))
     rows += (("SQ8 int8 quantized (full scan)", "symmetric per-vector scale",
       recall(pairs(Similarity.sq8TopK(emb, queries, 10)))))
+    // PQ compresses 256 B of floats to a few CODES; on this corpus
+    // (near-orthogonal random vectors — incompressible by design) raw
+    // ADC ranking is the honest worst case, and the production shape
+    // is PQ as the CANDIDATE tier + exact rerank (the q273 cascade).
+    for ((nSub, w, nc) <- Seq((4, 16, 8), (8, 8, 16))) {
+      val books = Similarity.pqTrain(corp, nSub, w, nc)
+      val bytes = nSub * (math.log(nc) / math.log(2)).round / 8.0
+      rows += ((s"PQ ADC (full scan)", f"$nSub x $w-dim, $nc codes ($bytes%.0f B/vec)",
+        recall(pairs(Similarity.pqAdcTopK(corp, queries, books, w, 10)))))
+      val cand = Similarity.pqAdcTopK(corp, queries, books, w, 200)
+        .select(col("query_id"), col("neighbor_id"))
+      val rerank = Similarity.rerankExact(corp, cand, 10)
+      rows += ((s"PQ candidates + exact rerank", f"$nSub x $w-dim, $nc codes, top-200 rerank",
+        recall(pairs(rerank))))
+    }
 
     val md = new StringBuilder
     md ++= "# Measured ANN recall\n\n"

@@ -336,6 +336,93 @@ object Similarity {
     (0 until math.max(maxIter, 0)).foldLeft(seeds)((c, _) => lloydStep(c))
   }
 
+  /** Product-quantization codebooks: one deterministic codebook per
+    * contiguous `width`-dim subspace, each trained with the exact
+    * [[trainCentroids]] machinery (md5-derived seed pick + one
+    * ordered-fold Lloyd round) on the sliced corpus — so the whole PQ
+    * index is a pure function of the data and every training step
+    * replays in the oracle (the q54 discipline, per subspace). */
+  def pqTrain(corpus: DataFrame, nSub: Int, width: Int, nCodes: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Array[(Int, Array[Float])]] =
+    (0 until nSub).map { sp =>
+      trainCentroids(corpus.select(col(idCol),
+        slice(col(vecCol), sp * width + 1, width).as(vecCol)),
+        nCodes, idCol, vecCol)
+    }
+
+  /** PQ encode + ADC (asymmetric distance computation) top-k — the
+    * memory-tier below SQ8: each corpus vector compresses to `nSub`
+    * small codes (nSub·log2(nCodes) bits, here 4 codes vs 64 floats),
+    * queries stay exact, and the approximate inner product is the sum
+    * over subspaces of dot(query-slice, codeword) — at 100 TB the
+    * corpus read shrinks ~50× and the scoring work is nSub small dots
+    * against broadcast codebooks. Encoding is a map-side argmax per
+    * subspace over codeword literals (no shuffle); the codeword
+    * LOOKUP is nSub broadcast equi-joins on the code id; the ADC sum
+    * adds the nSub partial dots in FIXED subspace order (p0+p1+p2+p3 —
+    * a float hash-agg sum over subspaces would be partition-order
+    * nondeterministic), and ranking happens on the floor-micro INTEGER
+    * score, so the whole search replays bit-for-bit in the oracle.
+    * `queries` must be a bounded probe batch (it is broadcast). */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame,
+                books: Seq[Array[(Int, Array[Float])]], width: Int, k: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val nSub = books.size
+    var docs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol))
+    (0 until nSub).foreach { sp =>
+      docs = docs
+        .withColumn("__v", slice(col(vecCol), sp * width + 1, width))
+        .withColumn("__n", normNative(col("__v")))
+        .withColumn(s"code_$sp", nearestCell(col("__v"), col("__n"), books(sp)))
+        .drop("__v", "__n")
+      val cb = books(sp).toSeq.map { case (c, cv) => (c, cv.toSeq) }
+        .toDF(s"code_$sp", s"cv_$sp")
+      docs = docs.join(broadcast(cb), Seq(s"code_$sp"))
+    }
+    val qs = queries.select(col(idCol).as("query_id") +:
+      (0 until nSub).map(sp =>
+        slice(col(vecCol), sp * width + 1, width).as(s"qv_$sp")): _*)
+    val adc = (0 until nSub)
+      .map(sp => dotNative(col(s"qv_$sp"), col(s"cv_$sp")))
+      .reduce(_ + _)
+    val scored = docs.crossJoin(broadcast(qs))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_micro",
+        floor(adc * lit(1000000.0) + lit(0.5)).cast("long"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_micro").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(wq))
+      .where(col("__rn") <= k)
+      .select("query_id", "neighbor_id", "adc_micro")
+  }
+
+  /** Exact-cosine rerank of a candidate pair relation — the second
+    * tier of every cascade (PQ/LSH/IVF recall a candidate pool, exact
+    * scoring reorders it): two equi-joins fetch the vectors, one
+    * codegen dot per pair, a per-query window keeps the top k. Cost is
+    * O(candidates), never corpus × queries. */
+  def rerankExact(corpus: DataFrame, candidates: DataFrame, k: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val v = corpus.select(col(idCol), col(vecCol),
+      normNative(col(vecCol)).as("__n"))
+    val scored = candidates
+      .join(v.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        col("__n").as("__qn")), Seq("query_id"))
+      .join(v.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        col("__n").as("__cn")), Seq("neighbor_id"))
+      .withColumn("cosine",
+        round(dotNative(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 4))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(wq))
+      .where(col("__rn") <= k)
+      .select("query_id", "neighbor_id", "cosine")
+  }
+
   /** Persistable form of a trained IVF index: one row per centroid,
     * (cell INT, centroid ARRAY<FLOAT>). Write it once with
     * `.write.parquet(...)`, then search any number of times — across

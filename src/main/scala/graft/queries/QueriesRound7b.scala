@@ -187,6 +187,77 @@ object QueriesRound7b {
         |  CAST((support * total * 1000000) // (out_n * in_n) AS BIGINT)
         |    AS lift_micro
         |FROM sup JOIN o USING (src) JOIN i USING (dst), tot
-        |ORDER BY support DESC, src, dst LIMIT 20""".stripMargin))
+        |ORDER BY support DESC, src, dst LIMIT 20""".stripMargin)),
+
+    // ---- q297: product quantization + ADC top-k ------------------------
+    // The memory tier below SQ8 (q147): each 64-dim vector compresses
+    // to FOUR codebook codes (one per 16-dim subspace, 8 codewords
+    // each — trained with the exact q54 machinery per subspace), and
+    // search scores approximate inner products as the fixed-order sum
+    // of per-subspace dot(query-slice, codeword) — asymmetric distance
+    // computation. Ranking on the floor-micro INTEGER score; the
+    // oracle replays all four trainings, the encodings, and the ADC
+    // ranking end to end. Completes the quantization lane:
+    // float32 → int8 (SQ8) → 4-code PQ.
+    QueryDef("q297_pq_adc_topk",
+      (s, d) => {
+        val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val books = graft.ops.Similarity.pqTrain(emb, nSub = 4, width = 16,
+          nCodes = 8)
+        graft.ops.Similarity.pqAdcTopK(emb, emb.where(col("vec_id") < 10),
+          books, width = 16, k = 5)
+          .orderBy("query_id", "neighbor_id")
+      },
+      Some {
+        val dot16 = (a: String, b: String) => DuckSql.dot(a, b, 16)
+        def dotD(a: String, b: String) =
+          s"list_sum(list_transform(generate_series(1, 16), " +
+            s"j -> CAST($a[j] AS DOUBLE) * $b))"
+        def sub(sp: Int): String = {
+          val lo = sp * 16 + 1; val hi = sp * 16 + 16
+          s"""es$sp AS (SELECT vec_id, embedding[$lo:$hi] AS v,
+          |    sqrt(${dot16(s"embedding[$lo:$hi]", s"embedding[$lo:$hi]")}) AS nrm
+          |  FROM embeddings),
+          |sd$sp AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v
+          |  FROM (SELECT vec_id, v FROM es$sp, c
+          |        WHERE ${DuckSql.hashLong("vec_id")} % greatest(n // 8, 1) = 0
+          |        ORDER BY vec_id LIMIT 8)),
+          |sn$sp AS (SELECT cell, v, sqrt(${dot16("v", "v")}) AS cn FROM sd$sp),
+          |a$sp AS (SELECT e.vec_id,
+          |    (max(struct_pack(c := ${dot16("e.v", "s.v")} / (e.nrm * s.cn),
+          |      cell := s.cell))).cell AS cell
+          |  FROM es$sp e CROSS JOIN sn$sp s GROUP BY e.vec_id),
+          |mn$sp AS (SELECT a.cell, p.i AS pos,
+          |    list_sum(list(CAST(e.v[p.i] AS DOUBLE) ORDER BY e.vec_id)) / count(*) AS m
+          |  FROM es$sp e JOIN a$sp a USING (vec_id)
+          |  CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS i) p
+          |  GROUP BY 1, 2),
+          |ct$sp AS (SELECT cell, list(CAST(CAST(m AS FLOAT) AS DOUBLE) ORDER BY pos) AS cv
+          |  FROM mn$sp GROUP BY 1),
+          |cw$sp AS (SELECT cell, cv,
+          |    sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn FROM ct$sp),
+          |cd$sp AS (SELECT e.vec_id,
+          |    (max(struct_pack(c := ${dotD("e.v", s"cw.cv[j]")} / (e.nrm * cw.cn),
+          |      cell := cw.cell))).cell AS cell
+          |  FROM es$sp e CROSS JOIN cw$sp cw GROUP BY e.vec_id),
+          |p$sp AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+          |    ${dotD("q.v", s"ct.cv[j]")} AS p
+          |  FROM es$sp q, cd$sp d JOIN cw$sp ct ON d.cell = ct.cell
+          |  WHERE q.vec_id < 10 AND d.vec_id != q.vec_id)""".stripMargin
+        }
+        s"""WITH c AS (SELECT count(*) AS n FROM embeddings),
+        |${(0 until 4).map(sub).mkString(",\n")},
+        |adc AS (SELECT p0.query_id, p0.neighbor_id,
+        |    CAST(floor((p0.p + p1.p + p2.p + p3.p) * 1000000 + 0.5) AS BIGINT)
+        |      AS adc_micro
+        |  FROM p0 JOIN p1 USING (query_id, neighbor_id)
+        |  JOIN p2 USING (query_id, neighbor_id)
+        |  JOIN p3 USING (query_id, neighbor_id))
+        |SELECT query_id, neighbor_id, adc_micro FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adc_micro DESC, neighbor_id) AS rn FROM adc)
+        |WHERE rn <= 5 ORDER BY query_id, neighbor_id""".stripMargin
+      })
   )
 }

@@ -86,4 +86,21 @@ class Round7bSpec extends SparkSpec {
     assert(winLines.nonEmpty && winLines.forall(_.contains("user_id")),
       winLines.mkString("\n"))
   }
+
+  test("q297 machinery: PQ cascade with a full-corpus pool degenerates to exact search") {
+    // with the candidate pool >= corpus size, PQ+rerank must return
+    // EXACTLY the brute-force top-k (same rounding, same tie-breaks) —
+    // the cascade loses nothing but the pruning
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val queries = emb.where(col("vec_id") < 5)
+    val books = Similarity.pqTrain(emb, nSub = 8, width = 8, nCodes = 8)
+    val cand = Similarity.pqAdcTopK(emb, queries, books, width = 8, k = 1000000)
+      .select("query_id", "neighbor_id")
+    val rr = Similarity.rerankExact(emb, cand, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val bf = Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rr.nonEmpty && rr == bf)
+  }
 }
