@@ -64,8 +64,8 @@ object RecallReport {
     // is PQ as the CANDIDATE tier + exact rerank (the q273 cascade).
     for ((nSub, w, nc) <- Seq((4, 16, 8), (8, 8, 16))) {
       val books = Similarity.pqTrain(corp, nSub, w, nc)
-      val bytes = nSub * (math.log(nc) / math.log(2)).round / 8.0
-      rows += ((s"PQ ADC (full scan)", f"$nSub x $w-dim, $nc codes ($bytes%.0f B/vec)",
+      val bits = nSub * (math.log(nc) / math.log(2)).round
+      rows += ((s"PQ ADC (full scan)", f"$nSub x $w-dim, $nc codes ($bits bits/vec)",
         recall(pairs(Similarity.pqAdcTopK(corp, queries, books, w, 10)))))
       val cand = Similarity.pqAdcTopK(corp, queries, books, w, 200)
         .select(col("query_id"), col("neighbor_id"))

@@ -291,32 +291,49 @@ object Relational {
     * single-partition window of the data — the retrieval-ranking shape
     * (RRF fusion, leaderboards) where [[twoLevelRowNumber]]'s
     * distinct-single-key precondition fails because scores tie heavily
-    * (a lexical hit-count is 0 for most of the corpus). Rows bucket on
-    * the COMPOSITE (-score, idCol div idWidth): the pair is monotone in
-    * the target order (score descending dominates; within a score the
-    * id-range is monotone in id), so per-bucket positions from a
-    * PARTITIONED row_number plus an exclusive prefix sum over the
-    * per-bucket counts reproduce the global rank bit-for-bit (pinned in
-    * RelationalExtSpec against the naive window). Every partition is
-    * bounded by idWidth rows regardless of score skew; the only
-    * global-order window runs over the O(distinct-scores x
-    * id-range/idWidth) non-empty bucket frame, joined back broadcast —
-    * never the corpus. */
+    * (a lexical hit-count is 0 for most of the corpus).
+    *
+    * Decomposition: rank(x) = #{score > x.score}
+    *                        + #{score = x.score, id-bucket < x's}
+    *                        + position within (score, id-bucket).
+    * The strictly-greater term comes from [[twoLevelCumSum]] over the
+    * score HISTOGRAM (its one global-order window runs over the
+    * O(score-domain / scoreWidth) non-empty coarse ranges — never over
+    * rows); the within-score offset is a window PARTITIONED by score
+    * over O(id-range / idWidth) bucket-count rows per score; positions
+    * are a window partitioned by (score, id-bucket), ≤ idWidth rows
+    * per partition. All join-backs are keyed shuffles (AQE demotes to
+    * broadcast when small) — NOTHING corpus-sized is broadcast or
+    * funneled through one task, for ANY mix of heavy ties and distinct
+    * scores (both pinned in RelationalExtSpec against the naive
+    * window).
+    *
+    * Preconditions: `scoreCol` non-null integral with a BOUNDED value
+    * domain (quantize floats to micro-units first — the retrieval
+    * convention); `idCol` distinct non-null (the tie-break). */
   def twoLevelRankDesc(df: DataFrame, scoreCol: String, idCol: String,
-                       idWidth: Long, outCol: String): DataFrame = {
+                       idWidth: Long, outCol: String,
+                       scoreWidth: Long = 4096L): DataFrame = {
     require(idWidth >= 1, s"idWidth must be positive, got $idWidth")
-    val hg = df.withColumn("__gs", -col(scoreCol))
-      .withColumn("__gi", expr(s"$idCol div ${idWidth}L"))
-    val wIn = Window.partitionBy("__gs", "__gi").orderBy(col(idCol))
+    require(scoreWidth >= 1, s"scoreWidth must be positive, got $scoreWidth")
+    val hg = df.withColumn("__g", expr(s"$idCol div ${idWidth}L"))
+    val wIn = Window.partitionBy(col(scoreCol), col("__g")).orderBy(col(idCol))
     val within = hg.withColumn("__w", row_number().over(wIn).cast("long"))
-    val wPre = Window.orderBy(col("__gs"), col("__gi"))
+    val bCnt = hg.groupBy(col(scoreCol), col("__g"))
+      .agg(count(lit(1)).as("__bc"))
+    val wOff = Window.partitionBy(col(scoreCol)).orderBy(col("__g"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = hg.groupBy("__gs", "__gi").agg(count(lit(1)).as("__gt"))
-      .select(col("__gs"), col("__gi"),
-        coalesce(sum("__gt").over(wPre), lit(0L)).as("__off"))
-    within.join(broadcast(offsets), Seq("__gs", "__gi"))
-      .withColumn(outCol, col("__w") + col("__off"))
-      .drop("__gs", "__gi", "__w", "__off")
+    val idOff = bCnt.select(col(scoreCol), col("__g"),
+      coalesce(sum("__bc").over(wOff), lit(0L)).as("__ioff"))
+    val hist = hg.groupBy(col(scoreCol)).agg(count(lit(1)).as("__sc"))
+      .withColumn("__neg", -col(scoreCol))
+    val greater = twoLevelCumSum(hist, "__neg", "__sc", scoreWidth)
+      .select(col(scoreCol), (col("cum") - col("__sc")).as("__goff"))
+    within
+      .join(idOff, Seq(scoreCol, "__g"))
+      .join(greater, Seq(scoreCol))
+      .withColumn(outCol, col("__goff") + col("__ioff") + col("__w"))
+      .drop("__g", "__w", "__ioff", "__goff")
   }
 
   /** Snapshot diff — the INVERSE of applyChangelog: compare two

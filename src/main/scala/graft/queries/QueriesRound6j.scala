@@ -115,10 +115,12 @@ object QueriesRound6j {
     // probe — MIPS retrieval, no floats) fuse by RRF:
     // 10⁶ div (60 + rank), summed. Ranks break ties by doc_id, so the
     // whole fusion is integer-deterministic. Both rankings use the
-    // two-level global rank (Relational.twoLevelRankDesc): partitioned
-    // per-(score, id-range) row numbers + a broadcast prefix-sum over
-    // the bucket counts — no single-partition window of the corpus
-    // anywhere in the plan (pinned in PlanSpec). Top 25 by fused score.
+    // two-level global rank (Relational.twoLevelRankDesc): a
+    // histogram-cumsum strictly-greater term + per-score id-bucket
+    // offsets + partitioned positions — no single-partition window of
+    // the corpus anywhere in the plan (pinned in PlanSpec), for both
+    // the tie-heavy lexical scores and the near-distinct dot scores.
+    // Top 25 by fused score.
     QueryDef("q254_rrf_hybrid",
       (s, d) => {
         val toks = Text.tokens(col("text"))

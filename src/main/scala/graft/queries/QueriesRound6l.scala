@@ -16,7 +16,7 @@ object QueriesRound6l {
     // ---- q258: vocabulary coverage curve -----------------------------
     // The curve that picks a vocab size: corpus token types ranked by
     // (count desc, token), cumulative token mass at vocab sizes
-    // 500/1000/2000/4000 in ppm of all tokens. One corpus shuffle to
+    // 5/10/20/30 in ppm of all tokens. One corpus shuffle to
     // type counts; only the top `maxSize` types can contribute a curve
     // point (the join condition is rk <= vocab_size <= maxSize), so the
     // candidates come from a distributed top-k (TakeOrderedAndProject:

@@ -187,7 +187,7 @@ object QueriesRound7 {
     // ---- q292: Bloom-filter dedup gate with measured FP rate ----------
     // The cheap FIRST gate of incremental dedup at 100 TB: the existing
     // corpus's content fingerprints set k=4 md5-derived positions in an
-    // m = 2^18-bit filter (here a DISTINCT position table — the
+    // m = 2^15-bit filter (here a DISTINCT position table — the
     // degenerate-but-exact relational form whose size is min(n·k, m));
     // an incoming batch claims "seen" iff all 4 of its positions are
     // set. The readout measures the claim against exact membership:

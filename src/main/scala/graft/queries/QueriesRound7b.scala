@@ -145,10 +145,13 @@ object QueriesRound7b {
     // The sequence-mining readout next to the funnel family: adjacent
     // event-type transitions per user (ordered by ts with event_id
     // tie-break — a total order, so lead() replays identically), pair
-    // support, and lift in integer micro-units (support·total·10⁶ div
-    // out(src)·in(dst) — float-free, order-identical to the real
-    // lift). Top 20 by support. Per-user windows; three
-    // map-side-combined aggs over the transitions frame.
+    // support, and lift in integer micro-units, staged as
+    // ((support·10⁶ div out)·total) div in: support ≤ out bounds the
+    // first factor at 10⁶, so nothing overflows BIGINT until total
+    // exceeds ~9·10¹² transitions (support·total·10⁶ in one product
+    // would wrap silently in Spark and ERROR in DuckDB at ~3·10⁶ —
+    // a scale-dependent engine divergence). Top 20 by support.
+    // Per-user windows; three map-side-combined aggs.
     QueryDef("q296_event_transitions",
       (s, d) => {
         val w = Window.partitionBy(col("user_id"))
@@ -168,7 +171,7 @@ object QueriesRound7b {
           .crossJoin(broadcast(tot))
           .select(col("src"), col("dst"), col("support"), col("out_n"),
             col("in_n"),
-            expr("(support * total * 1000000) div (out_n * in_n)")
+            expr("((support * 1000000 div out_n) * total) div in_n")
               .as("lift_micro"))
           .orderBy(col("support").desc, col("src"), col("dst"))
           .limit(20)
@@ -184,7 +187,7 @@ object QueriesRound7b {
         |tot AS (SELECT count(*) AS total FROM t2)
         |SELECT src, dst, CAST(support AS BIGINT) AS support,
         |  CAST(out_n AS BIGINT) AS out_n, CAST(in_n AS BIGINT) AS in_n,
-        |  CAST((support * total * 1000000) // (out_n * in_n) AS BIGINT)
+        |  CAST(((support * 1000000 // out_n) * total) // in_n AS BIGINT)
         |    AS lift_micro
         |FROM sup JOIN o USING (src) JOIN i USING (dst), tot
         |ORDER BY support DESC, src, dst LIMIT 20""".stripMargin)),

@@ -17,6 +17,23 @@ object Scratch {
   private def sanitize(x: String): String =
     x.replaceAll("[^A-Za-z0-9]+", "_")
 
+  /** App-id-keyed namespaces never collide, but they also never get
+    * overwritten by later sessions, so /tmp would grow one namespace
+    * per bench/verify/test session forever. Reap sibling namespaces
+    * older than a day ONCE per JVM: a concurrent run's directory is
+    * minutes old and survives; only long-dead sessions' leftovers go. */
+  private val swept = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val StaleMs = 24L * 3600 * 1000
+  private def sweepStale(s: SparkSession): Unit =
+    if (swept.compareAndSet(false, true)) {
+      val root = new org.apache.hadoop.fs.Path("/tmp/graft_scratch_wh")
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+        if (System.currentTimeMillis() - st.getModificationTime > StaleMs)
+          try fs.delete(st.getPath, true) catch { case _: Exception => () }
+      }
+    }
+
   /** Stable per-(application, data-dir) tag, e.g. `sf0_1_local_17...`. */
   def tag(s: SparkSession, d: String): String = {
     val dataTag = sanitize(new java.io.File(d).getName)
@@ -25,8 +42,10 @@ object Scratch {
   }
 
   /** Root scratch directory for this (application, data-dir). */
-  def dir(s: SparkSession, d: String): String =
+  def dir(s: SparkSession, d: String): String = {
+    sweepStale(s)
     s"/tmp/graft_scratch_wh/${tag(s, d)}"
+  }
 
   /** Scratch database for managed layout tables (bucketed writes);
     * created idempotently at a location inside [[dir]]. */

@@ -63,6 +63,25 @@ class RelationalExtSpec extends SparkSpec {
       .columns.toSet == Set("id", "score", "rk"))
   }
 
+  test("twoLevelRankDesc equals the naive window when scores are fully distinct") {
+    // the OTHER degenerate end (every score unique — the dot-product
+    // shape): the histogram term carries all the rank mass, id buckets
+    // hold one row each, and ranks must still be bit-equal. Scores
+    // straddle score-bucket boundaries and include negatives.
+    val rnd = new scala.util.Random(23L)
+    val df = (0L until 300L)
+      .map(i => (i, rnd.nextInt(2000000).toLong - 1000000L)).distinct
+      .toDF("id", "score")
+    val naive = df.select(col("id"), row_number().over(
+        Window.orderBy(col("score").desc, col("id"))).cast("long").as("rk"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val two = Relational.twoLevelRankDesc(df, "score", "id", 16L, "rk",
+        scoreWidth = 1000L)
+      .select("id", "rk")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two == naive)
+  }
+
   test("twoLevelCumSum keeps the original columns") {
     val hist = Seq((1L, 2L, "x"), (7L, 3L, "y")).toDF("c", "cnt", "tag")
     val out = Relational.twoLevelCumSum(hist, "c", "cnt", 5L)
