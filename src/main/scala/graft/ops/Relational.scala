@@ -316,7 +316,12 @@ object Relational {
                        scoreWidth: Long = 4096L): DataFrame = {
     require(idWidth >= 1, s"idWidth must be positive, got $idWidth")
     require(scoreWidth >= 1, s"scoreWidth must be positive, got $scoreWidth")
+    // consumed THREE times (positions, bucket counts, histogram) and
+    // rank calls often stack (q254 ranks twice) — without the persist
+    // each consumer re-evaluates the full upstream lineage
+    // (multiplicatively when stacked; measured 4.6 s vs 1.5 s on q254)
     val hg = df.withColumn("__g", expr(s"$idCol div ${idWidth}L"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wIn = Window.partitionBy(col(scoreCol), col("__g")).orderBy(col(idCol))
     val within = hg.withColumn("__w", row_number().over(wIn).cast("long"))
     val bCnt = hg.groupBy(col(scoreCol), col("__g"))
