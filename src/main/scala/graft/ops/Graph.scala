@@ -758,4 +758,48 @@ object Graph {
     e0.unpersist(false)
     result
   }
+
+  /** Per-node triangle count and local clustering coefficient over an
+    * undirected graph — the standard "how knit is this node's
+    * neighborhood" readout (Watts–Strogatz 1998): cc(v) =
+    * 2·tri(v) / (deg(v)·(deg(v)−1)), reported in exact ppm via
+    * integer floor division (both operands non-negative).
+    *
+    * Input canonicalizes internally exactly like [[kTrussEdges]]
+    * (least/greatest + distinct, self-loops dropped), so callers may
+    * pass either or both orientations. Triangle enumeration is the
+    * same strict-orientation three-way equi-join (x<y<z, each triangle
+    * materialized exactly once); per-node counts come from unioning
+    * the three corner projections into one map-side-combined
+    * aggregation — never a neighborhood cross join. Degree is two
+    * projections of the canonical edge list. At corpus scale the
+    * candidate edge list must be hub-capped upstream (the
+    * `lshCandidatePairs` maxBucket discipline) — triangle join cost is
+    * Σ deg(v)², which the cap bounds. */
+  def clusteringCoefficient(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(
+      least(col("id_a"), col("id_b")).cast("long").as("id_a"),
+      greatest(col("id_a"), col("id_b")).cast("long").as("id_b"))
+      .where(col("id_a") < col("id_b")).distinct().localCheckpoint()
+    val t = e.select(col("id_a").as("x"), col("id_b").as("y"))
+      .join(e.select(col("id_a").as("y"), col("id_b").as("z")), "y")
+      .join(e.select(col("id_a").as("x"), col("id_b").as("z")), Seq("x", "z"))
+      .select(col("x"), col("y"), col("z"))
+    val triPerNode = t.select(col("x").as("id"))
+      .union(t.select(col("y").as("id")))
+      .union(t.select(col("z").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    val deg = e.select(col("id_a").as("id"))
+      .union(e.select(col("id_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val out = deg.join(triPerNode, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("cc_ppm", when(col("degree") >= 2,
+        expr("(n_tri * 2000000) div (degree * (degree - 1))"))
+        .otherwise(lit(0L)))
+      .localCheckpoint()
+    Checkpoints.free(e)
+    out
+  }
 }

@@ -43,7 +43,8 @@ object Registry {
       QueriesRound6u.defs ++
       QueriesRound6v.defs ++
       QueriesRound7.defs ++
-      QueriesRound7b.defs
+      QueriesRound7b.defs ++
+      QueriesRound7c.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
