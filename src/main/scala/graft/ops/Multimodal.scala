@@ -151,6 +151,48 @@ object Multimodal {
                   threshold: Long): Column =
     energyVadUdf(content, lit(windowFrames), lit(threshold))
 
+  case class AudioFeatMeta(n_samples: Long, n_zero_cross: Long,
+                           sum_abs: Long, sum_sq: Long, valid: Boolean)
+
+  /** One-pass integer audio features over 16-bit mono PCM WAV bytes —
+    * the classic cheap speech/music/noise discriminators next to the
+    * energy VAD: zero-crossing count (sign flips under the pinned
+    * "non-negative vs negative" convention — high for fricatives and
+    * hiss, low for voiced speech and tones), Σ|sample| (the VAD's
+    * energy numerator), and Σ sample² (the RMS numerator, kept as the
+    * exact integer sum — callers divide/sqrt at the edge, never
+    * inside the engine where float folds would break bit-replay).
+    * Everything exact: max Σs² = n·32768² stays in Long to n ≈ 8.6e9
+    * frames per clip. Same errors-as-data contract as [[energyVad]]. */
+  def audioFeatures(bytes: Array[Byte]): AudioFeatMeta = {
+    val meta = parseWavHeader(bytes)
+    if (!meta.valid || meta.bits_per_sample != 16 || meta.channels != 1)
+      return AudioFeatMeta(0L, 0L, 0L, 0L, valid = false)
+    val (dataOff, dataLen) = findDataChunk(bytes)
+    if (dataOff < 0) return AudioFeatMeta(0L, 0L, 0L, 0L, valid = false)
+    val n = math.min(dataLen / 2,
+      ((bytes.length - dataOff) / 2).toLong).toInt
+    var i = 0; var zc = 0L; var sAbs = 0L; var sSq = 0L
+    var prevNeg = false
+    while (i < n) {
+      val s = ((bytes(dataOff + 2 * i) & 0xff) |
+        (bytes(dataOff + 2 * i + 1) << 8)).toShort
+      val neg = s < 0
+      if (i > 0 && neg != prevNeg) zc += 1
+      prevNeg = neg
+      sAbs += math.abs(s.toLong)
+      sSq += s.toLong * s.toLong
+      i += 1
+    }
+    AudioFeatMeta(n.toLong, zc, sAbs, sSq, valid = true)
+  }
+
+  private val audioFeaturesUdf = udf(audioFeatures _)
+
+  /** Audio feature column (ZCR + exact energy sums) from a binary WAV
+    * column. */
+  def audioFeatureCols(content: Column): Column = audioFeaturesUdf(content)
+
   // -------------------------------------------------------------------
   // Image headers — same errors-as-data contract as WAV: corrupt or
   // unknown bytes yield valid=false, never an exception in the task.
@@ -302,6 +344,109 @@ object Multimodal {
 
   /** Average-hash column from a binary BMP column. */
   def imageAHash(content: Column): Column = aHashUdf(content)
+
+  /** Fixed-point DCT-II basis for [[pHash32]]: dctQ(u*32 + x) =
+    * round(cos(π·(2x+1)·u / 64) · 10⁴) for u ∈ [0,8), x ∈ [0,32),
+    * from StrictMath (bit-reproducible across JVMs). Public so the
+    * oracle SQL embeds the SAME table as literals — the transform is
+    * then pure integer arithmetic in both engines. */
+  val dctQ: Array[Long] = Array.tabulate(8 * 32) { i =>
+    val u = i / 32; val x = i % 32
+    math.round(StrictMath.cos(math.Pi * (2 * x + 1) * u / 64.0) * 10000.0)
+  }
+
+  case class PHashMeta(hash_hi: Long, hash_lo: Long, n_set: Long,
+                       dc: Long, valid: Boolean)
+
+  /** Perceptual DCT hash (pHash) over a 32×32 24-bpp grayscale BMP —
+    * the frequency-domain near-dup fingerprint one level stronger than
+    * [[averageHash]]: small local edits perturb a few DCT coefficients
+    * instead of whole blocks, so re-encodes and touch-ups keep most
+    * bits. The 2-D DCT-II restricted to the 8×8 low-frequency block is
+    * computed ENTIRELY in integers via the quantized basis [[dctQ]]:
+    * F(u,v) = Σ_{x,y} gray(x,y)·cq(u,x)·cq(v,y) (gray = exact b+g+r
+    * sum; |F| ≤ 765·10⁸·1024 ≈ 7.8e13, well inside Long), bit(u,v) set
+    * iff F exceeds the LOWER MEDIAN (32nd-smallest) of the 64 values —
+    * a rank threshold, so the dropped 1/√N normalization constants
+    * cannot change any bit. DC is included under the same threshold
+    * (documented deviation from implementations that special-case it;
+    * the rank threshold keeps ~half the bits set either way). Bit
+    * i = u·8+v packs lo/hi exactly like [[averageHash]]. Input must be
+    * exactly 32×32 (pHash downsamples first at the edge; a wrong-size
+    * frame is data, valid=false, never an exception). */
+  def pHash32(bytes: Array[Byte]): PHashMeta = {
+    def le32(o: Int): Int =
+      (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+        ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    if (bytes == null || bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M')
+      return PHashMeta(0L, 0L, 0L, 0L, valid = false)
+    val pixOff = le32(10)
+    val width = le32(18)
+    val rawH = le32(22)
+    val height = math.abs(rawH)
+    val bpp = (bytes(28) & 0xff) | ((bytes(29) & 0xff) << 8)
+    if (bpp != 24 || width != 32 || height != 32)
+      return PHashMeta(0L, 0L, 0L, 0L, valid = false)
+    val stride = (width * 3 + 3) / 4 * 4
+    if (pixOff < 0 || pixOff.toLong + stride.toLong * height > bytes.length)
+      return PHashMeta(0L, 0L, 0L, 0L, valid = false)
+    val gray = new Array[Long](32 * 32)
+    var row = 0
+    while (row < 32) {
+      val srcRow = if (rawH > 0) 31 - row else row
+      val base = pixOff + srcRow * stride
+      var colI = 0
+      while (colI < 32) {
+        val o = base + colI * 3
+        gray(row * 32 + colI) = (bytes(o) & 0xff) + (bytes(o + 1) & 0xff) +
+          (bytes(o + 2) & 0xff)
+        colI += 1
+      }
+      row += 1
+    }
+    // separable DCT: rowPass(u, y) = Σ_x gray(x,y)·cq(u,x), then
+    // F(u,v) = Σ_y rowPass(u, y)·cq(v,y) — 2·32·8 MACs per pixel row
+    // instead of the naive 64·1024, same exact integer result
+    val rowPass = new Array[Long](8 * 32)
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < 32) {
+        var acc = 0L; var x = 0
+        while (x < 32) { acc += gray(y * 32 + x) * dctQ(u * 32 + x); x += 1 }
+        rowPass(u * 32 + y) = acc
+        y += 1
+      }
+      u += 1
+    }
+    val f = new Array[Long](64)
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0L; var y = 0
+        while (y < 32) { acc += rowPass(u * 32 + y) * dctQ(v * 32 + y); y += 1 }
+        f(u * 8 + v) = acc
+        v += 1
+      }
+      u += 1
+    }
+    val med = f.sorted.apply(31)
+    var hi = 0L; var lo = 0L; var nSet = 0L; var i = 0
+    while (i < 64) {
+      if (f(i) > med) {
+        nSet += 1
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    PHashMeta(hi, lo, nSet, f(0), valid = true)
+  }
+
+  private val pHashUdf = udf(pHash32 _)
+
+  /** DCT perceptual-hash column from a binary 32×32 BMP column. */
+  def imagePHash(content: Column): Column = pHashUdf(content)
 
   /** 64-bit energy-envelope fingerprint over 16-bit mono PCM WAV
     * bytes — the audio counterpart of [[averageHash]]: the clip is

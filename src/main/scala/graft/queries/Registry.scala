@@ -44,7 +44,8 @@ object Registry {
       QueriesRound6v.defs ++
       QueriesRound7.defs ++
       QueriesRound7b.defs ++
-      QueriesRound7c.defs
+      QueriesRound7c.defs ++
+      QueriesRound7d.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
