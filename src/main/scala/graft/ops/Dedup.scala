@@ -413,6 +413,55 @@ object Dedup {
         md5(coalesce(col("__clean"), lit(""))).as("clean_md5"))
   }
 
+  /** INTRA-document repeated-segment removal — the self-repetition
+    * scrub next to [[segmentDedup]]'s corpus-wide strike: on the same
+    * `segTokens` grid, every occurrence of a segment AFTER its first
+    * within the SAME document is dropped and the remainder reassembled
+    * in order (the "page repeats its own boilerplate N times"
+    * degeneracy that Gopher's duplicate-n-gram fraction (q175) flags
+    * but does not fix). No corpus-wide frequency pass at all: the
+    * keep/drop decision is a per-(doc, fingerprint) min-position
+    * window — partitioned, never global — so the operator is one
+    * doc-keyed shuffle end to end and scales with the corpus
+    * trivially. Reassembly buffers one doc's kept segments, bounded by
+    * the doc's own length. Output mirrors [[segmentDedup]]:
+    * (id, n_segs, n_kept, n_dropped, clean_md5). */
+  def intraDocSegmentDedup(df: DataFrame, idCol: String, textCol: String,
+                           segTokens: Int): DataFrame = {
+    require(segTokens > 0, s"need positive segTokens, got $segTokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol), col("__fp"))
+    val segs = df
+      .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+      .repartition(col(idCol))
+      .select(col(idCol),
+        explode(when(size(col("__toks")) > 0,
+            sequence(lit(1), size(col("__toks")), lit(segTokens)))
+          .otherwise(array().cast("array<int>"))).as("__s"),
+        col("__toks"))
+      .select(col(idCol), col("__s"),
+        array_join(slice(col("__toks"), col("__s"), lit(segTokens)), " ")
+          .as("__seg"))
+      .withColumn("__fp", md5(col("__seg")))
+      .withColumn("__first", min(col("__s")).over(w))
+    val kept = segs.where(col("__s") === col("__first"))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+            array_sort(collect_list(struct(col("__s"), col("__seg")))),
+            x => x.getField("__seg")), " ").as("__clean"))
+    val totals = segs.groupBy(col(idCol)).agg(count(lit(1)).as("n_segs"))
+    df.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("n_segs"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped"),
+        md5(coalesce(col("__clean"), lit(""))).as("clean_md5"))
+  }
+
   /** CONTENT-DEFINED chunking + cross-doc chunk-share audit — the
     * storage-dedup primitive (CDC) at token granularity: a token opens
     * a new chunk iff its md5-derived 32-bit value ≡ 0 (mod

@@ -45,7 +45,8 @@ object Registry {
       QueriesRound7.defs ++
       QueriesRound7b.defs ++
       QueriesRound7c.defs ++
-      QueriesRound7d.defs
+      QueriesRound7d.defs ++
+      QueriesRound7e.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
