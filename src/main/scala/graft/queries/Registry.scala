@@ -46,7 +46,8 @@ object Registry {
       QueriesRound7b.defs ++
       QueriesRound7c.defs ++
       QueriesRound7d.defs ++
-      QueriesRound7e.defs
+      QueriesRound7e.defs ++
+      QueriesRound7f.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
