@@ -47,7 +47,8 @@ object Registry {
       QueriesRound7c.defs ++
       QueriesRound7d.defs ++
       QueriesRound7e.defs ++
-      QueriesRound7f.defs
+      QueriesRound7f.defs ++
+      QueriesRound7g.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
