@@ -48,7 +48,8 @@ object Registry {
       QueriesRound7d.defs ++
       QueriesRound7e.defs ++
       QueriesRound7f.defs ++
-      QueriesRound7g.defs
+      QueriesRound7g.defs ++
+      QueriesRound7h.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
