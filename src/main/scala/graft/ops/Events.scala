@@ -102,6 +102,70 @@ object Events {
     unpacked.where(col("__is_left") === 1).drop("__k", "__t", "__is_left", "__p")
   }
 
+  /** Nearest-VALUE join within a key: each left row picks the right
+    * row whose numeric value is closest (ties → the lower value; at
+    * distance 0 the equal value). The 1-D nearest-neighbor join — the
+    * numeric sibling of [[asofJoin]], built from the same union +
+    * running-carry sweep run in BOTH directions: one key shuffle, two
+    * in-partition sorts, no range explosion and no per-row probe —
+    * O((|L|+|R|) log) per key where a theta-join blows up quadratic.
+    * Right side must be unique per (key, value); callers dedupe first
+    * (the asofJoin contract). Returns left columns + payload +
+    * `nearest_dist` (null when the key has no right rows). */
+  def nearestValueJoin(left: DataFrame, leftKey: String, leftVal: String,
+                       right: DataFrame, rightKey: String, rightVal: String,
+                       payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val structType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__rv",
+        right.schema(rightVal).dataType, nullable = true) +:
+      payloadCols.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType, nullable = true)))
+    val payloadStruct = struct(col(rightVal).as("__rv") +:
+      payloadCols.map(col): _*)
+    val l = left
+      .withColumn("__v", col(leftVal))
+      .withColumn("__is_left", lit(1))
+      .withColumn("__k", col(leftKey))
+      .select(Seq(col("__k"), col("__v"), col("__is_left")) ++
+        leftCols.map(col) :+ lit(null).cast(structType).as("__p"): _*)
+    val r = right
+      .withColumn("__v", col(rightVal))
+      .withColumn("__is_left", lit(0))
+      .withColumn("__k", col(rightKey))
+      .select(Seq(col("__k"), col("__v"), col("__is_left")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        payloadStruct.as("__p"): _*)
+    // at equal values the right row sorts first in BOTH directions, so
+    // an exact-match right row is visible to its left row either way
+    val wUp = Window.partitionBy(col("__k"))
+      .orderBy(col("__v").asc, col("__is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDown = Window.partitionBy(col("__k"))
+      .orderBy(col("__v").desc, col("__is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r)
+      .withColumn("__prev", last(col("__p"), ignoreNulls = true).over(wUp))
+      .withColumn("__next", last(col("__p"), ignoreNulls = true).over(wDown))
+    val dPrev = col("__v") - col("__prev").getField("__rv")
+    val dNext = col("__next").getField("__rv") - col("__v")
+    // equal distances pick the LOWER value (the prev side, since
+    // prev ≤ v ≤ next) — a pinned total order both engines replay
+    val pick = when(col("__prev").isNull, col("__next"))
+      .when(col("__next").isNull, col("__prev"))
+      .when(dPrev <= dNext, col("__prev"))
+      .otherwise(col("__next"))
+    val unpacked = payloadCols.foldLeft(
+      carried.withColumn("__pick", pick)) { (df, c) =>
+      df.withColumn(c, col("__pick").getField(c))
+    }
+    unpacked
+      .withColumn("nearest_dist",
+        abs(col("__v") - col("__pick").getField("__rv")))
+      .where(col("__is_left") === 1)
+      .drop("__k", "__v", "__is_left", "__p", "__prev", "__next", "__pick")
+  }
+
   /** JSON property extraction from a string column (events.props). */
   def jsonInt(c: Column, path: String): Column =
     get_json_object(c, path).cast("bigint")

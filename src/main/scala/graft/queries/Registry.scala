@@ -49,7 +49,8 @@ object Registry {
       QueriesRound7e.defs ++
       QueriesRound7f.defs ++
       QueriesRound7g.defs ++
-      QueriesRound7h.defs
+      QueriesRound7h.defs ++
+      QueriesRound7i.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
