@@ -50,7 +50,8 @@ object Registry {
       QueriesRound7f.defs ++
       QueriesRound7g.defs ++
       QueriesRound7h.defs ++
-      QueriesRound7i.defs
+      QueriesRound7i.defs ++
+      QueriesRound7j.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
