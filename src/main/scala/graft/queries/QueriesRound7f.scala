@@ -159,17 +159,18 @@ object QueriesRound7f {
         |    THEN 1 ELSE 0 END AS BIGINT) AS quota
         |FROM r ORDER BY lang, source""".stripMargin)),
 
-    // ---- q311: 2-D Pareto frontier (non-dominated curation picks) ------
+    // ---- q311: 2-D Pareto frontier (distinct-x collapse algorithm) -----
     // "Keep documents no other document beats on BOTH length and
     // vocabulary": doc u dominates v iff s1_u ≥ s1_v, s2_u ≥ s2_v,
-    // strict somewhere. The skyline computes WITHOUT any pairwise
-    // join: collapse to per-s1 groups (max s2 + a count), one
-    // prefix-max window over the DISTINCT-s1 frame (domain-bounded —
-    // distinct lengths, not docs), then a doc survives iff its s2
-    // equals its group max AND strictly exceeds every greater-s1
-    // group's max. The ORACLE is the quadratic NOT EXISTS — a
-    // genuinely independent computation path, not a mirror of the
-    // window algebra.
+    // strict somewhere. DELIBERATELY a second, structurally different
+    // skyline next to q203's grid-pruned Relational.paretoFrontier:
+    // collapse to per-s1 groups (max s2), one prefix-max window over
+    // the DISTINCT-s1 frame (domain-bounded — distinct lengths, not
+    // docs), then a doc survives iff its s2 equals its group max AND
+    // strictly exceeds every greater-s1 group's max. Three paths now
+    // pin the operator against each other: this window algebra, the
+    // grid-pruned helper (Round7fSpec cross-pin), and the quadratic
+    // NOT-EXISTS oracle below — none of them a mirror of another.
     QueryDef("q311_pareto_frontier",
       (s, d) => {
         val scored = documents(s, d).select(col("doc_id"),

@@ -21,6 +21,18 @@ class Round7fSpec extends SparkSpec {
       .fn(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got.nonEmpty && got == want)
+    // cross-pin: the distinct-x collapse algorithm agrees with the
+    // grid-pruned skyline helper (q203's path) on the same dims —
+    // three independent computations of one operator
+    val viaHelper = graft.ops.Relational.paretoFrontier(
+        Tables.documents(spark, sf).select(col("doc_id"),
+          col("n_chars").as("s1"),
+          size(array_distinct(graft.ops.Text.tokens(col("text"))))
+            .cast("long").as("s2")),
+        "s1", "s2", Seq("doc_id"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(viaHelper == want)
   }
 
   test("property: q309 TWAP equals a driver brute force") {
