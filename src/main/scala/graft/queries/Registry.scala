@@ -51,7 +51,9 @@ object Registry {
       QueriesRound7g.defs ++
       QueriesRound7h.defs ++
       QueriesRound7i.defs ++
-      QueriesRound7j.defs
+      QueriesRound7j.defs ++
+      QueriesRound7k.defs ++
+      QueriesRound7l.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
