@@ -53,7 +53,8 @@ object Registry {
       QueriesRound7i.defs ++
       QueriesRound7j.defs ++
       QueriesRound7k.defs ++
-      QueriesRound7l.defs
+      QueriesRound7l.defs ++
+      QueriesRound7m.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
