@@ -54,7 +54,8 @@ object Registry {
       QueriesRound7j.defs ++
       QueriesRound7k.defs ++
       QueriesRound7l.defs ++
-      QueriesRound7m.defs
+      QueriesRound7m.defs ++
+      QueriesRound7n.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -405,4 +405,45 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hash") && p.contains("agg"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("q327: Gini ranks the key-count frame through __g-partitioned windows only") {
+    // twoLevelRankDesc: every window touching the per-key count frame
+    // is partitioned by the coarse bucket — a regression to a global
+    // rank of the key space would drop the __g spec
+    val p = planOf("q327_key_skew_gini")
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    val overCnt = winLines.filter(_.contains("cnt"))
+    assert(overCnt.nonEmpty && overCnt.forall(_.contains("__g")),
+      winLines.mkString("\n"))
+  }
+
+  test("q333: priority sample plans TakeOrderedAndProject, not a global sort") {
+    val p = planOf("q333_priority_sampling")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("q335: Boolean retrieval is equi/anti joins on doc, never a cartesian") {
+    val p = planOf("q335_boolean_retrieval")
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("q340: Bloom skipping probes the position tables with hash joins only") {
+    val p = planOf("q340_bloom_file_skip")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("q342/q343: value-domain cums ride __g-partitioned windows, never a global value window") {
+    val p1 = planOf("q342_equal_freq_binning")
+    val w1 = p1.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(w1.nonEmpty && w1.filter(_.contains("v#")).forall(_.contains("__g")),
+      w1.mkString("\n"))
+    val p2 = planOf("q343_quantile_normalization")
+    val w2 = p2.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    val overCk = w2.filter(_.contains("__ck"))
+    assert(overCk.nonEmpty && overCk.forall(_.contains("__g")),
+      w2.mkString("\n"))
+  }
 }
