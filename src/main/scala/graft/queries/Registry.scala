@@ -55,7 +55,8 @@ object Registry {
       QueriesRound7k.defs ++
       QueriesRound7l.defs ++
       QueriesRound7m.defs ++
-      QueriesRound7n.defs
+      QueriesRound7n.defs ++
+      QueriesRound7o.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
