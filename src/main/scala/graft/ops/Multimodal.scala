@@ -448,6 +448,58 @@ object Multimodal {
   /** DCT perceptual-hash column from a binary 32×32 BMP column. */
   def imagePHash(content: Column): Column = pHashUdf(content)
 
+  case class PatchStat(patch_id: Long, psum: Long, psumsq: Long)
+
+  /** ViT-style patchify over a 32×32 24-bit BMP: the image splits
+    * into 16 non-overlapping 8×8 patches (patch_id = (y div 8)·4 +
+    * x div 8, row-major), each reduced to exact integer Σgray and
+    * Σgray² (gray = r+g+b, 0..765 — the [[pHash32]] convention and
+    * byte walk, bottom-up rows and stride padding included). The
+    * per-patch stats are the schema a downstream patch-embedding
+    * model consumes; means/variances derive exactly from the two
+    * sums. Invalid/non-32×32 input returns an empty array —
+    * errors-as-data, never an exception in the executor. */
+  def patchStats32(bytes: Array[Byte]): Seq[PatchStat] = {
+    def le32(o: Int): Int =
+      (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+        ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    if (bytes == null || bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M')
+      return Seq.empty
+    val pixOff = le32(10)
+    val width = le32(18)
+    val rawH = le32(22)
+    val height = math.abs(rawH)
+    val bpp = (bytes(28) & 0xff) | ((bytes(29) & 0xff) << 8)
+    if (bpp != 24 || width != 32 || height != 32) return Seq.empty
+    val stride = (width * 3 + 3) / 4 * 4
+    if (pixOff < 0 || pixOff.toLong + stride.toLong * height > bytes.length)
+      return Seq.empty
+    val sums = new Array[Long](16)
+    val sqs = new Array[Long](16)
+    var row = 0
+    while (row < 32) {
+      val srcRow = if (rawH > 0) 31 - row else row
+      val base = pixOff + srcRow * stride
+      var colI = 0
+      while (colI < 32) {
+        val o = base + colI * 3
+        val g = (bytes(o) & 0xff).toLong + (bytes(o + 1) & 0xff) +
+          (bytes(o + 2) & 0xff)
+        val p = (row / 8) * 4 + colI / 8
+        sums(p) += g
+        sqs(p) += g * g
+        colI += 1
+      }
+      row += 1
+    }
+    (0 until 16).map(p => PatchStat(p.toLong, sums(p), sqs(p)))
+  }
+
+  private val patchStatsUdf = udf(patchStats32 _)
+
+  /** Patch-stat array column from a binary 32×32 BMP column. */
+  def imagePatchStats(content: Column): Column = patchStatsUdf(content)
+
   /** 64-bit energy-envelope fingerprint over 16-bit mono PCM WAV
     * bytes — the audio counterpart of [[averageHash]]: the clip is
     * cut into 64 equal windows (frame count must divide evenly),

@@ -56,7 +56,8 @@ object Registry {
       QueriesRound7l.defs ++
       QueriesRound7m.defs ++
       QueriesRound7n.defs ++
-      QueriesRound7o.defs
+      QueriesRound7o.defs ++
+      QueriesRound7p.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
