@@ -57,7 +57,8 @@ object Registry {
       QueriesRound7m.defs ++
       QueriesRound7n.defs ++
       QueriesRound7o.defs ++
-      QueriesRound7p.defs
+      QueriesRound7p.defs ++
+      QueriesRound7q.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
