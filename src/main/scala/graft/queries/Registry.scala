@@ -58,7 +58,8 @@ object Registry {
       QueriesRound7n.defs ++
       QueriesRound7o.defs ++
       QueriesRound7p.defs ++
-      QueriesRound7q.defs
+      QueriesRound7q.defs ++
+      QueriesRound7r.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
