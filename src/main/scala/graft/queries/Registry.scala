@@ -59,7 +59,8 @@ object Registry {
       QueriesRound7o.defs ++
       QueriesRound7p.defs ++
       QueriesRound7q.defs ++
-      QueriesRound7r.defs
+      QueriesRound7r.defs ++
+      QueriesRound7s.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
