@@ -60,7 +60,8 @@ object Registry {
       QueriesRound7p.defs ++
       QueriesRound7q.defs ++
       QueriesRound7r.defs ++
-      QueriesRound7s.defs
+      QueriesRound7s.defs ++
+      QueriesRound7t.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
