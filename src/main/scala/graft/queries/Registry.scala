@@ -61,7 +61,9 @@ object Registry {
       QueriesRound7q.defs ++
       QueriesRound7r.defs ++
       QueriesRound7s.defs ++
-      QueriesRound7t.defs
+      QueriesRound7t.defs ++
+      QueriesRound7u.defs ++
+      QueriesRound7v.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
