@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Trained-classifier operators. Everything scores in EXACT integer
+  * surprisal bits (the q336 discipline — bitlength of the smoothed
+  * inverse probability), so results are bit-identical on any engine
+  * and any partitioning: no float log ever runs.
+  */
+object Classify {
+
+  /** Multinomial Naive Bayes over hashed token buckets: train on the
+    * `trainPct` hash split of `docs` (columns: id, label, text), apply
+    * to the held-out rest, return the confusion matrix
+    * (true_label, pred_label, n_docs).
+    *
+    * Scale shape: one token shuffle for the per-(label, bucket)
+    * counts; the full labels×buckets grid (zero-count buckets must
+    * score via add-one smoothing) and the prior frame broadcast —
+    * both O(labels·buckets), never data-sized. Prediction is one
+    * hash-agg over (doc, candidate) partial scores; argmin uses a
+    * numeric composite key (bits·maxLabels + label rank — the q363
+    * engine-portable discipline, no struct-ordering reliance).
+    * Tokenless docs can't be scored and are out of scope.
+    *
+    * Statistical contract (pinned in Round7wSpec): with
+    * class-specific vocabulary the matrix goes diagonal; with
+    * features independent of the label it collapses to the train
+    * prior's argmax — both are the CORRECT NB outcome, not artifacts.
+    */
+  def naiveBayesConfusion(docs: DataFrame, idCol: String, labelCol: String,
+                          textCol: String, trainPct: Int = 75,
+                          buckets: Int = 64,
+                          maxLabels: Int = 8): DataFrame = {
+    val s = docs.sparkSession
+    val split = Sampling.hashSplit(
+        docs.select(col(idCol).as("id"), col(labelCol).as("label"),
+          col(textCol).as("text")), "id", trainPct, 0)
+    val toks = split.select(col("id"), col("label"), col("split"),
+        explode(Text.tokens(col("text"))).as("tok"))
+      .withColumn("b", Sampling.hashLong(col("tok")) % buckets)
+    val train = toks.where(col("split") === "train")
+    val labelIdx = broadcast(train.select("label").distinct()
+      .withColumn("idx",
+        row_number().over(Window.orderBy("label")).cast("long")))
+    val counts = train.groupBy(col("label").as("clabel"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val totals = train.groupBy(col("label").as("clabel"))
+      .agg(count(lit(1)).as("t"))
+    val grid = broadcast(labelIdx.select(col("label").as("clabel"))
+      .crossJoin(s.range(buckets).select(col("id").as("b")))
+      .join(totals, Seq("clabel"))
+      .join(counts, Seq("clabel", "b"), "left")
+      .select(col("clabel"), col("b"),
+        (length(bin(expr(s"(t + $buckets) div (coalesce(c, 0) + 1)"))) - 1)
+          .cast("long").as("bits")))
+    val prior = broadcast(split.where(col("split") === "train")
+      .groupBy(col("label").as("clabel")).agg(count(lit(1)).as("dl"))
+      .crossJoin(split.where(col("split") === "train")
+        .agg(count(lit(1)).as("dt")))
+      .select(col("clabel"),
+        (length(bin(expr("dt div dl"))) - 1).cast("long").as("pbits")))
+    toks.where(col("split") === "test")
+      .join(grid, Seq("b"))
+      .groupBy(col("id"), col("label"), col("clabel"))
+      .agg(sum("bits").as("tb"))
+      .join(prior, Seq("clabel"))
+      .join(labelIdx.select(col("label").as("clabel"), col("idx")),
+        Seq("clabel"))
+      .groupBy("id", "label")
+      .agg(min((col("tb") + col("pbits")) * maxLabels + col("idx")).as("mk"))
+      .select(col("id"), col("label"), (col("mk") % maxLabels).as("idx"))
+      .join(labelIdx.select(col("label").as("pred_label"), col("idx")),
+        Seq("idx"))
+      .groupBy("label", "pred_label").agg(count(lit(1)).as("n_docs"))
+      .select(col("label").as("true_label"), col("pred_label"),
+        col("n_docs"))
+  }
+}

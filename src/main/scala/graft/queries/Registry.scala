@@ -63,7 +63,8 @@ object Registry {
       QueriesRound7s.defs ++
       QueriesRound7t.defs ++
       QueriesRound7u.defs ++
-      QueriesRound7v.defs
+      QueriesRound7v.defs ++
+      QueriesRound7w.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
