@@ -64,7 +64,8 @@ object Registry {
       QueriesRound7t.defs ++
       QueriesRound7u.defs ++
       QueriesRound7v.defs ++
-      QueriesRound7w.defs
+      QueriesRound7w.defs ++
+      QueriesRound7x.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
