@@ -25,6 +25,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_fold_accents"),
       new ExpressionInfo(classOf[UnicodeStripAccents].getName, "graft_fold_accents"),
       (args: Seq[Expression]) => UnicodeStripAccents(args.head)),
+    (FunctionIdentifier("graft_lcs"),
+      new ExpressionInfo(classOf[LcsLength].getName, "graft_lcs"),
+      (args: Seq[Expression]) => LcsLength(args(0), args(1))),
     (FunctionIdentifier("graft_kmv_distinct"),
       new ExpressionInfo(classOf[KmvDistinct].getName, "graft_kmv_distinct"),
       (args: Seq[Expression]) => KmvDistinct(args.head,
@@ -49,6 +52,10 @@ object GraftFunctions {
   /** Column-level accent fold (NFD + strip combining marks) backed by
     * the codegen'd expression; register the functions first. */
   def foldAccents(c: Column): Column = call_function("graft_fold_accents", c)
+
+  /** Column-level LCS length over two token arrays backed by the
+    * codegen'd expression; register the functions first. */
+  def lcsNative(a: Column, b: Column): Column = call_function("graft_lcs", a, b)
 }
 
 /** SparkSessionExtensions hook: enables

@@ -221,5 +221,74 @@ object QueriesRound7x {
         |vm AS (SELECT DISTINCT tok, ($h) AS id FROM tk)
         |SELECT tok, r AS rank_micro FROM r3 JOIN vm USING (id)
         |ORDER BY rank_micro DESC, tok LIMIT 20""".stripMargin
-      }))
+      }),
+
+    // ---- q382: ROUGE-L pairwise similarity via a codegen LCS ------------
+    // The eval-metric staple (Lin 2004) the engine could not express
+    // before: longest-common-subsequence F1 between candidate doc
+    // pairs. LCS is inherently O(n·m) DP — no SQL form — so it runs
+    // as the new `graft_lcs` codegen Expression (a tight two-rolling-
+    // rows Java loop inside whole-stage codegen; `functions/
+    // SequenceExpressions.scala`), with both token arrays capped at 32
+    // so the per-pair cost is a constant and the candidate count is
+    // the only scale knob. Pairs = each doc against the next doc_id in
+    // its (source, lang) group (a deterministic candidate set; swap in
+    // LSH pairs at scale). F1 = 2·lcs/(la+lb) exactly in ppm. The
+    // DuckDB oracle replays the SAME DP as a recursive CTE carrying
+    // the rolling row as a LIST, using cur[j] = max(prev[j+1],
+    // running-max of match bonuses) — an identity of the LCS
+    // recurrence (prev rows are nondecreasing), so the whole DP is
+    // hash-verified cell-free. Driver DP replay pinned in Round7xSpec.
+    QueryDef("q382_rouge_l",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val base = documents(s, d).select(col("doc_id"), col("source"),
+          col("lang"), slice(Text.tokens(col("text")), 1, 32).as("t"))
+        val w = Window.partitionBy("source", "lang").orderBy("doc_id")
+        val pairs = base
+          .withColumn("nxt", lead("doc_id", 1).over(w))
+          .join(base.select(col("doc_id").as("nxt"), col("t").as("tb")),
+            Seq("nxt"))
+          .where(size(col("t")) > 0 && size(col("tb")) > 0)
+        pairs
+          .select(col("source"),
+            graft.functions.GraftFunctions.lcsNative(col("t"), col("tb"))
+              .as("lcs"),
+            (size(col("t")) + size(col("tb"))).cast("long").as("lab"))
+          .select(col("source"),
+            expr("(2 * lcs * 1000000) div lab").as("f1"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_pairs"),
+            expr("sum(f1) div count(1)").as("mean_f1_ppm"),
+            max("f1").as("max_f1_ppm"))
+          .orderBy("source")
+      },
+      Some(s"""WITH RECURSIVE
+        |b0 AS (SELECT doc_id, source, lang, toks[1:32] AS t
+        |  FROM (SELECT doc_id, source, lang,
+        |    ${DuckSql.toks("text")} AS toks FROM documents)),
+        |pr AS (SELECT a.doc_id AS pid, a.source, a.t AS ta, b.t AS tb
+        |  FROM (SELECT *, lead(doc_id) OVER (PARTITION BY source, lang
+        |      ORDER BY doc_id) AS nxt FROM b0) a
+        |  JOIN b0 b ON b.doc_id = a.nxt
+        |  WHERE len(a.t) > 0 AND len(b.t) > 0),
+        |dp AS (
+        |  SELECT pid, source, ta, tb, 0 AS i,
+        |    list_transform(generate_series(0, len(tb)), x -> 0) AS r
+        |  FROM pr
+        |  UNION ALL
+        |  SELECT pid, source, ta, tb, i + 1,
+        |    list_prepend(0, list_transform(generate_series(1, len(tb)),
+        |      j -> greatest(r[j + 1],
+        |        coalesce(list_max(list_transform(generate_series(1, j),
+        |          k -> CASE WHEN ta[i + 1] = tb[k] THEN r[k] + 1
+        |            ELSE 0 END)), 0))))
+        |  FROM dp WHERE i < len(ta)),
+        |res AS (SELECT pid, source,
+        |    (2 * r[len(tb) + 1] * 1000000) // (len(ta) + len(tb)) AS f1
+        |  FROM dp WHERE i = len(ta))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(f1) // count(*) AS BIGINT) AS mean_f1_ppm,
+        |  CAST(max(f1) AS BIGINT) AS max_f1_ppm
+        |FROM res GROUP BY 1 ORDER BY 1""".stripMargin)))
 }

@@ -81,6 +81,75 @@ class Round7xSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("property: graft_lcs equals the classic LCS DP on randomized token arrays") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    def classicLcs(a: Vector[String], b: Vector[String]): Long = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) =
+          if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+          else math.max(dp(i - 1)(j), dp(i)(j - 1))
+      dp(a.length)(b.length).toLong
+    }
+    // deterministic pseudo-random cases over a small alphabet (dense
+    // matches stress the DP), plus the degenerate shapes
+    val rnd = new scala.util.Random(4242)
+    val cases = Seq(
+      (Vector.empty[String], Vector("a", "b")),
+      (Vector("a"), Vector.empty[String]),
+      (Vector("a", "b", "c"), Vector("a", "b", "c")),
+      (Vector("a", "b", "c", "b", "d", "a", "b"),
+        Vector("b", "d", "c", "a", "b", "a"))) ++
+      (1 to 40).map { _ =>
+        def arr = Vector.fill(1 + rnd.nextInt(40))(
+          ("t" + rnd.nextInt(5)))
+        (arr, arr)
+      }
+    val got = cases.toDF("a", "b")
+      .select(graft.functions.GraftFunctions
+        .lcsNative(col("a"), col("b")).as("l"))
+      .collect().map(_.getLong(0))
+    cases.zip(got).foreach { case ((a, b), l) =>
+      assert(l == classicLcs(a, b), s"a=$a b=$b") }
+  }
+
+  test("plan: q382 runs the native LCS expression, not a UDF") {
+    val df = graft.queries.Registry.byName("q382_rouge_l").fn(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_lcs"), p.take(1500))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), "UDF in plan")
+    // driver replay of the full metric at sf0.001
+    val base = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("lang"),
+        slice(graft.ops.Text.tokens(col("text")), 1, 32).as("t"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getSeq[String](3).toVector))
+    def classicLcs(a: Vector[String], b: Vector[String]): Long = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) =
+          if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+          else math.max(dp(i - 1)(j), dp(i)(j - 1))
+      dp(a.length)(b.length).toLong
+    }
+    val pairF1: Seq[(String, Long)] = base.groupBy(d => (d._2, d._3))
+      .toSeq.flatMap { case (_, ds) =>
+        ds.toSeq.sortBy(_._1).sliding(2).toSeq.collect {
+          case Seq((_, src, _, ta), (_, _, _, tb))
+              if ta.nonEmpty && tb.nonEmpty =>
+            (src, 2L * classicLcs(ta, tb) * 1000000L / (ta.length + tb.length))
+        }
+      }
+    val want = pairF1.groupBy(_._1).map { case (src, fs) =>
+      src -> ((fs.size.toLong, fs.map(_._2).sum / fs.size, fs.map(_._2).max))
+    }
+    val got = df.collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want && got.nonEmpty)
+  }
+
   test("property: q381 TextRank equals a pure-Scala integer PageRank replay") {
     val docs = Tables.documents(spark, sf)
       .select(graft.ops.Text.tokens(col("text")).as("t"))
