@@ -65,7 +65,8 @@ object Registry {
       QueriesRound7u.defs ++
       QueriesRound7v.defs ++
       QueriesRound7w.defs ++
-      QueriesRound7x.defs
+      QueriesRound7x.defs ++
+      QueriesRound7y.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
