@@ -66,7 +66,8 @@ object Registry {
       QueriesRound7v.defs ++
       QueriesRound7w.defs ++
       QueriesRound7x.defs ++
-      QueriesRound7y.defs
+      QueriesRound7y.defs ++
+      QueriesRound7z.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
