@@ -67,7 +67,8 @@ object Registry {
       QueriesRound7w.defs ++
       QueriesRound7x.defs ++
       QueriesRound7y.defs ++
-      QueriesRound7z.defs
+      QueriesRound7z.defs ++
+      QueriesRound7aa.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
