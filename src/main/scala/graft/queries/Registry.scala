@@ -68,7 +68,8 @@ object Registry {
       QueriesRound7x.defs ++
       QueriesRound7y.defs ++
       QueriesRound7z.defs ++
-      QueriesRound7aa.defs
+      QueriesRound7aa.defs ++
+      QueriesRound7ab.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
