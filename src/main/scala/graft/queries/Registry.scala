@@ -69,7 +69,8 @@ object Registry {
       QueriesRound7y.defs ++
       QueriesRound7z.defs ++
       QueriesRound7aa.defs ++
-      QueriesRound7ab.defs
+      QueriesRound7ab.defs ++
+      QueriesRound7ac.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
