@@ -20,7 +20,7 @@ object QueriesRound7t {
     // per-user arrival order, backward steps counted, the worst skew
     // kept. The generator's clock is perfectly ordered, so skew is
     // PLANTED the deterministic way: every 7th event's clock reads an
-    // md5-derived amount up to ~55 h early — per-user inter-event
+    // md5-derived amount early by its 32-bit md5 value in microseconds (at most ~72 min) — per-user inter-event
     // gaps are hours at this corpus density, so the jitter must be
     // able to cross them; both engines perturb identically. The
     // max-skew distribution is exactly what bounds a watermark's

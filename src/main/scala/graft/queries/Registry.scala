@@ -70,7 +70,8 @@ object Registry {
       QueriesRound7z.defs ++
       QueriesRound7aa.defs ++
       QueriesRound7ab.defs ++
-      QueriesRound7ac.defs
+      QueriesRound7ac.defs ++
+      QueriesRound7ad.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
