@@ -71,7 +71,8 @@ object Registry {
       QueriesRound7aa.defs ++
       QueriesRound7ab.defs ++
       QueriesRound7ac.defs ++
-      QueriesRound7ad.defs
+      QueriesRound7ad.defs ++
+      QueriesRound7ae.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
