@@ -72,7 +72,8 @@ object Registry {
       QueriesRound7ab.defs ++
       QueriesRound7ac.defs ++
       QueriesRound7ad.defs ++
-      QueriesRound7ae.defs
+      QueriesRound7ae.defs ++
+      QueriesRound7af.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
