@@ -87,11 +87,19 @@ object QueriesRound7af {
     // discipline), prediction = 16-bit SimHash Hamming distance ≤ r.
     // ONE pair pass computes both the exact Jaccard and the Hamming
     // distance; the five radius rows are conditional sums over it.
-    // The curve says which radius buys which recall at which
-    // precision — the number you set before a web-scale near-dup run.
+    // The whole evaluation runs on a deterministic md5 QUARTER-sample
+    // of docs — within-block pair counts grow quadratically with the
+    // corpus, so at scale the curve is measured on a sample, never on
+    // everything (the q272 measured-error discipline; the sample is a
+    // pure function of doc_id, so the artifact is reproducible). The
+    // curve says which radius buys which recall at which precision —
+    // the number you set before a web-scale near-dup run.
     QueryDef("q405_simhash_radius_curve",
       (s, d) => {
-        val docs = documents(s, d).select(col("doc_id"), col("lang"),
+        val docs = documents(s, d)
+          .where(Sampling.hashLong(concat(col("doc_id").cast("string"),
+            lit("#sv"))) % 4 === 0)
+          .select(col("doc_id"), col("lang"),
             expr("n_chars div 100").as("lb"),
             array_distinct(Text.tokens(col("text"))).as("ts"),
             Dedup.simhash16(Text.tokens(col("text"))).as("sh"))
@@ -127,9 +135,10 @@ object QueriesRound7af {
       },
       Some {
         val sh = DuckSql.simhash16(DuckSql.toks("text"))
+        val hs = DuckSql.hashLong("CAST(doc_id AS VARCHAR) || '#sv'")
         s"""WITH dd AS (SELECT doc_id, lang, n_chars // 100 AS lb,
         |    list_distinct(${DuckSql.toks("text")}) AS ts,
-        |    ($sh) AS sh FROM documents),
+        |    ($sh) AS sh FROM documents WHERE ($hs) % 4 = 0),
         |pr AS (SELECT
         |    2 * len(list_intersect(a.ts, b.ts))
         |      >= len(list_distinct(list_concat(a.ts, b.ts))) AS dup,
