@@ -73,7 +73,8 @@ object Registry {
       QueriesRound7ac.defs ++
       QueriesRound7ad.defs ++
       QueriesRound7ae.defs ++
-      QueriesRound7af.defs
+      QueriesRound7af.defs ++
+      QueriesRound7ag.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
