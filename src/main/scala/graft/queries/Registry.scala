@@ -74,7 +74,8 @@ object Registry {
       QueriesRound7ad.defs ++
       QueriesRound7ae.defs ++
       QueriesRound7af.defs ++
-      QueriesRound7ag.defs
+      QueriesRound7ag.defs ++
+      QueriesRound7ah.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
