@@ -75,7 +75,8 @@ object Registry {
       QueriesRound7ae.defs ++
       QueriesRound7af.defs ++
       QueriesRound7ag.defs ++
-      QueriesRound7ah.defs
+      QueriesRound7ah.defs ++
+      QueriesRound7ai.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
