@@ -76,7 +76,8 @@ object Registry {
       QueriesRound7af.defs ++
       QueriesRound7ag.defs ++
       QueriesRound7ah.defs ++
-      QueriesRound7ai.defs
+      QueriesRound7ai.defs ++
+      QueriesRound7aj.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
