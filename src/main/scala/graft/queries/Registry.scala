@@ -77,7 +77,8 @@ object Registry {
       QueriesRound7ag.defs ++
       QueriesRound7ah.defs ++
       QueriesRound7ai.defs ++
-      QueriesRound7aj.defs
+      QueriesRound7aj.defs ++
+      QueriesRound7ak.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
