@@ -78,7 +78,8 @@ object Registry {
       QueriesRound7ah.defs ++
       QueriesRound7ai.defs ++
       QueriesRound7aj.defs ++
-      QueriesRound7ak.defs
+      QueriesRound7ak.defs ++
+      QueriesRound7al.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
