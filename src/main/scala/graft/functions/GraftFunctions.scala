@@ -28,6 +28,14 @@ object GraftFunctions {
     (FunctionIdentifier("graft_lcs"),
       new ExpressionInfo(classOf[LcsLength].getName, "graft_lcs"),
       (args: Seq[Expression]) => LcsLength(args(0), args(1))),
+    (FunctionIdentifier("graft_multi_contains"),
+      new ExpressionInfo(classOf[MultiPatternMatches].getName, "graft_multi_contains"),
+      (args: Seq[Expression]) => {
+        val arr = args(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        MultiPatternMatches(args(0),
+          (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString))
+      }),
     (FunctionIdentifier("graft_kmv_distinct"),
       new ExpressionInfo(classOf[KmvDistinct].getName, "graft_kmv_distinct"),
       (args: Seq[Expression]) => KmvDistinct(args.head,
@@ -56,6 +64,13 @@ object GraftFunctions {
   /** Column-level LCS length over two token arrays backed by the
     * codegen'd expression; register the functions first. */
   def lcsNative(a: Column, b: Column): Column = call_function("graft_lcs", a, b)
+
+  /** Sorted 1-based ids of the fixed patterns occurring in `text`,
+    * via the one-pass Aho–Corasick expression; register first. */
+  def multiContains(text: Column, patterns: Seq[String]): Column =
+    call_function("graft_multi_contains", text,
+      org.apache.spark.sql.functions.array(
+        patterns.map(org.apache.spark.sql.functions.lit): _*))
 }
 
 /** SparkSessionExtensions hook: enables

@@ -36,16 +36,31 @@ object QueriesRound7i {
           .where(col("id") % 499 === 0)
           .select(col("id").as("seed"), col("id"), lit(0L).as("dist"))
           .localCheckpoint()
+        // Frontier discipline (the boundedBfs frontierOnly shape, with
+        // a seed column): unit edge weights mean min-dist IS the
+        // first-discovery round, so each round expands ONLY nodes
+        // discovered last round and anti-joins the settled set —
+        // identical output to the full union-min fold the oracle
+        // replays, without re-expanding dist-0..k-1 rows every round.
+        var frontier = dist
         for (_ <- 1 to 3) {
-          val next = e.join(dist.withColumnRenamed("id", "src"), "src")
+          // broadcast the frontier (the boundedBfs default): the laid-
+          // out edge frame never re-shuffles, so each round's only
+          // exchange is the (seed,id) min-agg on the expansion
+          val fresh = e.join(broadcast(frontier.withColumnRenamed("id", "src")), "src")
             .select(col("seed"), col("dst").as("id"),
               (col("dist") + 1).as("dist"))
-          val old = dist
-          dist = dist.union(next)
             .groupBy("seed", "id").agg(min("dist").as("dist"))
+            .join(dist, Seq("seed", "id"), "left_anti")
             .localCheckpoint()
-          graft.ops.Checkpoints.free(old)
+          val oldDist = dist
+          val oldFrontier = frontier
+          dist = dist.union(fresh).localCheckpoint()
+          frontier = fresh
+          graft.ops.Checkpoints.free(oldDist)
+          if (!(oldFrontier eq oldDist)) graft.ops.Checkpoints.free(oldFrontier)
         }
+        graft.ops.Checkpoints.free(frontier)
         val out = dist.where(col("dist") > 0)
           .groupBy("seed")
           .agg(count(lit(1)).as("n_reached"),

@@ -193,21 +193,36 @@ object QueriesRound7o {
         val emb = embeddings(s, d).select(col("vec_id"),
           expr("transform(embedding, x ->" +
             " cast(round(x * 1000, 0) as bigint))").as("__q"))
+          .localCheckpoint() // quantize ONCE, scanned by all 7 rounds
         var chosen = emb.agg(min("vec_id").as("vec_id"))
           .select(col("vec_id"), lit(0L).as("pick"),
             lit(null).cast("long").as("sel_dist"))
           .localCheckpoint()
+        // Incremental farthest-point: carry each survivor's nearest-
+        // chosen distance and fold in ONLY the newest center per round
+        // (min over all chosen = min(carried, dist-to-newest)) — round
+        // r costs 1 center×corpus pass, not r, with identical integers
+        // to the full recompute the oracle replays.
+        var mind: org.apache.spark.sql.DataFrame = null
         for (r <- 1 to 7) {
-          val cv = broadcast(emb
-            .join(chosen.select("vec_id"), Seq("vec_id"))
-            .select(col("vec_id").as("__cid"), col("__q").as("__cq")))
-          val mind = emb
-            .join(chosen.select("vec_id"), Seq("vec_id"), "left_anti")
-            .crossJoin(cv)
+          val newest = broadcast(emb
+            .join(chosen.where(col("pick") === (r - 1).toLong)
+              .select("vec_id"), Seq("vec_id"))
+            .select(col("__q").as("__cq")))
+          val dNew = emb.crossJoin(newest)
             .select(col("vec_id"), expr("aggregate(zip_with(__q, __cq," +
               " (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)")
               .as("__d"))
-            .groupBy("vec_id").agg(min("__d").as("__mind"))
+          val merged = (if (mind == null) {
+            dNew.withColumnRenamed("__d", "__mind")
+          } else {
+            mind.join(dNew, Seq("vec_id"))
+              .select(col("vec_id"),
+                least(col("__mind"), col("__d")).as("__mind"))
+          }).join(chosen.select("vec_id"), Seq("vec_id"), "left_anti")
+            .localCheckpoint()
+          if (mind != null) graft.ops.Checkpoints.free(mind)
+          mind = merged
           val next = mind
             .agg(max(struct(col("__mind"), (-col("vec_id")).as("__nv")))
               .as("__f"))
@@ -217,6 +232,8 @@ object QueriesRound7o {
           chosen = chosen.unionByName(next).localCheckpoint()
           graft.ops.Checkpoints.free(old)
         }
+        graft.ops.Checkpoints.free(mind)
+        graft.ops.Checkpoints.free(emb)
         chosen.orderBy("pick")
       },
       Some {

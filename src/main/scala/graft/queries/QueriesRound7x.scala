@@ -180,10 +180,12 @@ object QueriesRound7x {
       (s, d) => {
         val tk = documents(s, d).select(col("doc_id"),
           posexplode(Text.tokens(col("text"))).as(Seq("p", "tok")))
+        // posexplode positions are dense 0..n-1, so the p+1 self-join
+        // is exactly lead(1) over (doc_id, p) — one shuffle, not two.
         val adj = tk
-          .join(tk.select(col("doc_id"), (col("p") - 1).as("p"),
-            col("tok").as("tok2")), Seq("doc_id", "p"))
-          .where(col("tok") =!= col("tok2"))
+          .withColumn("tok2", lead("tok", 1).over(
+            Window.partitionBy("doc_id").orderBy("p")))
+          .where(col("tok2").isNotNull && col("tok") =!= col("tok2"))
         val dir = adj.select(Sampling.hashLong(col("tok")).as("src"),
           Sampling.hashLong(col("tok2")).as("dst"))
         val ranks = Graph.pageRank(

@@ -79,7 +79,9 @@ object Registry {
       QueriesRound7ai.defs ++
       QueriesRound7aj.defs ++
       QueriesRound7ak.defs ++
-      QueriesRound7al.defs
+      QueriesRound7al.defs ++
+      QueriesRound7am.defs ++
+      QueriesRound7an.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
