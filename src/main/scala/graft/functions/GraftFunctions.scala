@@ -50,6 +50,14 @@ object GraftFunctions {
         registry.registerFunction(ident, info, builder)
       }
     }
+    // the blocklist-fusion optimizer rule (plans/FuseMultiContains);
+    // extraOptimizations is the post-hoc equivalent of
+    // injectOptimizerRule for sessions built without the conf
+    val extra = spark.experimental.extraOptimizations
+    if (!extra.contains(graft.plans.FuseMultiContains)) {
+      spark.experimental.extraOptimizations =
+        extra :+ graft.plans.FuseMultiContains
+    }
   }
 
   /** Column-level dot product backed by the codegen'd expression.
@@ -76,6 +84,8 @@ object GraftFunctions {
 /** SparkSessionExtensions hook: enables
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.FuseMultiContains)
+  }
 }

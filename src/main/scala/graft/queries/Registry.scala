@@ -81,7 +81,8 @@ object Registry {
       QueriesRound7ak.defs ++
       QueriesRound7al.defs ++
       QueriesRound7am.defs ++
-      QueriesRound7an.defs
+      QueriesRound7an.defs ++
+      QueriesRound7ao.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
