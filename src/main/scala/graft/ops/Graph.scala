@@ -802,4 +802,109 @@ object Graph {
     Checkpoints.free(e)
     out
   }
+
+  /** Borůvka minimum-spanning-forest over UNIQUE-keyed undirected
+    * edges, bounded rounds — the contraction-based graph primitive
+    * (the others here are propagation-based): each round every
+    * component selects its minimum-key incident edge, the selected
+    * edges join the forest, and the touched components CONTRACT into
+    * one. With a totally-ordered `key` (callers fold weight + src +
+    * dst into one BIGINT, so ties cannot exist) the forest is unique
+    * and every step is a min-fold — the whole run replays as chained
+    * CTEs (the q149/q319 oracle discipline).
+    *
+    * Contraction is a FIXED `labelIters` of min-label iterations over
+    * the per-round merge graph (a frame of O(components) edges, not
+    * O(E)) — fixed, not converge-early, so an engine replaying the
+    * same iteration count produces bit-identical intermediate labels
+    * even on a pathological merge chain that has not fully collapsed;
+    * an uncollapsed pair simply re-selects its connecting edge next
+    * round (the forest set dedups by key). Classic Borůvka converges
+    * in O(log V) rounds; `rounds` bounds the work honestly, like
+    * boundedBfs's hops.
+    *
+    * Scale posture: per round, two keyed joins attach component
+    * labels to the laid-out edge frame (the O(V) component frame is
+    * the small side — AQE broadcasts while it fits, the
+    * pageRank-style fallback being a shuffle join), one min-agg over
+    * 2·|cross-edges| rows, then `labelIters` folds over the
+    * O(components) merge frame. Superseded component frames free as
+    * each round materializes.
+    *
+    * Input `edges`: (src, dst, key) with src < dst canonical and key
+    * globally unique. Returns the selected edge keys.
+    */
+  def boruvkaMsf(edges: DataFrame, rounds: Int = 4,
+                 labelIters: Int = 4): DataFrame = {
+    require(rounds >= 1 && labelIters >= 1,
+      "boruvkaMsf needs at least one round and one label iteration")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("key").cast("long").as("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    var comp = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct().select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    var msf = e.sparkSession.emptyDataFrame
+    var msfInit = false
+    val roundFrames = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    // Result-preserving shortcuts the oracle need not mirror: the
+    // cross-edge frame stays LAZY — it is two broadcast joins of the
+    // O(V) component frame against the persisted edge blocks (narrow,
+    // no shuffle, no exchange), so re-deriving it per consumer is
+    // cheaper than materializing O(E) checkpoint blocks every round;
+    // and an empty selection means every later round selects nothing
+    // too, so the loop breaks.
+    var exhausted = false
+    for (_ <- 1 to rounds if !exhausted) {
+      val ec = e
+        .join(broadcast(comp.select(col("id").as("src"),
+          col("comp").as("__ca"))), "src")
+        .join(broadcast(comp.select(col("id").as("dst"),
+          col("comp").as("__cb"))), "dst")
+        .where(col("__ca") =!= col("__cb"))
+      // min incident edge per component, both endpoint roles
+      val sel = ec.select(col("__ca").as("__c"), col("key"))
+        .union(ec.select(col("__cb").as("__c"), col("key")))
+        .groupBy("__c").agg(min("key").as("key"))
+        .select("key").distinct()
+      val se = ec.join(sel, Seq("key"), "left_semi")
+        .select(col("key"), col("__ca"), col("__cb"))
+        .localCheckpoint()
+      if (se.count() == 0) {
+        Checkpoints.free(se)
+        exhausted = true
+      } else {
+        // se frames are O(components) — keep their blocks until `out`
+        // materializes (msf reads them), then free in one sweep
+        roundFrames += se
+        msf = if (msfInit) msf.union(se.select("key"))
+          else se.select("key")
+        msfInit = true
+        // contract: fixed-iteration min-label over the merge graph
+        val mer = se.select(col("__ca").as("a"), col("__cb").as("b"))
+          .union(se.select(col("__cb").as("a"), col("__ca").as("b")))
+        var lab = comp.select(col("comp").as("c")).distinct()
+          .select(col("c"), col("c").as("l"))
+        for (_ <- 1 to labelIters) {
+          lab = lab.select(col("c"), col("l"))
+            .union(mer.join(lab.select(col("c").as("b"), col("l")), "b")
+              .select(col("a").as("c"), col("l")))
+            .groupBy("c").agg(min("l").as("l"))
+        }
+        val oldComp = comp
+        comp = comp.join(lab.select(col("c").as("comp"), col("l")), "comp")
+          .select(col("id"), col("l").as("comp"))
+          .localCheckpoint()
+        Checkpoints.free(oldComp)
+      }
+    }
+    val out =
+      (if (msfInit) msf.distinct() else e.select("key").limit(0))
+        .localCheckpoint()
+    Checkpoints.free(comp)
+    Checkpoints.free(e)
+    roundFrames.foreach(Checkpoints.free)
+    out
+  }
 }

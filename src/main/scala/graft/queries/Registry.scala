@@ -82,7 +82,8 @@ object Registry {
       QueriesRound7al.defs ++
       QueriesRound7am.defs ++
       QueriesRound7an.defs ++
-      QueriesRound7ao.defs
+      QueriesRound7ao.defs ++
+      QueriesRound7ap.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
