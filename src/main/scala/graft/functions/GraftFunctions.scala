@@ -58,6 +58,13 @@ object GraftFunctions {
       spark.experimental.extraOptimizations =
         extra :+ graft.plans.FuseMultiContains
     }
+    // the greedy-thinning planner strategy (plans/GreedyThin) — the
+    // extraStrategies twin of injectPlannerStrategy
+    val strats = spark.experimental.extraStrategies
+    if (!strats.contains(graft.plans.GreedyThinStrategy)) {
+      spark.experimental.extraStrategies =
+        strats :+ graft.plans.GreedyThinStrategy
+    }
   }
 
   /** Column-level dot product backed by the codegen'd expression.
@@ -87,5 +94,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.FuseMultiContains)
+    ext.injectPlannerStrategy(_ => graft.plans.GreedyThinStrategy)
   }
 }

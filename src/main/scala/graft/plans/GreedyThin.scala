@@ -1,0 +1,116 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Logical node for GREEDY TEMPORAL THINNING: per key, scan rows in
+  * (ts, tiebreak) order and KEEP a row only if its timestamp is at
+  * least `gapMicros` after the last KEPT row of that key (the first
+  * row of every key is always kept).
+  *
+  * This is the re-crawl/snapshot debounce step of a web-scale corpus
+  * pipeline — "keep at most one snapshot of a page per N hours,
+  * measured from the last snapshot we kept" — and it is the engine's
+  * one operator whose semantics no built-in can express: the decision
+  * for row i depends on which earlier rows were KEPT (the operator's
+  * own output), not on any function of the input alone, so no window
+  * frame computes it. `flatMapGroups` could, but it hands the group
+  * iterator over UNORDERED and forces a per-group in-memory sort +
+  * object codec round-trip. This node instead declares what it needs
+  * — `ClusteredDistribution(keys)` + child ordering (keys, ts,
+  * tiebreak) — and Catalyst's EnsureRequirements plans the one
+  * hash-partition exchange and per-partition sort; the operator
+  * itself is then a single streaming pass with O(1) state per
+  * partition (current key + last kept timestamp), no group
+  * materialization, no codec. At 100 TB that is the difference
+  * between "one shuffle and a scan" and "one shuffle plus buffering
+  * every group on heap".
+  *
+  * Determinism: callers pass `tiebreak` columns that make (keys, ts,
+  * tiebreak) a total order, so the kept set is unique; ties on ts
+  * within the gap window are dropped (a second row at the kept
+  * timestamp is `< lastKept + gap` for any gap > 0). Rows where ts
+  * or a key is null must be filtered upstream (nulls sort first and
+  * would seed a key's scan with a garbage timestamp).
+  */
+case class GreedyThin(
+    keys: Seq[Expression],
+    ts: Expression,
+    tiebreak: Seq[Expression],
+    gapMicros: Long,
+    child: LogicalPlan) extends UnaryNode {
+  require(gapMicros > 0, "greedyThin needs a positive gap")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): GreedyThin =
+    copy(child = newChild)
+}
+
+/** Planner strategy mapping the logical node 1:1 onto the physical
+  * operator — registered via `GraftExtensions`
+  * (injectPlannerStrategy) and `GraftFunctions.register`
+  * (experimental.extraStrategies), same dual wiring as the
+  * FuseMultiContains optimizer rule. */
+object GreedyThinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case GreedyThin(keys, ts, tie, gap, child) =>
+      GreedyThinExec(keys, ts, tie, gap, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical greedy-thinning operator. Declares required distribution
+  * and ordering instead of shuffling/sorting itself — EnsureRequirements
+  * inserts (and AQE sizes) the exchange, and an already-bucketed or
+  * already-sorted child satisfies the requirement with NO new
+  * exchange, exactly like SortMergeJoin does. The pass itself is a
+  * stateful filter: O(1) state, streaming, preserves partitioning and
+  * ordering, so downstream per-key operators reuse both. */
+case class GreedyThinExec(
+    keys: Seq[Expression],
+    ts: Expression,
+    tiebreak: Seq[Expression],
+    gapMicros: Long,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = child.outputOrdering
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(((keys :+ ts) ++ tiebreak).map(e => SortOrder(e, Ascending)))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val keyExprs = keys
+    val tsExpr = ts
+    val gap = gapMicros
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val tsProj = UnsafeProjection.create(Seq(tsExpr), childOutput)
+      var curKey: UnsafeRow = null
+      var lastKept = 0L
+      iter.filter { row =>
+        // projections reuse their buffers; the key is copied only on
+        // group change (one tiny copy per key, not per row)
+        val t = tsProj(row).getLong(0)
+        val k = keyProj(row)
+        val keep =
+          if (curKey == null || k != curKey) { curKey = k.copy(); true }
+          else t >= lastKept + gap
+        if (keep) lastKept = t
+        keep
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): GreedyThinExec =
+    copy(child = newChild)
+}

@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.Tables._
+import graft.plans.GreedyThinOp
+import org.apache.spark.sql.functions._
+
+/** Round-7 forty-third batch: the custom physical-operator lane —
+  * greedy temporal thinning via LogicalPlan → SparkStrategy →
+  * SparkPlan (plans/GreedyThin).
+  */
+object QueriesRound7aq {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q420: greedy snapshot thinning (custom SparkPlan) --------------
+    // The re-crawl debounce of a web corpus: per user keep an event
+    // only if >= 12 h after the last KEPT one — a decision on the
+    // operator's own OUTPUT, which no window function can express
+    // (rank/lag see the input, not the kept set). Runs through the
+    // engine's one custom whole-operator lane: GreedyThin logical
+    // node → GreedyThinStrategy → GreedyThinExec, whose declared
+    // ClusteredDistribution + ordering let EnsureRequirements plan
+    // the single hash exchange; the pass itself is a streaming O(1)-
+    // state filter (no group materialization — the flatMapGroups
+    // alternative would buffer and codec every group). The oracle
+    // replays the same greedy recurrence as a recursive CTE: each
+    // level selects, per user, the min (ts, event_id) row at least
+    // one gap after the previous level's kept row. (keys, ts,
+    // event_id) is a total order, so the kept set is unique and the
+    // hash compare is exact. GreedyThinSpec pins semantics vs a
+    // sequential reference, tie handling, and the one-exchange plan.
+    QueryDef("q420_greedy_thinning",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .where(col("ts").isNotNull && col("user_id").isNotNull)
+        GreedyThinOp.thin(ev, Seq("user_id"), "ts", Seq("event_id"),
+            12L * 3600L * 1000000L)
+          .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+            col("event_id"))
+          .orderBy("user_id", "tus")
+      },
+      Some("""WITH RECURSIVE ev AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |         epoch_us(ts)::HUGEINT * 1000000000000 + event_id AS k
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |kept AS (
+        |  SELECT e.user_id, e.tus, e.event_id FROM ev e
+        |  JOIN (SELECT user_id, min(k) AS k FROM ev GROUP BY 1) m
+        |    ON m.user_id = e.user_id AND m.k = e.k
+        |  UNION ALL
+        |  SELECT n.user_id, n.tus, n.event_id FROM (
+        |    SELECT e2.user_id, min(e2.k) AS k
+        |    FROM kept k0 JOIN ev e2 ON e2.user_id = k0.user_id
+        |      AND e2.tus >= k0.tus + 43200000000
+        |    GROUP BY 1) m
+        |  JOIN ev n ON n.user_id = m.user_id AND n.k = m.k)
+        |SELECT user_id, tus, event_id FROM kept
+        |ORDER BY user_id, tus""".stripMargin)))
+}

@@ -83,7 +83,8 @@ object Registry {
       QueriesRound7am.defs ++
       QueriesRound7an.defs ++
       QueriesRound7ao.defs ++
-      QueriesRound7ap.defs
+      QueriesRound7ap.defs ++
+      QueriesRound7aq.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,75 @@
+package graft
+
+import graft.plans.GreedyThinOp
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Pins for the custom LogicalPlan → SparkStrategy → SparkPlan lane
+  * (plans/GreedyThin): semantics vs an independent sequential
+  * reference, plan shape (one exchange, one sort, the custom exec),
+  * tie semantics, and partitioning/ordering propagation (no second
+  * exchange for a downstream per-key aggregate).
+  */
+class GreedyThinSpec extends SparkSpec {
+
+  private val gap = 3600L * 1000000L // 1 hour in micros
+
+  test("greedy thinning equals the sequential driver-side reference") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .where(col("ts").isNotNull)
+    val got = GreedyThinOp
+      .thin(ev, Seq("user_id"), "ts", Seq("event_id"), gap)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+
+    // independent reference: per-user sequential greedy scan
+    val rows = ev.select(col("user_id"), unix_micros(col("ts")).as("t"),
+        col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = rows.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.sortBy(r => (r._2, r._3))
+      var lastKept = Long.MinValue
+      sorted.flatMap { case (_, t, id) =>
+        if (lastKept == Long.MinValue || t >= lastKept + gap) {
+          lastKept = t; Some(id)
+        } else None
+      }
+    }.toSet
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("plan: GreedyThinExec with exactly one exchange and one sort") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val plan = GreedyThinOp.thin(ev, Seq("user_id"), "ts", Seq("event_id"), gap)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GreedyThin"))
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("Sort"), plan)
+  }
+
+  test("ties on ts: only the first row by tiebreak survives the gap") {
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("t", LongType),
+      StructField("id", LongType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, 100L, 7L), Row(1L, 100L, 3L), // tie: id 3 kept, 7 dropped
+        Row(1L, 104L, 4L),                    // < gap after 100: dropped
+        Row(1L, 105L, 5L),                    // == 100+gap: kept
+        Row(2L, 1L, 9L))), schema)            // new key: kept
+    val got = GreedyThinOp.thin(df, Seq("k"), "t", Seq("id"), 5L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(3L, 5L, 9L))
+  }
+
+  test("output partitioning survives: downstream per-key agg adds no exchange") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val agg = GreedyThinOp.thin(ev, Seq("user_id"), "ts", Seq("event_id"), gap)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+  }
+}
