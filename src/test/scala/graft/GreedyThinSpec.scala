@@ -64,6 +64,45 @@ class GreedyThinSpec extends SparkSpec {
     assert(got == Set(3L, 5L, 9L))
   }
 
+  test("bucketed+sorted input: thinning plans with ZERO exchanges and sorts") {
+    // the 100 TB posture: a crawl table bucketed by key and sorted by
+    // (key, ts, tiebreak) satisfies the exec's declared distribution
+    // AND ordering — EnsureRequirements inserts nothing; thinning the
+    // whole table is a pure scan
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    spark.sql("DROP TABLE IF EXISTS b_thin_events")
+    // one file per bucket (single writer task) — the scan reports its
+    // sort order only then; at warehouse scale this is the standard
+    // compaction invariant for sorted-bucketed tables
+    ev.repartition(1).write.format("parquet").bucketBy(4, "user_id")
+      .sortBy("user_id", "ts", "event_id")
+      .mode("overwrite").saveAsTable("b_thin_events")
+    // Spark reports the sorted-bucket scan's ordering only under this
+    // conf (one-file-per-bucket guarded since SPARK-28632); without it
+    // the plan still has ZERO exchanges — only a cheap re-sort of
+    // already-sorted partitions
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val thinned = GreedyThinOp.thin(spark.table("b_thin_events"),
+        Seq("user_id"), "ts", Seq("event_id"), gap)
+      val plan = thinned.queryExecution.executedPlan.toString
+      assert(plan.contains("GreedyThin"), plan)
+      assert(!plan.contains("Exchange"), plan)
+      assert(!plan.contains("Sort "), plan)
+      // and the result is identical to the unbucketed path
+      val viaBucket = thinned.select("event_id").collect()
+        .map(_.getLong(0)).toSet
+      val direct = GreedyThinOp.thin(ev, Seq("user_id"), "ts",
+        Seq("event_id"), gap).select("event_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(viaBucket == direct && viaBucket.nonEmpty)
+    } finally {
+      spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    }
+  }
+
   test("output partitioning survives: downstream per-key agg adds no exchange") {
     val ev = Tables.events(spark, sf)
       .select(col("user_id"), col("ts"), col("event_id"))
