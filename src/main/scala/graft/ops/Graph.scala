@@ -834,8 +834,45 @@ object Graph {
     * Input `edges`: (src, dst, key) with src < dst canonical and key
     * globally unique. Returns the selected edge keys.
     */
+  /** Exactly `iters` synchronous min-label iterations over a (both-
+    * orientation) merge graph, in one in-memory task — the bounded
+    * twin of the shuffled loop in boruvkaMsf, used under the same
+    * size discipline as Dedup's singleTaskComponents. Synchronous =
+    * iteration i+1 reads only iteration i's labels, so the result is
+    * bit-identical to the groupBy-min loop for ANY input. Returns
+    * (c, l) for nodes appearing in the merge graph only. */
+  private def boundedMinLabels(mer: DataFrame, iters: Int): DataFrame = {
+    val spark = mer.sparkSession
+    import spark.implicits._
+    mer.select(col("a").cast("long"), col("b").cast("long"))
+      .as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val adj = scala.collection.mutable.LongMap
+          .empty[scala.collection.mutable.ArrayBuffer[Long]]
+        it.foreach { case (a, b) =>
+          adj.getOrElseUpdate(a,
+            new scala.collection.mutable.ArrayBuffer[Long]) += b
+        }
+        var cur = scala.collection.mutable.LongMap.empty[Long]
+        adj.foreachKey(k => cur(k) = k)
+        for (_ <- 1 to iters) {
+          val next = scala.collection.mutable.LongMap.empty[Long]
+          adj.foreach { case (k, ns) =>
+            var m = cur(k)
+            ns.foreach { n => val ln = cur(n); if (ln < m) m = ln }
+            next(k) = m
+          }
+          cur = next
+        }
+        cur.iterator
+      }
+      .toDF("c", "l")
+  }
+
   def boruvkaMsf(edges: DataFrame, rounds: Int = 4,
-                 labelIters: Int = 4): DataFrame = {
+                 labelIters: Int = 4,
+                 singleTaskLabelEdges: Long = 2000000L): DataFrame = {
     require(rounds >= 1 && labelIters >= 1,
       "boruvkaMsf needs at least one round and one label iteration")
     val e = edges.select(col("src").cast("long").as("src"),
@@ -871,7 +908,8 @@ object Graph {
       val se = ec.join(sel, Seq("key"), "left_semi")
         .select(col("key"), col("__ca"), col("__cb"))
         .localCheckpoint()
-      if (se.count() == 0) {
+      val seCnt = se.count()
+      if (seCnt == 0) {
         Checkpoints.free(se)
         exhausted = true
       } else {
@@ -881,20 +919,38 @@ object Graph {
         msf = if (msfInit) msf.union(se.select("key"))
           else se.select("key")
         msfInit = true
-        // contract: fixed-iteration min-label over the merge graph
+        // contract: fixed-iteration min-label over the merge graph.
+        // Labels are computed for TOUCHED components only (both
+        // orientations are in `mer`, so propagation can neither reach
+        // nor be influenced by an untouched component — its label is
+        // its own id), which keeps the label frame O(selected edges),
+        // not O(components). Under the singleTaskComponents size bound
+        // the same `labelIters` synchronous iterations run in ONE
+        // in-memory task instead of ~3 shuffle stages per iteration —
+        // result-identical by construction (same recurrence, same
+        // iteration count); above the bound the shuffled loop runs,
+        // so the 100 TB path never funnels through one task.
         val mer = se.select(col("__ca").as("a"), col("__cb").as("b"))
           .union(se.select(col("__cb").as("a"), col("__ca").as("b")))
-        var lab = comp.select(col("comp").as("c")).distinct()
-          .select(col("c"), col("c").as("l"))
-        for (_ <- 1 to labelIters) {
-          lab = lab.select(col("c"), col("l"))
-            .union(mer.join(lab.select(col("c").as("b"), col("l")), "b")
-              .select(col("a").as("c"), col("l")))
-            .groupBy("c").agg(min("l").as("l"))
-        }
+        var lab =
+          if (seCnt <= singleTaskLabelEdges) {
+            boundedMinLabels(mer, labelIters)
+          } else {
+            var l = mer.select(col("a").as("c")).distinct()
+              .select(col("c"), col("c").as("l"))
+            for (_ <- 1 to labelIters) {
+              l = l.select(col("c"), col("l"))
+                .union(mer.join(l.select(col("c").as("b"), col("l")), "b")
+                  .select(col("a").as("c"), col("l")))
+                .groupBy("c").agg(min("l").as("l"))
+            }
+            l
+          }
         val oldComp = comp
-        comp = comp.join(lab.select(col("c").as("comp"), col("l")), "comp")
-          .select(col("id"), col("l").as("comp"))
+        comp = comp.join(
+            lab.select(col("c").as("comp"), col("l")), Seq("comp"), "left")
+          .select(col("id"),
+            coalesce(col("l"), col("comp")).as("comp"))
           .localCheckpoint()
         Checkpoints.free(oldComp)
       }

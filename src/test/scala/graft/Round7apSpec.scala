@@ -54,4 +54,27 @@ class Round7apSpec extends SparkSpec {
     assert(rows.length == vs.length - comps.length)
     assert(edges.count() >= rows.length)
   }
+
+  test("boruvkaMsf: single-task and shuffled label paths are identical") {
+    // same co-purchase graph, the size knob forced both ways — the
+    // bounded in-memory propagation must equal the groupBy-min loop
+    // bit-for-bit (same recurrence, same iteration count)
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+    val e = li
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("p2")),
+        "l_orderkey")
+      .where(col("l_partkey") < col("p2"))
+      .select("l_orderkey", "l_partkey", "p2").distinct()
+      .groupBy(col("l_partkey").as("src"), col("p2").as("dst"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("src"), col("dst"),
+        ((lit(1000000L) - col("cnt")) * lit(1L << 40)
+          + col("src") * lit(1L << 20) + col("dst")).as("key"))
+      .localCheckpoint()
+    val fast = graft.ops.Graph.boruvkaMsf(e)
+      .collect().map(_.getLong(0)).toSet
+    val shuffled = graft.ops.Graph.boruvkaMsf(e, singleTaskLabelEdges = 0L)
+      .collect().map(_.getLong(0)).toSet
+    assert(fast.nonEmpty && fast == shuffled)
+  }
 }
