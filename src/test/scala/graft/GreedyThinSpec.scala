@@ -103,6 +103,37 @@ class GreedyThinSpec extends SparkSpec {
     }
   }
 
+  test("property: random dense-tie inputs equal the sequential reference") {
+    // adversarial shape for the exec's state machine: few keys, tiny
+    // timestamp domain (dense ties), tiny gap — every boundary case
+    // (tie at the kept ts, exact-gap landing, key change mid-partition)
+    // occurs many times; seeds fixed so the pin is reproducible
+    val rnd = new scala.util.Random(421)
+    for (trial <- 1 to 5) {
+      val gapT = 1L + rnd.nextInt(5)
+      val rows = (1 to 400).map { i =>
+        (rnd.nextInt(6).toLong, rnd.nextInt(40).toLong, i.toLong)
+      }
+      val schema = StructType(Seq(
+        StructField("k", LongType), StructField("t", LongType),
+        StructField("id", LongType)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3)), 7),
+        schema)
+      val got = GreedyThinOp.thin(df, Seq("k"), "t", Seq("id"), gapT)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val want = rows.groupBy(_._1).values.flatMap { g =>
+        val sorted = g.sortBy(r => (r._2, r._3))
+        var last = Long.MinValue
+        sorted.flatMap { case (_, t, id) =>
+          if (last == Long.MinValue || t >= last + gapT) { last = t; Some(id) }
+          else None
+        }
+      }.toSet
+      assert(got == want, s"trial $trial gap $gapT")
+    }
+  }
+
   test("output partitioning survives: downstream per-key agg adds no exchange") {
     val ev = Tables.events(spark, sf)
       .select(col("user_id"), col("ts"), col("event_id"))
