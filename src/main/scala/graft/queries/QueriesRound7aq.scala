@@ -56,5 +56,51 @@ object QueriesRound7aq {
         |    GROUP BY 1) m
         |  JOIN ev n ON n.user_id = m.user_id AND n.k = m.k)
         |SELECT user_id, tus, event_id FROM kept
+        |ORDER BY user_id, tus""".stripMargin)),
+
+    // ---- q421: STREAMING greedy thinning (lane #19) ---------------------
+    // The same re-crawl debounce at INGEST time: streaming lane #19,
+    // the q284 discipline applied to the new operator — a genuine
+    // readStream plan through flatMapGroupsWithState with ONE long of
+    // state per key (the last kept timestamp), kept rows final on
+    // emit (Append). Hash-matched against the IDENTICAL recursive-CTE
+    // oracle as the batch custom physical operator (q420): two
+    // execution models — a declared-requirement SparkPlan and a
+    // stateful stream — one verified semantics.
+    QueryDef("q421_streaming_thinning",
+      (s, d) => {
+        import s.implicits._
+        val sch = eventsStreamSchema(s, d)
+        graft.streaming.Sessions.runStreamToBatch(s, d, sch,
+            globFilter = Some("events.parquet"),
+            outputMode = "append",
+            shufflePartitions = Some(4),
+            transform = st => graft.streaming.Sessions.streamingGreedyThin(
+              normalizeEventTs(st)
+                .where(col("user_id").isNotNull && col("ts").isNotNull)
+                .select(col("user_id").as("key"),
+                  unix_micros(col("ts")).as("ts_us"),
+                  col("event_id").as("seq"), lit(0.0).as("value"))
+                .as[graft.streaming.ValEvent],
+              gapMicros = 12L * 3600L * 1000000L).toDF())
+          .select(col("user_id"), col("tus"), col("event_id"))
+          .orderBy("user_id", "tus")
+      },
+      Some("""WITH RECURSIVE ev AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |         epoch_us(ts)::HUGEINT * 1000000000000 + event_id AS k
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |kept AS (
+        |  SELECT e.user_id, e.tus, e.event_id FROM ev e
+        |  JOIN (SELECT user_id, min(k) AS k FROM ev GROUP BY 1) m
+        |    ON m.user_id = e.user_id AND m.k = e.k
+        |  UNION ALL
+        |  SELECT n.user_id, n.tus, n.event_id FROM (
+        |    SELECT e2.user_id, min(e2.k) AS k
+        |    FROM kept k0 JOIN ev e2 ON e2.user_id = k0.user_id
+        |      AND e2.tus >= k0.tus + 43200000000
+        |    GROUP BY 1) m
+        |  JOIN ev n ON n.user_id = m.user_id AND n.k = m.k)
+        |SELECT user_id, tus, event_id FROM kept
         |ORDER BY user_id, tus""".stripMargin)))
 }

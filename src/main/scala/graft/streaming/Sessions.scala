@@ -37,6 +37,8 @@ case class EwmaPoint(key: Long, n: Long, ewma: Double)
 /** streamingRunningMax state/output (one double per key). */
 case class MaxState(mx: Double)
 case class MaxPoint(key: Long, ts_us: Long, seq: Long, running_max: Double)
+case class ThinState(lastKept: Long)
+case class ThinKept(user_id: Long, tus: Long, event_id: Long)
 
 /** streamingTopK state/output: the k largest values seen per key
   * (emission carries the first three, padded with nulls). */
@@ -435,6 +437,41 @@ object Sessions {
     }
     events.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Streaming greedy temporal thinning per key: the stateful twin of
+    * the batch custom physical operator (plans/GreedyThin, q420).
+    * Keep an event only if its timestamp is >= gap after the last
+    * KEPT event of its key — at ingest time, so over-frequent
+    * re-crawls are dropped before they ever land. State is ONE long
+    * per key (the last kept timestamp); kept rows are final on emit
+    * (Append mode). Events sort by (ts_us, seq) within each
+    * micro-batch; cross-batch order is arrival order (the
+    * streamingEwma discipline), so bounded out-of-orderness is
+    * upstream's job. Hash-matched to the SAME recursive-CTE oracle as
+    * the batch operator (q421 vs q420) — two execution models, one
+    * verified semantics. */
+  def streamingGreedyThin(events: Dataset[ValEvent],
+                          gapMicros: Long): Dataset[ThinKept] = {
+    import events.sparkSession.implicits._
+    def update(key: Long, rows: Iterator[ValEvent],
+               state: GroupState[ThinState]): Iterator[ThinKept] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.seq))
+      if (sorted.isEmpty) Iterator.empty
+      else {
+        var last = state.getOption.map(_.lastKept).getOrElse(Long.MinValue)
+        val kept = sorted.flatMap { e =>
+          if (last == Long.MinValue || e.ts_us >= last + gapMicros) {
+            last = e.ts_us
+            Some(ThinKept(key, e.ts_us, e.seq))
+          } else None
+        }
+        state.update(ThinState(last))
+        kept.iterator
+      }
+    }
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
   /** Streaming running MAX per key, emitting the full per-event trace:

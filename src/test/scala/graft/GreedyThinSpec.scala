@@ -134,6 +134,16 @@ class GreedyThinSpec extends SparkSpec {
     }
   }
 
+  test("streaming twin (q421) equals the batch physical operator (q420) row-for-row") {
+    val batch = graft.queries.Registry.byName("q420_greedy_thinning")
+      .fn(spark, sf).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val stream = graft.queries.Registry.byName("q421_streaming_thinning")
+      .fn(spark, sf).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty && batch == stream)
+  }
+
   test("output partitioning survives: downstream per-key agg adds no exchange") {
     val ev = Tables.events(spark, sf)
       .select(col("user_id"), col("ts"), col("event_id"))
