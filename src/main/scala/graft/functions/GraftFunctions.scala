@@ -58,6 +58,11 @@ object GraftFunctions {
       spark.experimental.extraOptimizations =
         extra :+ graft.plans.FuseMultiContains
     }
+    val extra2 = spark.experimental.extraOptimizations
+    if (!extra2.contains(graft.plans.PushFilterThroughGreedyThin)) {
+      spark.experimental.extraOptimizations =
+        extra2 :+ graft.plans.PushFilterThroughGreedyThin
+    }
     // the greedy-thinning planner strategy (plans/GreedyThin) — the
     // extraStrategies twin of injectPlannerStrategy
     val strats = spark.experimental.extraStrategies
@@ -94,6 +99,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.FuseMultiContains)
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughGreedyThin)
     ext.injectPlannerStrategy(_ => graft.plans.GreedyThinStrategy)
   }
 }

@@ -102,5 +102,49 @@ object QueriesRound7aq {
         |    GROUP BY 1) m
         |  JOIN ev n ON n.user_id = m.user_id AND n.k = m.k)
         |SELECT user_id, tus, event_id FROM kept
+        |ORDER BY user_id, tus""".stripMargin)),
+
+    // ---- q422: filter-through-thinning optimizer rule -------------------
+    // The engine's SECOND injected optimizer rule
+    // (plans/PushFilterThroughGreedyThin) under the gate: thinning is
+    // per-key independent, so a key-only predicate commutes with the
+    // operator. The query is written the naive way — thin EVERYTHING,
+    // then ask for a handful of users — and the rule moves the
+    // predicate below the custom node, where PhysicalOperation hands
+    // it to the parquet scan (spec-pinned PushedFilters): at 100 TB
+    // "debounce these domains" prunes at the source instead of
+    // thinning the corpus. The ORACLE computes filter-FIRST, so the
+    // hash equality is the commutation law itself, verified on real
+    // data. Non-key predicates stay above (spec-pinned — moving them
+    // would change which rows are kept).
+    QueryDef("q422_thin_filter_pushdown",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .where(col("ts").isNotNull && col("user_id").isNotNull)
+        graft.plans.GreedyThinOp.thin(ev, Seq("user_id"), "ts",
+            Seq("event_id"), 12L * 3600L * 1000000L)
+          .where(col("user_id") % 10 === 3)
+          .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+            col("event_id"))
+          .orderBy("user_id", "tus")
+      },
+      Some("""WITH RECURSIVE ev AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |         epoch_us(ts)::HUGEINT * 1000000000000 + event_id AS k
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND user_id % 10 = 3),
+        |kept AS (
+        |  SELECT e.user_id, e.tus, e.event_id FROM ev e
+        |  JOIN (SELECT user_id, min(k) AS k FROM ev GROUP BY 1) m
+        |    ON m.user_id = e.user_id AND m.k = e.k
+        |  UNION ALL
+        |  SELECT n.user_id, n.tus, n.event_id FROM (
+        |    SELECT e2.user_id, min(e2.k) AS k
+        |    FROM kept k0 JOIN ev e2 ON e2.user_id = k0.user_id
+        |      AND e2.tus >= k0.tus + 43200000000
+        |    GROUP BY 1) m
+        |  JOIN ev n ON n.user_id = m.user_id AND n.k = m.k)
+        |SELECT user_id, tus, event_id FROM kept
         |ORDER BY user_id, tus""".stripMargin)))
 }

@@ -144,6 +144,42 @@ class GreedyThinSpec extends SparkSpec {
     assert(batch.nonEmpty && batch == stream)
   }
 
+  test("key-only filter pushes THROUGH the operator into the scan") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey"), col("o_orderdate").cast("timestamp").as("ts"),
+        col("o_orderkey"))
+    // written naively: thin everything, THEN ask for one customer
+    val one = GreedyThinOp.thin(ev, Seq("o_custkey"), "ts",
+        Seq("o_orderkey"), 30L * 86400L * 1000000L)
+      .where(col("o_custkey") === 19)
+    val plan = one.queryExecution.executedPlan.toString
+    // the rule moved the predicate below GreedyThin; PhysicalOperation
+    // then handed it to the parquet scan
+    assert(plan.contains("PushedFilters: [IsNotNull(o_custkey), EqualTo(o_custkey,19)]")
+      || plan.contains("EqualTo(o_custkey,19)"), plan)
+    // and it commutes: equal to filtering first
+    val direct = GreedyThinOp.thin(ev.where(col("o_custkey") === 19),
+        Seq("o_custkey"), "ts", Seq("o_orderkey"), 30L * 86400L * 1000000L)
+      .collect().map(_.getLong(2)).toSet
+    assert(one.collect().map(_.getLong(2)).toSet == direct && direct.nonEmpty)
+  }
+
+  test("non-key filter is NOT pushed (it would change the kept set)") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val out = GreedyThinOp.thin(ev, Seq("user_id"), "ts", Seq("event_id"), gap)
+      .where(col("event_id") % 2 === 0)
+    val optimized = out.queryExecution.optimizedPlan.toString
+    // Filter must sit ABOVE GreedyThin in the optimized plan
+    assert(optimized.indexOf("Filter") < optimized.indexOf("GreedyThin"),
+      optimized)
+    // and equals thin-then-filter computed independently
+    val want = GreedyThinOp.thin(ev, Seq("user_id"), "ts", Seq("event_id"), gap)
+      .collect().map(_.getLong(2)).filter(_ % 2 == 0).toSet
+    assert(out.collect().map(_.getLong(2)).toSet == want)
+  }
+
   test("output partitioning survives: downstream per-key agg adds no exchange") {
     val ev = Tables.events(spark, sf)
       .select(col("user_id"), col("ts"), col("event_id"))
