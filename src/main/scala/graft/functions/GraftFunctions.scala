@@ -63,6 +63,11 @@ object GraftFunctions {
       spark.experimental.extraOptimizations =
         extra2 :+ graft.plans.PushFilterThroughGreedyThin
     }
+    val extra3 = spark.experimental.extraOptimizations
+    if (!extra3.contains(graft.plans.PruneColumnsThroughGreedyThin)) {
+      spark.experimental.extraOptimizations =
+        extra3 :+ graft.plans.PruneColumnsThroughGreedyThin
+    }
     // the greedy-thinning planner strategy (plans/GreedyThin) — the
     // extraStrategies twin of injectPlannerStrategy
     val strats = spark.experimental.extraStrategies
@@ -100,6 +105,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.FuseMultiContains)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughGreedyThin)
+    ext.injectOptimizerRule(_ => graft.plans.PruneColumnsThroughGreedyThin)
     ext.injectPlannerStrategy(_ => graft.plans.GreedyThinStrategy)
   }
 }

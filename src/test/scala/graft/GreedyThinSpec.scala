@@ -180,6 +180,27 @@ class GreedyThinSpec extends SparkSpec {
     assert(out.collect().map(_.getLong(2)).toSet == want)
   }
 
+  test("column pruning reaches THROUGH the operator to the scan's ReadSchema") {
+    val dir = "/root/testdata/sf0.001"
+    // a wide frame: thin on (o_custkey, ts, o_orderkey), project ONE column
+    val wide = spark.read.parquet(s"$dir/orders.parquet")
+      .withColumn("ts", col("o_orderdate").cast("timestamp"))
+    val narrow = GreedyThinOp.thin(wide, Seq("o_custkey"), "ts",
+        Seq("o_orderkey"), 30L * 86400L * 1000000L)
+      .select("o_custkey")
+    val plan = narrow.queryExecution.executedPlan.toString
+    // the scan must read only the three operator inputs, not o_comment
+    // & co (o_orderdate feeds the ts cast)
+    assert(plan.contains("ReadSchema"), plan)
+    assert(!plan.contains("o_comment") && !plan.contains("o_totalprice"), plan)
+    // result parity with the unpruned path
+    val got = narrow.collect().map(_.getLong(0)).sorted
+    val want = GreedyThinOp.thin(wide, Seq("o_custkey"), "ts",
+        Seq("o_orderkey"), 30L * 86400L * 1000000L)
+      .collect().map(_.getLong(1)).sorted
+    assert(got.nonEmpty && got.sameElements(want))
+  }
+
   test("output partitioning survives: downstream per-key agg adds no exchange") {
     val ev = Tables.events(spark, sf)
       .select(col("user_id"), col("ts"), col("event_id"))
