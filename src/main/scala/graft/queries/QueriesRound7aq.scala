@@ -146,5 +146,63 @@ object QueriesRound7aq {
         |    GROUP BY 1) m
         |  JOIN ev n ON n.user_id = m.user_id AND n.k = m.k)
         |SELECT user_id, tus, event_id FROM kept
-        |ORDER BY user_id, tus""".stripMargin)))
+        |ORDER BY user_id, tus""".stripMargin)),
+
+    // ---- q423: corpus-refresh composite (thin → dedup → report) ---------
+    // The custom physical operator MID-pipeline: debounce re-crawls
+    // (GreedyThin), then exact content dedup across users (md5
+    // fingerprint, first occurrence by (tus, event_id) wins — the
+    // q40 discipline), then the per-user refresh report — all one
+    // DAG, one hash gate. Proves the node composes: the thinned
+    // frame feeds a window and an aggregation downstream, its
+    // preserved hash partitioning on user_id reusable by the final
+    // groupBy. The oracle chains the q420 recursive CTE into the
+    // same window + aggregation.
+    QueryDef("q423_refresh_pipeline",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("props"))
+          .where(col("ts").isNotNull && col("user_id").isNotNull)
+        val kept = graft.plans.GreedyThinOp.thin(ev, Seq("user_id"), "ts",
+            Seq("event_id"), 12L * 3600L * 1000000L)
+          .withColumn("tus", unix_micros(col("ts")))
+          .withColumn("fp", md5(coalesce(col("props"), lit(""))))
+        val uniq = kept
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy("fp").orderBy(col("tus"), col("event_id"))))
+          .where(col("__rn") === 1)
+        uniq.groupBy("user_id")
+          .agg(count(lit(1)).as("n_unique"),
+            countDistinct(col("event_type")).as("n_types"),
+            min(col("tus")).as("first_tus"),
+            max(col("tus")).as("last_tus"))
+          .orderBy("user_id")
+      },
+      Some("""WITH RECURSIVE ev AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type, props,
+        |         epoch_us(ts)::HUGEINT * 1000000000000 + event_id AS k
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |kept AS (
+        |  SELECT e.user_id, e.tus, e.event_id FROM ev e
+        |  JOIN (SELECT user_id, min(k) AS k FROM ev GROUP BY 1) m
+        |    ON m.user_id = e.user_id AND m.k = e.k
+        |  UNION ALL
+        |  SELECT n.user_id, n.tus, n.event_id FROM (
+        |    SELECT e2.user_id, min(e2.k) AS k
+        |    FROM kept k0 JOIN ev e2 ON e2.user_id = k0.user_id
+        |      AND e2.tus >= k0.tus + 43200000000
+        |    GROUP BY 1) m
+        |  JOIN ev n ON n.user_id = m.user_id AND n.k = m.k),
+        |j AS (SELECT k.user_id, k.tus, k.event_id, e.event_type,
+        |    md5(coalesce(e.props, '')) AS fp
+        |  FROM kept k JOIN ev e
+        |    ON e.user_id = k.user_id AND e.event_id = k.event_id),
+        |u AS (SELECT *, row_number() OVER (PARTITION BY fp
+        |    ORDER BY tus, event_id) AS rn FROM j)
+        |SELECT user_id, count(*) AS n_unique,
+        |  count(DISTINCT event_type) AS n_types,
+        |  min(tus) AS first_tus, max(tus) AS last_tus
+        |FROM u WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin)))
 }
