@@ -201,6 +201,23 @@ class GreedyThinSpec extends SparkSpec {
     assert(got.nonEmpty && got.sameElements(want))
   }
 
+  test("composite (string, long) keys: variable-width key equality is exact") {
+    val schema = StructType(Seq(
+      StructField("host", StringType), StructField("sec", LongType),
+      StructField("t", LongType), StructField("id", LongType)))
+    // "a"/1 vs "a"/2 vs "aa"/1: adjacent groups after the sort whose
+    // UnsafeRow key bytes differ only in length or in the long half
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("a", 1L, 10L, 1L), Row("a", 1L, 12L, 2L), // 12 < 10+5 dropped
+        Row("a", 2L, 10L, 3L),                        // new key: kept
+        Row("aa", 1L, 11L, 4L),                       // new key: kept
+        Row("aa", 1L, 16L, 5L))), schema)             // == 11+5: kept
+    val got = GreedyThinOp.thin(df, Seq("host", "sec"), "t", Seq("id"), 5L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L, 4L, 5L))
+  }
+
   test("output partitioning survives: downstream per-key agg adds no exchange") {
     val ev = Tables.events(spark, sf)
       .select(col("user_id"), col("ts"), col("event_id"))
