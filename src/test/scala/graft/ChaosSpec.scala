@@ -16,6 +16,7 @@ import org.apache.spark.TaskContext
 object Chaos {
   val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
   val sawRetry = new java.util.concurrent.atomic.AtomicBoolean(false)
+  val thinFired = new java.util.concurrent.atomic.AtomicBoolean(false)
   // defined HERE, not on the suite: a suite-method closure would drag
   // the non-serializable ScalaTest engine into the task closure
   def audioFor(id: String): Array[Byte] =
@@ -82,5 +83,29 @@ class ChaosSpec extends SparkSpec {
     val back = spark.read.schema(Schema.ingest).json(dir)
     assert(back.count() == 16L)
     assert(back.groupBy("id").count().where($"count" > 1).count() == 0L)
+  }
+
+  test("a task killed inside the GreedyThinExec stage recomputes to identical output") {
+    // the kill fires in a projection AFTER the custom exec — the same
+    // post-shuffle stage — so Spark must re-run the thinning task from
+    // shuffle blocks; the O(1)-state pass must be deterministic under
+    // recomputation (it is: pure function of the sorted partition)
+    import org.apache.spark.sql.functions.{col, udf}
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .where(col("ts").isNotNull)
+    def thin() = graft.plans.GreedyThinOp.thin(
+      ev, Seq("user_id"), "ts", Seq("event_id"), 3600L * 1000000L)
+    val clean = thin().select("event_id").collect().map(_.getLong(0)).toSet
+    Chaos.thinFired.set(false)
+    val killer = udf { (id: Long) =>
+      if (!Chaos.thinFired.getAndSet(true))
+        throw new RuntimeException("chaos: killed inside the thin stage")
+      id
+    }
+    val chaotic = thin().select(killer(col("event_id")).as("event_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(Chaos.thinFired.get, "the chaos kill never fired")
+    assert(chaotic == clean && clean.nonEmpty)
   }
 }
