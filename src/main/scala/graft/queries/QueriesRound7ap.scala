@@ -26,14 +26,18 @@ object QueriesRound7ap {
     // (Round7apSpec), so the oracle is not the only witness.
     QueryDef("q419_boruvka_msf",
       (s, d) => {
+        // distinct BEFORE the self-join (one (order, part) row each),
+        // not after: dedups 0.6M rows instead of the 1.2M joined
+        // pairs, and the join output is then unique (order, src, dst)
+        // by construction — same frame the oracle's DISTINCT builds
         val li = lineitem(s, d).select("l_orderkey", "l_partkey")
+          .distinct()
         val pr = li
           .join(li.select(col("l_orderkey"), col("l_partkey").as("p2")),
             "l_orderkey")
           .where(col("l_partkey") < col("p2"))
           .select(col("l_orderkey"), col("l_partkey").as("src"),
             col("p2").as("dst"))
-          .distinct()
         val e = pr.groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
           .select(col("src"), col("dst"), col("cnt"),
             ((lit(1000000L) - col("cnt")) * lit(1L << 40)
