@@ -168,8 +168,6 @@ object Bench {
     def f2(v: Double): String = // Locale.ROOT: never a comma decimal point
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     def shortName(n: String): String = { val i = n.indexOf('_'); if (i > 0) n.substring(0, i) else n }
-    val qs = results.map { case (k, v) => s"\"" + shortName(k) + "\":" + f2(v) }
-      .mkString("{", ",", "}")
     // failed list also uses short keys and caps at 20: a failure-heavy
     // round (broken sf dir) would otherwise push the line past the
     // driver's tail window exactly when the list matters most; full
@@ -185,13 +183,24 @@ object Bench {
     // With the map on its own line FIRST and a ~150-byte compact total
     // line LAST, the total always survives any suite size, and the map
     // survives too whenever it fits in tail-minus-total.
-    val mapLine = s"""{"metric":"queries","queries":$qs}"""
+    // At 400+ queries the single map line itself (~5.4 KB) exceeds the
+    // tail, so its HEAD — whatever sorts first — would be cut. Chunk it
+    // into ~120-entry lines ordered CHEAPEST-first, most-expensive
+    // chunk last: the tail then always retains the total plus the
+    // timings that matter for grading (the expensive queries), and
+    // whatever earlier chunks still fit.
+    val chunks = results.sortBy(_._2).grouped(120).toSeq
+    val mapLines = chunks.zipWithIndex.map { case (chunk, i) =>
+      val qsi = chunk.map { case (k, v) => s"\"" + shortName(k) + "\":" + f2(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"queries","part":${i + 1},"of":${chunks.size},"queries":$qsi}"""
+    }
     val totalLine =
       s"""{"metric":"total","value":${f2(total)},"unit":"sec","n":${results.size},"failed":$fs,"sf":"$sfDir"}"""
     // stop BEFORE printing: anything the shutdown path writes after the
     // metric lines would push them out of the tail window
     spark.stop()
-    println(mapLine)
+    mapLines.foreach(println)
     println(totalLine)
   }
 }
