@@ -31,10 +31,32 @@ object GraftFunctions {
     (FunctionIdentifier("graft_multi_contains"),
       new ExpressionInfo(classOf[MultiPatternMatches].getName, "graft_multi_contains"),
       (args: Seq[Expression]) => {
+        // Fail analysis with a clear message, not an opaque
+        // ClassCastException/NPE: the pattern array must be a foldable
+        // array<string> with no null elements (the automaton is built
+        // once at planning time).
+        def bad(detail: String): Nothing =
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "INTERNAL_ERROR",
+            messageParameters = Map("message" ->
+              ("graft_multi_contains(text, patterns): patterns must be " +
+                s"a foldable array<string> of non-null literals; $detail")))
+        if (args.length != 2) bad(s"got ${args.length} arguments")
+        if (!args(1).foldable) bad("second argument is not foldable")
+        args(1).dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType, _) => ()
+          case other => bad(s"second argument has type ${other.sql}")
+        }
         val arr = args(1).eval()
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        if (arr == null) bad("second argument evaluates to null")
         MultiPatternMatches(args(0),
-          (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString))
+          (0 until arr.numElements()).map { i =>
+            val p = arr.getUTF8String(i)
+            if (p == null) bad(s"pattern element $i is null")
+            p.toString
+          })
       }),
     (FunctionIdentifier("graft_kmv_distinct"),
       new ExpressionInfo(classOf[KmvDistinct].getName, "graft_kmv_distinct"),

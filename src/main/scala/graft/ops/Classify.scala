@@ -21,7 +21,7 @@ object Classify {
     * score via add-one smoothing) and the prior frame broadcast —
     * both O(labels·buckets), never data-sized. Prediction is one
     * hash-agg over (doc, candidate) partial scores; argmin uses a
-    * numeric composite key (bits·maxLabels + label rank — the q363
+    * numeric composite key (bits·(maxLabels+1) + label rank — the q363
     * engine-portable discipline, no struct-ordering reliance).
     * Tokenless docs can't be scored and are out of scope.
     *
@@ -42,7 +42,13 @@ object Classify {
         explode(Text.tokens(col("text"))).as("tok"))
       .withColumn("b", Sampling.hashLong(col("tok")) % buckets)
     val train = toks.where(col("split") === "train")
-    val labelIdx = broadcast(train.select("label").distinct()
+    val labels = train.select("label").distinct()
+    val numLabels = labels.count()
+    require(numLabels <= maxLabels,
+      s"naiveBayesConfusion: $numLabels distinct labels exceed " +
+        s"maxLabels=$maxLabels — raise maxLabels so the argmin " +
+        "composite key stays decodable")
+    val labelIdx = broadcast(labels
       .withColumn("idx",
         row_number().over(Window.orderBy("label")).cast("long")))
     val counts = train.groupBy(col("label").as("clabel"), col("b"))
@@ -70,8 +76,13 @@ object Classify {
       .join(labelIdx.select(col("label").as("clabel"), col("idx")),
         Seq("clabel"))
       .groupBy("id", "label")
-      .agg(min((col("tb") + col("pbits")) * maxLabels + col("idx")).as("mk"))
-      .select(col("id"), col("label"), (col("mk") % maxLabels).as("idx"))
+      // (maxLabels+1) multiplier: idx is 1-based, so a plain maxLabels
+      // multiplier would decode idx==maxLabels as residue 0 and drop
+      // those docs at the idx join below.
+      .agg(min((col("tb") + col("pbits")) * (maxLabels + 1) + col("idx"))
+        .as("mk"))
+      .select(col("id"), col("label"),
+        (col("mk") % (maxLabels + 1)).as("idx"))
       .join(labelIdx.select(col("label").as("pred_label"), col("idx")),
         Seq("idx"))
       .groupBy("label", "pred_label").agg(count(lit(1)).as("n_docs"))

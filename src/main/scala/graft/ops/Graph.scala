@@ -495,6 +495,61 @@ object Graph {
     dist
   }
 
+  /** Bounded-round SEED-KEYED multi-source BFS: per-(seed, node) hop
+    * distance, i.e. `hops` independent BFS traversals batched into one
+    * loop. Returns (seed, id, dist) for every (seed, reached-node)
+    * pair — the frame landmark-centrality readouts fold over. Same
+    * reproducibility discipline as `boundedBfs` (integer distances,
+    * `min` folds, chained-CTE-replayable rounds) and the same
+    * frontier-propagation shape: each round expands only last round's
+    * discoveries and anti-joins the settled set.
+    *
+    * The frontier here is NOT O(|V|)-bounded — it is O(seeds ×
+    * frontier width) and grows with both the landmark count and the
+    * graph, so an unconditional broadcast would OOM the driver at
+    * scale. The broadcast is therefore SIZE-GUARDED per round on the
+    * materialized frontier row count (the frame is already
+    * local-checkpointed, so the count reads cached blocks): below
+    * `broadcastFrontierRows` the round is a broadcast join against the
+    * laid-out edges; above it, a shuffle join (edges laid out on src
+    * pay their exchange once at layout, the frontier reshuffles —
+    * which is the small side by construction). Rounds end early when
+    * the frontier empties. */
+  def seededBfs(edges: DataFrame, srcCol: String, dstCol: String,
+                seeds: DataFrame, hops: Int,
+                assumeLaidOut: Boolean = false,
+                broadcastFrontierRows: Long = 5000000L): DataFrame = {
+    require(hops >= 0, "seededBfs needs a non-negative hop bound")
+    val e = edgeFrame(edges, srcCol, dstCol, assumeLaidOut, layoutKey = "src")
+    var dist = seeds.select(col(seeds.columns.head).cast("long").as("seed"))
+      .distinct()
+      .select(col("seed"), col("seed").as("id"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = dist
+    var frontierRows = frontier.count()
+    for (_ <- 1 to hops if frontierRows > 0) {
+      val f = frontier.withColumnRenamed("id", "src")
+      val joined =
+        if (frontierRows <= broadcastFrontierRows) e.join(broadcast(f), "src")
+        else e.join(f, "src")
+      val fresh = joined
+        .select(col("seed"), col("dst").as("id"), (col("dist") + 1).as("dist"))
+        .groupBy("seed", "id").agg(min("dist").as("dist"))
+        .join(dist, Seq("seed", "id"), "left_anti")
+        .localCheckpoint()
+      frontierRows = fresh.count()
+      val oldDist = dist
+      val oldFrontier = frontier
+      dist = dist.union(fresh).localCheckpoint()
+      frontier = fresh
+      Checkpoints.free(oldDist)
+      if (!(oldFrontier eq oldDist)) Checkpoints.free(oldFrontier)
+    }
+    if (!(frontier eq dist)) Checkpoints.free(frontier)
+    if (!assumeLaidOut) Checkpoints.free(e)
+    dist
+  }
+
   /** Bounded-round single-source shortest paths over WEIGHTED edges
     * (Bellman-Ford): after `rounds` relaxations each reached node
     * carries the minimum total weight over all paths of at most
@@ -872,7 +927,8 @@ object Graph {
 
   def boruvkaMsf(edges: DataFrame, rounds: Int = 4,
                  labelIters: Int = 4,
-                 singleTaskLabelEdges: Long = 2000000L): DataFrame = {
+                 singleTaskLabelEdges: Long = 2000000L,
+                 broadcastCompRows: Long = 5000000L): DataFrame = {
     require(rounds >= 1 && labelIters >= 1,
       "boruvkaMsf needs at least one round and one label iteration")
     val e = edges.select(col("src").cast("long").as("src"),
@@ -882,23 +938,30 @@ object Graph {
     var comp = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
       .distinct().select(col("id"), col("id").as("comp"))
       .localCheckpoint()
+    // O(V) frame: broadcast only while it provably fits (row-count
+    // gate, same discipline as the singleTaskLabelEdges bound below) —
+    // an unconditional broadcast() hint would force BroadcastHashJoin
+    // past driver memory instead of falling back to a shuffle join.
+    var compRows = comp.count()
     var msf = e.sparkSession.emptyDataFrame
     var msfInit = false
     val roundFrames = scala.collection.mutable.ListBuffer.empty[DataFrame]
     // Result-preserving shortcuts the oracle need not mirror: the
-    // cross-edge frame stays LAZY — it is two broadcast joins of the
-    // O(V) component frame against the persisted edge blocks (narrow,
-    // no shuffle, no exchange), so re-deriving it per consumer is
+    // cross-edge frame stays LAZY — it is two size-gated broadcast
+    // joins of the O(V) component frame against the persisted edge
+    // blocks (narrow, no shuffle, no exchange while the gate holds;
+    // shuffle joins above it), so re-deriving it per consumer is
     // cheaper than materializing O(E) checkpoint blocks every round;
     // and an empty selection means every later round selects nothing
     // too, so the loop breaks.
     var exhausted = false
     for (_ <- 1 to rounds if !exhausted) {
+      val ca = comp.select(col("id").as("src"), col("comp").as("__ca"))
+      val cb = comp.select(col("id").as("dst"), col("comp").as("__cb"))
+      val small = compRows <= broadcastCompRows
       val ec = e
-        .join(broadcast(comp.select(col("id").as("src"),
-          col("comp").as("__ca"))), "src")
-        .join(broadcast(comp.select(col("id").as("dst"),
-          col("comp").as("__cb"))), "dst")
+        .join(if (small) broadcast(ca) else ca, "src")
+        .join(if (small) broadcast(cb) else cb, "dst")
         .where(col("__ca") =!= col("__cb"))
       // min incident edge per component, both endpoint roles
       val sel = ec.select(col("__ca").as("__c"), col("key"))

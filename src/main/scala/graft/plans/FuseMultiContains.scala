@@ -47,7 +47,12 @@ object FuseMultiContains extends Rule[LogicalPlan] {
           (tr, pr) <- collect(r)
           if tl.semanticEquals(tr)
         } yield (tl, pl ++ pr)
-      case Contains(t, Literal(p: UTF8String, StringType)) if p != null =>
+      // Empty patterns are excluded: contains(text, '') is true for any
+      // non-null text (even ''), but the Aho–Corasick scan only reports
+      // after consuming a byte, so fusing '' would flip true -> false
+      // on empty text.
+      case Contains(t, Literal(p: UTF8String, StringType))
+          if p != null && p.numBytes > 0 =>
         Some((t, Seq(p.toString)))
       case _ => None
     }

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeSet, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -29,7 +29,13 @@ object PushFilterThroughGreedyThin extends Rule[LogicalPlan] with PredicateHelpe
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, gt: GreedyThin) =>
-      val keyRefs = AttributeSet(gt.keys.flatMap(_.references))
+      // Only ATTRIBUTE keys are sound push targets: a predicate over
+      // the references of a computed key (keys=[a % 10], pred a=5) is
+      // key-referencing but NOT constant per thin group, so pushing it
+      // would change which rows are kept. GreedyThinOp only builds
+      // attribute keys today, but the logical node accepts arbitrary
+      // expressions.
+      val keyRefs = AttributeSet(gt.keys.collect { case a: Attribute => a })
       val (push, keep) = splitConjunctivePredicates(cond).partition(p =>
         p.deterministic && p.references.nonEmpty &&
           p.references.subsetOf(keyRefs))

@@ -32,40 +32,24 @@ object QueriesRound7i {
             .join(li.withColumnRenamed("l_partkey", "dst"), "l_orderkey")
             .where(col("src") =!= col("dst")),
           "src", "dst", layoutKey = "src")
-        var dist = e.select(col("src").as("id")).distinct()
+        // Graph.seededBfs owns the loop: frontier-propagation shape
+        // (min-dist IS first-discovery under unit weights, so the
+        // output is identical to the full union-min fold the oracle
+        // replays), and the frontier broadcast is SIZE-GUARDED — the
+        // seed-keyed frontier is O(seeds × frontier width), which
+        // grows with |V| (seeds are id % 499), so an unconditional
+        // broadcast would OOM at 100×; above the row bound the round
+        // runs as a shuffle join against the laid-out edges.
+        val seeds = e.select(col("src").as("id")).distinct()
           .where(col("id") % 499 === 0)
-          .select(col("id").as("seed"), col("id"), lit(0L).as("dist"))
-          .localCheckpoint()
-        // Frontier discipline (the boundedBfs frontierOnly shape, with
-        // a seed column): unit edge weights mean min-dist IS the
-        // first-discovery round, so each round expands ONLY nodes
-        // discovered last round and anti-joins the settled set —
-        // identical output to the full union-min fold the oracle
-        // replays, without re-expanding dist-0..k-1 rows every round.
-        var frontier = dist
-        for (_ <- 1 to 3) {
-          // broadcast the frontier (the boundedBfs default): the laid-
-          // out edge frame never re-shuffles, so each round's only
-          // exchange is the (seed,id) min-agg on the expansion
-          val fresh = e.join(broadcast(frontier.withColumnRenamed("id", "src")), "src")
-            .select(col("seed"), col("dst").as("id"),
-              (col("dist") + 1).as("dist"))
-            .groupBy("seed", "id").agg(min("dist").as("dist"))
-            .join(dist, Seq("seed", "id"), "left_anti")
-            .localCheckpoint()
-          val oldDist = dist
-          val oldFrontier = frontier
-          dist = dist.union(fresh).localCheckpoint()
-          frontier = fresh
-          graft.ops.Checkpoints.free(oldDist)
-          if (!(oldFrontier eq oldDist)) graft.ops.Checkpoints.free(oldFrontier)
-        }
-        graft.ops.Checkpoints.free(frontier)
+        val dist = Graph.seededBfs(e, "src", "dst", seeds, hops = 3,
+          assumeLaidOut = true)
         val out = dist.where(col("dist") > 0)
           .groupBy("seed")
           .agg(count(lit(1)).as("n_reached"),
             sum(expr("1000000 div dist")).as("harmonic_micro"))
           .orderBy("seed")
+        graft.ops.Checkpoints.free(e)
         out
       },
       Some {

@@ -223,7 +223,7 @@ object QueriesRound7w {
         |  FROM tk t JOIN grid g USING (b) WHERE t.split = 'test'
         |  GROUP BY 1, 2, 3),
         |pr AS (SELECT doc_id, sc.lang AS lang,
-        |    min((tb + pbits) * 8 + idx) % 8 AS idx
+        |    min((tb + pbits) * 9 + idx) % 9 AS idx
         |  FROM sc JOIN pri USING (clang)
         |  JOIN li ON li.lang = sc.clang GROUP BY 1, 2)
         |SELECT pr.lang AS true_lang, li.lang AS pred_lang,
