@@ -2,10 +2,12 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{CodegenSupport, SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types._
 
 /** Logical node for GREEDY TEMPORAL THINNING: per key, scan rows in
   * (ts, tiebreak) order and KEEP a row only if its timestamp is at
@@ -75,7 +77,7 @@ case class GreedyThinExec(
     ts: Expression,
     tiebreak: Seq[Expression],
     gapMicros: Long,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan) extends UnaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
@@ -109,6 +111,91 @@ case class GreedyThinExec(
         keep
       }
     }, preservesPartitioning = true)
+  }
+
+  // ---- whole-stage codegen --------------------------------------------
+  //
+  // The operator is a stateful filter between two codegen'd stages
+  // (the EnsureRequirements sort below, the user's projections/aggs
+  // above); without CodegenSupport it breaks the pipeline at BOTH
+  // edges and pays an iterator + UnsafeProjection per row. The
+  // generated form is the same two-variable state machine as
+  // doExecute — (current key fields, last kept timestamp) held in
+  // class-level mutable state — inlined into the produce loop like
+  // FilterExec's predicate, with a `continue` on drop.
+
+  /** Key fields are compared/stored field-by-field in generated code,
+    * so only types with value-level equality and a safe copy are
+    * eligible; anything else falls back to the interpreted path. */
+  private def codegenKeyType(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | DateType | TimestampType |
+         TimestampNTZType | StringType => true
+    case _ => false
+  }
+
+  override def supportCodegen: Boolean =
+    keys.forall(k => codegenKeyType(k.dataType)) &&
+      (ts.dataType match {
+        case LongType | TimestampType | TimestampNTZType => true
+        case _ => false
+      })
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    child.asInstanceOf[CodegenSupport].inputRDDs()
+
+  protected override def doProduce(ctx: CodegenContext): String =
+    child.asInstanceOf[CodegenSupport].produce(ctx, this)
+
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode],
+                         row: ExprCode): String = {
+    val seen = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "thinSeen")
+    val lastKept = ctx.addMutableState(CodeGenerator.JAVA_LONG, "thinLastKept")
+    ctx.currentVars = input
+    val tsEv = BindReferences.bindReference(ts, child.output).genCode(ctx)
+    val keyEvs = keys.map(k =>
+      BindReferences.bindReference(k, child.output).genCode(ctx))
+    val states = keys.map { k =>
+      val v = ctx.addMutableState(CodeGenerator.javaType(k.dataType), "thinKey")
+      val n = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "thinKeyNull")
+      (v, n)
+    }
+    val sameKey = keys.lazyZip(keyEvs).lazyZip(states).map {
+      case (k, ev, (sv, sn)) =>
+        val eq = ctx.genEqual(k.dataType, sv, ev.value.toString)
+        s"($sn == ${ev.isNull} && ($sn || ($eq)))"
+    }.mkString(" &&\n          ")
+    val storeKey = keys.lazyZip(keyEvs).lazyZip(states).map {
+      case (k, ev, (sv, sn)) =>
+        val copied = k.dataType match {
+          // string values point into reused row/sorter buffers —
+          // copy on group change (one copy per KEY, not per row)
+          case StringType => s"${ev.isNull} ? null : ${ev.value}.clone()"
+          case _ => ev.value.toString
+        }
+        s"$sn = ${ev.isNull};\n          $sv = $copied;"
+    }.mkString("\n          ")
+    val keep = ctx.freshName("thinKeep")
+    // no `continue` here: the framework may extract this block into a
+    // split consume function where no loop encloses it — a guarded
+    // if-block drops the row just as well in every placement
+    s"""
+       |${tsEv.code}
+       |${keyEvs.map(_.code).mkString("\n")}
+       |boolean $keep;
+       |if (!$seen ||
+       |    !($sameKey)) {
+       |  $seen = true;
+       |  $storeKey
+       |  $keep = true;
+       |} else {
+       |  $keep = ${tsEv.value} >= $lastKept + ${gapMicros}L;
+       |}
+       |if ($keep) {
+       |  $lastKept = ${tsEv.value};
+       |  ${consume(ctx, input)}
+       |}
+     """.stripMargin
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): GreedyThinExec =

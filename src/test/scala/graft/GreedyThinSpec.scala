@@ -218,6 +218,54 @@ class GreedyThinSpec extends SparkSpec {
     assert(got == Set(1L, 3L, 4L, 5L))
   }
 
+  test("whole-stage codegen spans the thin node (no pipeline break)") {
+    // the r7 gap: GreedyThinExec was an interpreted mapPartitions
+    // filter between codegen'd stages. With CodegenSupport the node
+    // prints with the `*(id)` whole-stage marker, and fallback=false
+    // makes any generated-code compile error FAIL the test instead of
+    // silently reverting to the interpreted path.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val ev = Tables.events(spark, sf)
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val thinned = GreedyThinOp.thin(ev, Seq("user_id"), "ts",
+        Seq("event_id"), gap)
+      // execute FIRST: under AQE the WholeStageCodegen wrapping only
+      // exists in the final plan; fallback=false above means a
+      // generated-code compile error fails this collect
+      val got = thinned.collect().map(_.getLong(2)).toSet
+      val plan = thinned.queryExecution.executedPlan.toString
+      assert("""\*\(\d+\) GreedyThin""".r.findFirstIn(plan).isDefined, plan)
+      val rows = ev.where(col("ts").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")).as("t"),
+          col("event_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val want = rows.groupBy(_._1).values.flatMap { g =>
+        val sorted = g.sortBy(r => (r._2, r._3))
+        var lastKept = Long.MinValue
+        sorted.flatMap { case (_, t, id) =>
+          if (lastKept == Long.MinValue || t >= lastKept + gap) {
+            lastKept = t; Some(id)
+          } else None
+        }
+      }.toSet
+      assert(want.nonEmpty && got == want)
+      // composite string+long keys through the generated comparator too
+      val schema = StructType(Seq(
+        StructField("host", StringType), StructField("sec", LongType),
+        StructField("t", LongType), StructField("id", LongType)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row("a", 1L, 10L, 1L), Row("a", 1L, 12L, 2L),
+          Row("a", 2L, 10L, 3L), Row("aa", 1L, 11L, 4L),
+          Row("aa", 1L, 16L, 5L))), schema)
+      val s2 = GreedyThinOp.thin(df, Seq("host", "sec"), "t", Seq("id"), 5L)
+      assert(s2.collect().map(_.getLong(3)).toSet == Set(1L, 3L, 4L, 5L))
+      assert("""\*\(\d+\) GreedyThin""".r
+        .findFirstIn(s2.queryExecution.executedPlan.toString).isDefined)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("output partitioning survives: downstream per-key agg adds no exchange") {
     val ev = Tables.events(spark, sf)
       .select(col("user_id"), col("ts"), col("event_id"))
