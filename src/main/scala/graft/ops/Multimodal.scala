@@ -72,10 +72,15 @@ object Multimodal {
     }
   }
 
-  private val wavMetaUdf = udf(parseWavHeader _)
-
-  /** Typed metadata column from a binary WAV column. */
-  def wavMetadata(content: Column): Column = wavMetaUdf(content)
+  /** Typed metadata column from a binary WAV column — a native
+    * codegen expression (functions/MultimodalExpressions), not a
+    * UDF: the WAV lanes run it once per row, and the expression form
+    * keeps the plan inside whole-stage codegen with no encoder
+    * round-trip. */
+  def wavMetadata(content: Column): Column =
+    org.apache.spark.sql.graftglue.GraftPlanApi.column(
+      graft.functions.WavMetadataExpr(
+        org.apache.spark.sql.graftglue.GraftPlanApi.expression(content)))
 
   /** Locate the PCM `data` chunk: (offset-of-first-sample-byte, len).
     * Same guarded chunk walk as parseWavHeader. (-1, 0) when absent. */
@@ -495,10 +500,12 @@ object Multimodal {
     (0 until 16).map(p => PatchStat(p.toLong, sums(p), sqs(p)))
   }
 
-  private val patchStatsUdf = udf(patchStats32 _)
-
-  /** Patch-stat array column from a binary 32×32 BMP column. */
-  def imagePatchStats(content: Column): Column = patchStatsUdf(content)
+  /** Patch-stat array column from a binary 32×32 BMP column — native
+    * codegen expression, same rationale as [[wavMetadata]]. */
+  def imagePatchStats(content: Column): Column =
+    org.apache.spark.sql.graftglue.GraftPlanApi.column(
+      graft.functions.ImagePatchStatsExpr(
+        org.apache.spark.sql.graftglue.GraftPlanApi.expression(content)))
 
   /** 64-bit energy-envelope fingerprint over 16-bit mono PCM WAV
     * bytes — the audio counterpart of [[averageHash]]: the clip is

@@ -171,14 +171,15 @@ object QueriesRound6n {
     // 2022): classes here are the document sources; W(t,c) =
     // tf(t,c) * ln(1 + A / f(t)) with A = mean tokens per class and
     // f(t) the corpus-wide term count. Two hash-aggregations plus a
-    // broadcast of the per-term totals; the weight is an INTEGER micro
-    // surrogate — floor(tf·ln(1+A/f)·10⁶ + 0.5) — because Spark's
-    // round(double, n) (shortest-decimal BigDecimal) and DuckDB's
-    // (binary) diverge at .5 boundaries while floor on the identical
-    // IEEE double is bit-equal in both engines; the only residual
-    // cross-engine exposure is a 1-ulp libm-ln difference landing
-    // exactly on a floor boundary (~1e-9 per term, vs ~1e-6 for a
-    // 6-dp float output). Top-10 terms label each class.
+    // broadcast of the per-term totals. NO float log runs anywhere:
+    // the ratio 1 + A/f = 1 + total/(f·classes) is built as an exact
+    // fixed-point integer (2²⁰ fraction bits, overflow-safe split
+    // division) and the ln is `FixedPoint`'s integer micro-nats log
+    // (bitlength + 256-entry mantissa table, printed into the oracle
+    // from the SAME Scala array) — so the rank can never flip on a
+    // 1-ulp libm divergence at a floor boundary, at any scale, on any
+    // engine. w_micro = tf · ln_micro(1 + A/f). Top-10 terms label
+    // each class.
     QueryDef("q266_ctfidf_terms",
       (s, d) => {
         val t = documents(s, d)
@@ -187,13 +188,13 @@ object QueriesRound6n {
         val fTot = tf.groupBy("tok").agg(sum("tf").as("f"))
         val scal = tf.agg(sum(col("tf")).as("__total"),
           countDistinct(col("source")).as("__ncls"))
-          .select((col("__total").cast("double") /
-            col("__ncls").cast("double")).as("__a"))
         val w = tf.join(broadcast(fTot), "tok")
           .crossJoin(broadcast(scal))
-          .withColumn("w_micro", floor(col("tf").cast("double") *
-            log(lit(1.0) + col("__a") / col("f").cast("double")) *
-            lit(1000000.0) + lit(0.5)).cast("long"))
+          .withColumn("__r",
+            expr(graft.ops.FixedPoint.sparkRatioFp20(
+              "__total", "(f * __ncls)")))
+          .withColumn("w_micro",
+            expr(s"tf * ${graft.ops.FixedPoint.sparkLnMicroFp20("__r")}"))
         w.withColumn("rank", row_number().over(
             Window.partitionBy("source")
               .orderBy(col("w_micro").desc, col("tok").asc)))
@@ -205,18 +206,18 @@ object QueriesRound6n {
       Some(s"""WITH t AS (SELECT source, unnest(${DuckSql.toks("text")}) AS tok
         |  FROM documents),
         |tf AS (SELECT source, tok, count(*) AS tf FROM t GROUP BY 1, 2),
-        |ft AS (SELECT tok, sum(tf) AS f FROM tf GROUP BY 1),
-        |sc AS (SELECT CAST(sum(tf) AS DOUBLE) /
-        |    count(DISTINCT source) AS a FROM tf),
+        |ft AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS f FROM tf GROUP BY 1),
+        |sc AS (SELECT CAST(sum(tf) AS BIGINT) AS total,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS ncls FROM tf),
         |w AS (SELECT tf.source, tf.tok, tf.tf, ft.f,
-        |    CAST(floor(CAST(tf.tf AS DOUBLE)
-        |      * ln(1 + sc.a / CAST(ft.f AS DOUBLE))
-        |      * 1000000 + 0.5) AS BIGINT) AS w_micro
+        |    tf.tf * ${graft.ops.FixedPoint.duckLnMicroFp20(
+          graft.ops.FixedPoint.duckRatioFp20("total", "(f * ncls)"))}
+        |      AS w_micro
         |  FROM tf JOIN ft USING (tok), sc),
         |r AS (SELECT *, row_number() OVER (PARTITION BY source
         |    ORDER BY w_micro DESC, tok ASC) AS rank FROM w)
         |SELECT source, rank, tok, CAST(tf AS BIGINT) AS tf,
-        |  CAST(f AS BIGINT) AS f, w_micro
+        |  CAST(f AS BIGINT) AS f, CAST(w_micro AS BIGINT) AS w_micro
         |FROM r WHERE rank <= 10 ORDER BY source, rank""".stripMargin)),
 
     // ---- q267: l-diversity audit --------------------------------------

@@ -20,7 +20,9 @@ object QueriesRound7ae {
     // nbrs[md5(seed, walk, step, cur) % degree] over the node's SORTED
     // neighbor array — fully deterministic, so both engines and any
     // partitioning generate the identical corpus. The neighbor-array
-    // frame is built once (degree-bounded arrays, one shuffle) and the
+    // frame is built once (DEGREE-CAPPED at the 64 smallest neighbors
+    // — a power-law hub can't put its whole adjacency in one row; the
+    // oracle mirrors the cap and q424 audits the trim) and the
     // 6 steps are 6 keyed joins against it — at 100 TB this is
     // walks×steps join work, never a per-step global sort. Output:
     // per (seed, walk) the final node and a position-weighted path
@@ -33,7 +35,17 @@ object QueriesRound7ae {
           .where(col("src") =!= col("dst"))
           .select(col("src").cast("long").as("src"),
             col("dst").cast("long").as("dst")).distinct()
-        val nbrs = e.groupBy("src")
+        // Degree cap (the lshCandidatePairs maxBucket discipline): keep
+        // only the 64 SMALLEST neighbors per node — deterministic, the
+        // oracle mirrors it, every node stays present so no walk is
+        // dropped, and a power-law hub at web scale can't put its whole
+        // adjacency in one row. row_number caps BEFORE collect_list so
+        // the agg buffer itself stays bounded; q424 audits the trim.
+        val nbrs = e.withColumn("__rn",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy("src").orderBy("dst")))
+          .where(col("__rn") <= 64)
+          .groupBy("src")
           .agg(sort_array(collect_list("dst")).as("nb"))
           .localCheckpoint() // consumed once per step
         var walk = nbrs.where(col("src") % 25 === 0)
@@ -74,7 +86,7 @@ object QueriesRound7ae {
         |    b.l_partkey AS dst
         |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
         |    AND a.l_partkey != b.l_partkey),
-        |nbrs AS (SELECT src, list_sort(list(dst)) AS nb
+        |nbrs AS (SELECT src, list_sort(list(dst))[1:64] AS nb
         |  FROM e GROUP BY 1),
         |w0 AS (SELECT src AS seed, w, src AS cur, src AS ck
         |  FROM nbrs, (SELECT unnest(generate_series(0, 3)) AS w)
