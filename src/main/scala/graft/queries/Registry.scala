@@ -84,7 +84,8 @@ object Registry {
       QueriesRound7an.defs ++
       QueriesRound7ao.defs ++
       QueriesRound7ap.defs ++
-      QueriesRound7aq.defs
+      QueriesRound7aq.defs ++
+      QueriesRound8.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

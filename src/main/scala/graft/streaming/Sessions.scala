@@ -132,6 +132,37 @@ object Sessions {
     spark.table(name)
   }
 
+  /** [[runStreamToBatch]] for a CUSTOM DataSourceV2 streaming source
+    * (by format name + options) instead of a file source — the runner
+    * behind the q425 device-capture lane. Same contract: the
+    * transform sees a genuine streaming DataFrame, AvailableNow
+    * bounds the run (the source's admission control still splits it
+    * into rate-limited micro-batches), and the final memory-sink
+    * table is returned as a batch frame. */
+  def runSourceStreamToBatch(spark: org.apache.spark.sql.SparkSession,
+                             format: String,
+                             options: Map[String, String],
+                             transform: DataFrame => DataFrame,
+                             outputMode: String = "complete",
+                             shufflePartitions: Option[Int] = None): DataFrame = {
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      shufflePartitions.foreach(p =>
+        spark.conf.set("spark.sql.shuffle.partitions", p.toString))
+      val stream = spark.readStream.format(format).options(options).load()
+      transform(stream).writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try q.awaitTermination()
+    finally q.stop()
+    spark.table(name)
+  }
+
   def windowedCounts(events: DataFrame, tsCol: String, valueCol: String,
                      window: String = "10 minutes",
                      watermark: String = "30 minutes"): DataFrame =

@@ -266,6 +266,46 @@ class GreedyThinSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
+  test("AQE skew handling never violates the operator's ClusteredDistribution") {
+    // the r7 stretch item: a deliberately skewed key under AQE. AQE's
+    // skew machinery can SPLIT a partition only inside its skew-join
+    // rule; the coalescing it applies to a plain ENSURE_REQUIREMENTS
+    // exchange merges whole hash partitions and can never send one
+    // key to two tasks — so the thin node's per-partition state
+    // machine stays sound. The detector is the semantics itself: if a
+    // hot key were ever split, each fragment would re-keep its own
+    // "first row" and the kept count for that key would exceed the
+    // sequential reference's.
+    val hot = (1 to 40000).map(i => (7L, (i * 13L) % 100000L, i.toLong))
+    val cold = (1 to 500).map(i => ((i % 50 + 100).toLong, i.toLong * 3L, (50000 + i).toLong))
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("t", LongType),
+      StructField("id", LongType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize((hot ++ cold).map(r => Row(r._1, r._2, r._3)), 13),
+      schema)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val thinned = GreedyThinOp.thin(df, Seq("k"), "t", Seq("id"), 17L)
+      val got = thinned.collect().map(r => (r.getLong(0), r.getLong(2)))
+      val want = (hot ++ cold).groupBy(_._1).values.flatMap { g =>
+        val sorted = g.sortBy(r => (r._2, r._3))
+        var last = Long.MinValue
+        sorted.flatMap { case (k, t, id) =>
+          if (last == Long.MinValue || t >= last + 17L) { last = t; Some((k, id)) }
+          else None
+        }
+      }.toSet
+      assert(got.length == got.toSet.size) // no fragment double-keeps
+      assert(got.toSet == want)
+      // and AQE actually re-planned the exchange (final adaptive plan)
+      val plan = thinned.queryExecution.executedPlan.toString
+      assert(plan.contains("AdaptiveSparkPlan isFinalPlan=true"), plan)
+      assert(plan.contains("GreedyThin"), plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("output partitioning survives: downstream per-key agg adds no exchange") {
     val ev = Tables.events(spark, sf)
       .select(col("user_id"), col("ts"), col("event_id"))
