@@ -35,17 +35,24 @@ import org.apache.spark.sql.types._
   * Determinism: callers pass `tiebreak` columns that make (keys, ts,
   * tiebreak) a total order, so the kept set is unique; ties on ts
   * within the gap window are dropped (a second row at the kept
-  * timestamp is `< lastKept + gap` for any gap > 0). Rows where ts
-  * or a key is null must be filtered upstream (nulls sort first and
-  * would seed a key's scan with a garbage timestamp).
+  * timestamp is `< lastKept + gap` for any gap > 0). Rows where ts,
+  * a key, or the gap is null must be filtered upstream (nulls sort
+  * first and would seed a key's scan with a garbage timestamp).
+  *
+  * `gap` is an EXPRESSION in epoch micros, evaluated on each
+  * candidate row — a literal for the uniform debounce, a column for
+  * per-key budgets ("news domains every 6 h, archives every 30 d":
+  * join the policy dim, thin on the joined gap). The kept set is
+  * well-defined for any gap expression (the scan is still a single
+  * deterministic pass), but the per-KEY-constant case is the one the
+  * pushdown rule's commutation law and the oracle replays assume.
   */
 case class GreedyThin(
     keys: Seq[Expression],
     ts: Expression,
     tiebreak: Seq[Expression],
-    gapMicros: Long,
+    gap: Expression,
     child: LogicalPlan) extends UnaryNode {
-  require(gapMicros > 0, "greedyThin needs a positive gap")
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): GreedyThin =
@@ -76,7 +83,7 @@ case class GreedyThinExec(
     keys: Seq[Expression],
     ts: Expression,
     tiebreak: Seq[Expression],
-    gapMicros: Long,
+    gap: Expression,
     child: SparkPlan) extends UnaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = child.output
@@ -93,20 +100,21 @@ case class GreedyThinExec(
     val childOutput = child.output
     val keyExprs = keys
     val tsExpr = ts
-    val gap = gapMicros
+    val gapExpr = gap
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
-      val tsProj = UnsafeProjection.create(Seq(tsExpr), childOutput)
+      val tsProj = UnsafeProjection.create(Seq(tsExpr, gapExpr), childOutput)
       var curKey: UnsafeRow = null
       var lastKept = 0L
       iter.filter { row =>
         // projections reuse their buffers; the key is copied only on
         // group change (one tiny copy per key, not per row)
-        val t = tsProj(row).getLong(0)
+        val tg = tsProj(row)
+        val t = tg.getLong(0)
         val k = keyProj(row)
         val keep =
           if (curKey == null || k != curKey) { curKey = k.copy(); true }
-          else t >= lastKept + gap
+          else t >= lastKept + tg.getLong(1)
         if (keep) lastKept = t
         keep
       }
@@ -134,12 +142,14 @@ case class GreedyThinExec(
     case _ => false
   }
 
+  private def longBacked(dt: DataType): Boolean = dt match {
+    case LongType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
   override def supportCodegen: Boolean =
     keys.forall(k => codegenKeyType(k.dataType)) &&
-      (ts.dataType match {
-        case LongType | TimestampType | TimestampNTZType => true
-        case _ => false
-      })
+      longBacked(ts.dataType) && gap.dataType == LongType
 
   override def inputRDDs(): Seq[RDD[InternalRow]] =
     child.asInstanceOf[CodegenSupport].inputRDDs()
@@ -153,6 +163,7 @@ case class GreedyThinExec(
     val lastKept = ctx.addMutableState(CodeGenerator.JAVA_LONG, "thinLastKept")
     ctx.currentVars = input
     val tsEv = BindReferences.bindReference(ts, child.output).genCode(ctx)
+    val gapEv = BindReferences.bindReference(gap, child.output).genCode(ctx)
     val keyEvs = keys.map(k =>
       BindReferences.bindReference(k, child.output).genCode(ctx))
     val states = keys.map { k =>
@@ -181,6 +192,7 @@ case class GreedyThinExec(
     // if-block drops the row just as well in every placement
     s"""
        |${tsEv.code}
+       |${gapEv.code}
        |${keyEvs.map(_.code).mkString("\n")}
        |boolean $keep;
        |if (!$seen ||
@@ -189,7 +201,7 @@ case class GreedyThinExec(
        |  $storeKey
        |  $keep = true;
        |} else {
-       |  $keep = ${tsEv.value} >= $lastKept + ${gapMicros}L;
+       |  $keep = ${tsEv.value} >= $lastKept + ${gapEv.value};
        |}
        |if ($keep) {
        |  $lastKept = ${tsEv.value};

@@ -23,7 +23,7 @@ object PruneColumnsThroughGreedyThin extends Rule[LogicalPlan] {
     case p @ Project(exprs, gt: GreedyThin) =>
       val needed = AttributeSet(exprs.flatMap(_.references)) ++
         AttributeSet(gt.keys.flatMap(_.references)) ++
-        gt.ts.references ++
+        gt.ts.references ++ gt.gap.references ++
         AttributeSet(gt.tiebreak.flatMap(_.references))
       val kept = gt.child.output.filter(needed.contains)
       if (kept.length == gt.child.output.length) p

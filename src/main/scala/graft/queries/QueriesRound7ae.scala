@@ -39,15 +39,23 @@ object QueriesRound7ae {
         // only the 64 SMALLEST neighbors per node — deterministic, the
         // oracle mirrors it, every node stays present so no walk is
         // dropped, and a power-law hub at web scale can't put its whole
-        // adjacency in one row. row_number caps BEFORE collect_list so
-        // the agg buffer itself stays bounded; q424 audits the trim.
-        val nbrs = e.withColumn("__rn",
-            row_number().over(org.apache.spark.sql.expressions.Window
-              .partitionBy("src").orderBy("dst")))
-          .where(col("__rn") <= 64)
-          .groupBy("src")
+        // adjacency in one row. The cap is DEGREE-SPLIT: nodes at or
+        // under the cap skip straight to the (bounded-buffer) list agg;
+        // only the hub slice pays a row_number sort — on a power-law
+        // graph that slice is a vanishing fraction of E, so the cap
+        // never costs a global edge sort. q424 audits the trim.
+        val deg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+        val ed = e.join(deg, Seq("src")).localCheckpoint()
+        val capped = ed.where(col("__deg") <= 64).select("src", "dst")
+          .unionByName(ed.where(col("__deg") > 64)
+            .withColumn("__rn",
+              row_number().over(org.apache.spark.sql.expressions.Window
+                .partitionBy("src").orderBy("dst")))
+            .where(col("__rn") <= 64).select("src", "dst"))
+        val nbrs = capped.groupBy("src")
           .agg(sort_array(collect_list("dst")).as("nb"))
           .localCheckpoint() // consumed once per step
+        graft.ops.Checkpoints.free(ed)
         var walk = nbrs.where(col("src") % 25 === 0)
           .select(col("src").as("seed"),
             explode(sequence(lit(0), lit(3))).as("w"))

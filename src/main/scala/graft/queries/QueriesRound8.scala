@@ -90,5 +90,52 @@ object QueriesRound8 {
         |  CAST(0 AS BIGINT) AS n_invalid
         |FROM (SELECT unnest(generate_series(0, 2)) AS d),
         |     (SELECT unnest(generate_series(0, 39)) AS s)
-        |GROUP BY 1 ORDER BY 1""".stripMargin)))
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- q426: ADAPTIVE-gap greedy thinning ------------------------------
+    // The flagship operator with a per-key recrawl BUDGET instead of
+    // one global gap — "news users every 6 h, bulk every 12 h,
+    // archives every 48 h": the gap is an epoch-micros COLUMN
+    // evaluated per candidate row (GreedyThinOp.thinAdaptive), here
+    // derived from user_id % 3, in production joined from a policy
+    // dimension. Same custom logical node → strategy → whole-stage-
+    // codegen'd exec; the oracle replays the greedy recurrence as a
+    // recursive CTE with the gap resolved per user. The three gap
+    // tiers produce visibly different kept densities, so the hash
+    // would catch a gap-column mixup immediately.
+    QueryDef("q426_adaptive_thinning",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .where(col("ts").isNotNull && col("user_id").isNotNull)
+          .withColumn("gap_us", element_at(
+            array(lit(6L * 3600L * 1000000L), lit(12L * 3600L * 1000000L),
+              lit(48L * 3600L * 1000000L)),
+            (col("user_id") % 3 + 1).cast("int")))
+        graft.plans.GreedyThinOp.thinAdaptive(ev, Seq("user_id"), "ts",
+            Seq("event_id"), "gap_us")
+          .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+            col("event_id"))
+          .orderBy("user_id", "tus")
+      },
+      Some("""WITH RECURSIVE ev AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |         CASE user_id % 3 WHEN 0 THEN 21600000000
+        |           WHEN 1 THEN 43200000000
+        |           ELSE 172800000000 END AS g,
+        |         epoch_us(ts)::HUGEINT * 1000000000000 + event_id AS k
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |kept AS (
+        |  SELECT e.user_id, e.tus, e.event_id, e.g FROM ev e
+        |  JOIN (SELECT user_id, min(k) AS k FROM ev GROUP BY 1) m
+        |    ON m.user_id = e.user_id AND m.k = e.k
+        |  UNION ALL
+        |  SELECT n.user_id, n.tus, n.event_id, n.g FROM (
+        |    SELECT e2.user_id, min(e2.k) AS k
+        |    FROM kept k0 JOIN ev e2 ON e2.user_id = k0.user_id
+        |      AND e2.tus >= k0.tus + k0.g
+        |    GROUP BY 1) m
+        |  JOIN ev n ON n.user_id = m.user_id AND n.k = m.k)
+        |SELECT user_id, tus, event_id FROM kept
+        |ORDER BY user_id, tus""".stripMargin)))
 }

@@ -266,6 +266,38 @@ class GreedyThinSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
+  test("adaptive per-key gap equals the sequential reference (through codegen)") {
+    val rnd = new scala.util.Random(826)
+    val rows = (1 to 600).map { i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(60).toLong, i.toLong)
+    }
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("t", LongType),
+      StructField("id", LongType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3)), 5),
+      schema)
+      .withColumn("g", col("k") % 3 * 4 + 2) // per-key gaps 2, 6, 10
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val out = GreedyThinOp.thinAdaptive(df, Seq("k"), "t", Seq("id"), "g")
+      val got = out.collect().map(_.getLong(2)).toSet
+      assert("""\*\(\d+\) GreedyThin""".r
+        .findFirstIn(out.queryExecution.executedPlan.toString).isDefined)
+      val want = rows.groupBy(_._1).values.flatMap { grp =>
+        val k = grp.head._1
+        val gap = k % 3 * 4 + 2
+        val sorted = grp.sortBy(r => (r._2, r._3))
+        var last = Long.MinValue
+        sorted.flatMap { case (_, t, id) =>
+          if (last == Long.MinValue || t >= last + gap) { last = t; Some(id) }
+          else None
+        }
+      }.toSet
+      assert(got == want && want.nonEmpty)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("AQE skew handling never violates the operator's ClusteredDistribution") {
     // the r7 stretch item: a deliberately skewed key under AQE. AQE's
     // skew machinery can SPLIT a partition only inside its skew-join
