@@ -85,7 +85,8 @@ object Registry {
       QueriesRound7ao.defs ++
       QueriesRound7ap.defs ++
       QueriesRound7aq.defs ++
-      QueriesRound8.defs
+      QueriesRound8.defs ++
+      QueriesRound8b.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
