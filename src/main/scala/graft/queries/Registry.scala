@@ -86,7 +86,8 @@ object Registry {
       QueriesRound7ap.defs ++
       QueriesRound7aq.defs ++
       QueriesRound8.defs ++
-      QueriesRound8b.defs
+      QueriesRound8b.defs ++
+      QueriesRound8c.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -40,6 +40,9 @@ case class MaxPoint(key: Long, ts_us: Long, seq: Long, running_max: Double)
 case class ThinState(lastKept: Long)
 case class ThinKept(user_id: Long, tus: Long, event_id: Long)
 
+/** streamingAdaptiveThin input: a [[ValEvent]] with a per-row gap. */
+case class GapEvent(key: Long, ts_us: Long, seq: Long, gap_us: Long)
+
 /** streamingTopK state/output: the k largest values seen per key
   * (emission carries the first three, padded with nulls). */
 case class TopKState(n: Long, vs: Seq[Double])
@@ -493,6 +496,34 @@ object Sessions {
         var last = state.getOption.map(_.lastKept).getOrElse(Long.MinValue)
         val kept = sorted.flatMap { e =>
           if (last == Long.MinValue || e.ts_us >= last + gapMicros) {
+            last = e.ts_us
+            Some(ThinKept(key, e.ts_us, e.seq))
+          } else None
+        }
+        state.update(ThinState(last))
+        kept.iterator
+      }
+    }
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** [[streamingGreedyThin]] with a PER-ROW gap (the q426 adaptive
+    * recrawl budget at ingest time): keep an event iff its timestamp
+    * is >= the CANDIDATE row's own gap after the last kept event of
+    * its key. State stays one long per key; rows are final on emit
+    * (Append). The batch twin is GreedyThinOp.thinAdaptive — same
+    * recurrence, two execution models, one oracle (q431). */
+  def streamingAdaptiveThin(events: Dataset[GapEvent]): Dataset[ThinKept] = {
+    import events.sparkSession.implicits._
+    def update(key: Long, rows: Iterator[GapEvent],
+               state: GroupState[ThinState]): Iterator[ThinKept] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.seq))
+      if (sorted.isEmpty) Iterator.empty
+      else {
+        var last = state.getOption.map(_.lastKept).getOrElse(Long.MinValue)
+        val kept = sorted.flatMap { e =>
+          if (last == Long.MinValue || e.ts_us >= last + e.gap_us) {
             last = e.ts_us
             Some(ThinKept(key, e.ts_us, e.seq))
           } else None

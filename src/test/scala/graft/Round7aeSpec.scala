@@ -22,8 +22,10 @@ class Round7aeSpec extends SparkSpec {
         val ps = grp.map(_._2).distinct.toSeq
         for (a <- ps; b <- ps if a != b) yield (a, b)
       }.distinct
+    // mirror the r8 degree cap: each node keeps only its 64 smallest
+    // neighbors (the power-law-hub guard the query now applies)
     val nbrs = pairs.groupBy(_._1)
-      .map { case (s2, v) => s2 -> v.map(_._2).sorted.toVector }
+      .map { case (s2, v) => s2 -> v.map(_._2).sorted.take(64).toVector }
     val want = nbrs.keys.filter(_ % 25 == 0).toSeq.sorted.flatMap { seed =>
       (0 to 3).map { w =>
         var cur = seed; var ck = seed
