@@ -87,7 +87,8 @@ object Registry {
       QueriesRound7aq.defs ++
       QueriesRound8.defs ++
       QueriesRound8b.defs ++
-      QueriesRound8c.defs
+      QueriesRound8c.defs ++
+      QueriesRound8d.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
