@@ -202,22 +202,28 @@ object QueriesRound8b {
         |FROM hit WHERE rn = 1 ORDER BY target_ppm""".stripMargin)),
 
     // ---- q430: KMV sketch set algebra ------------------------------------
-    // Distinct-token set operations BETWEEN sources from k-minimum-
+    // Distinct-SHINGLE set operations BETWEEN sources from k-minimum-
     // value sketches (the mergeable-summaries property the KmvDistinct
     // aggregate is built on, here as a relational pipeline so the
     // oracle replays every step): per source the 128 smallest md5
-    // hashes of its distinct tokens; union estimate from the k-th
-    // minimum of the MERGED sketch (k smallest of the union of the two
-    // sketches — exact by the k-min merge property); intersection via
-    // the Jaccard-style membership fraction ρ·est_union/k. Exact
-    // counts ride along so the error is MEASURED (the q262/q268
-    // discipline), and every estimate is a deterministic integer —
-    // sketches, estimates, and errors all hash-verify.
+    // hashes of its distinct 3-gram shingles (the shingle universe is
+    // ~10³ per source on this corpus, so the k-th-minimum ESTIMATOR
+    // path genuinely runs — the raw token vocabulary is only 31
+    // strings, which would degenerate to the <k exact path); union
+    // estimate from the k-th minimum of the MERGED sketch (k smallest
+    // of the union of the two sketches — exact by the k-min merge
+    // property); intersection via the Jaccard-style membership
+    // fraction ρ·est_union/k. Exact counts ride along so the error is
+    // MEASURED (the q262/q268 discipline), and every estimate is a
+    // deterministic integer — sketches, estimates, and errors all
+    // hash-verify.
     QueryDef("q430_kmv_set_algebra",
       (s, d) => {
         val k = 128
         val dt = documents(s, d)
-          .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+          .select(col("source"),
+            explode(graft.ops.Dedup.wordShingles(
+              Text.tokens(col("text")), 3)).as("tok"))
           .distinct()
           .select(col("source"), col("tok"),
             graft.ops.Sampling.hashLong(col("tok")).as("h"))
@@ -274,7 +280,8 @@ object QueriesRound8b {
       Some {
         val h = DuckSql.hashLong("tok")
         s"""WITH dt AS (SELECT DISTINCT source, tok FROM (
-        |    SELECT source, unnest(${DuckSql.toks("text")}) AS tok
+        |    SELECT source,
+        |      unnest(${DuckSql.shingles(DuckSql.toks("text"), 3)}) AS tok
         |    FROM documents)),
         |dh AS (SELECT source, tok, ($h) AS h FROM dt),
         |sk AS (SELECT source, h FROM (

@@ -88,7 +88,8 @@ object Registry {
       QueriesRound8.defs ++
       QueriesRound8b.defs ++
       QueriesRound8c.defs ++
-      QueriesRound8d.defs
+      QueriesRound8d.defs ++
+      QueriesRound8e.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
