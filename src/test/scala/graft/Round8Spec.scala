@@ -109,6 +109,107 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("empty-string pattern disables contains-OR fusion (semantics preserved)") {
+    // the r8 ADVICE fix: contains(text, '') is true for any non-null
+    // text including '', but the Aho–Corasick scan reports only after
+    // consuming a byte — so an empty literal must poison fusion, and
+    // the naive OR plan must keep the empty-text row.
+    graft.functions.GraftFunctions.register(spark)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("t", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, ""), Row(2L, "xyz"), Row(3L, "has alpha here"),
+        Row(4L, null)), 2), schema)
+    val withEmpty = df.where(col("t").contains("") ||
+      col("t").contains("alpha") || col("t").contains("beta") ||
+      col("t").contains("gamma"))
+    // '' matches every non-null text — row 1 (empty) must survive
+    assert(withEmpty.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    assert(!withEmpty.queryExecution.optimizedPlan.toString
+      .contains("graft_multi_contains"))
+    // without the empty literal the same shape still fuses
+    val fused = df.where(col("t").contains("alpha") ||
+      col("t").contains("beta") || col("t").contains("gamma"))
+    assert(fused.queryExecution.optimizedPlan.toString
+      .contains("graft_multi_contains"))
+    assert(fused.collect().map(_.getLong(0)).toSet == Set(3L))
+  }
+
+  test("computed-key GreedyThin: key-reference predicate is NOT pushed") {
+    // the r8 ADVICE fix: with keys = [k % 10], the predicate k = 15
+    // references only the key's references but is NOT constant per
+    // thin group — pushing it would change which rows are kept. The
+    // public API only builds attribute keys; construct the logical
+    // node directly to pin the rule's guard.
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Pmod}
+    graft.functions.GraftFunctions.register(spark)
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("t", LongType), StructField("id", LongType)))
+    // k=5 and k=15 share thin group (k%10=5); gap 100 drops the later
+    // row of the group. Filter k=15 AFTER thinning: the kept set for
+    // group 5 is decided by BOTH rows, so filter-then-thin differs.
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(5L, 10L, 1L), Row(15L, 20L, 2L), Row(15L, 500L, 3L)), 2),
+      schema)
+    val child = df.queryExecution.analyzed
+    val kAttr = child.output.find(_.name == "k").get
+    val node = graft.plans.GreedyThin(
+      Seq(Pmod(kAttr, Literal(10L))),
+      child.output.find(_.name == "t").get,
+      Seq(child.output.find(_.name == "id").get),
+      Literal(100L), child)
+    val thinned = org.apache.spark.sql.graftglue.GraftPlanApi
+      .ofRows(spark, node)
+    val filtered = thinned.where(col("k") === 15L)
+    val optimized = filtered.queryExecution.optimizedPlan.toString
+    // Filter stays ABOVE GreedyThin
+    assert(optimized.indexOf("Filter") < optimized.indexOf("GreedyThin"),
+      optimized)
+    // thin-then-filter: group 5 keeps t=10 (id 1, filtered out) and
+    // t=500 (id 3); t=20 is within gap of the KEPT t=10 row. A pushed
+    // filter would instead keep id 2 and id 3.
+    assert(filtered.collect().map(_.getLong(2)).toSet == Set(3L))
+  }
+
+  test("naiveBayesConfusion: docs at idx == maxLabels no longer vanish") {
+    // the r8 ADVICE fix pinned at its exact boundary: 8 distinct
+    // labels with maxLabels = 8 — the label ranked 8th used to decode
+    // as residue 0 and silently drop its docs from the matrix
+    val labels = ('a' to 'h').map(_.toString)
+    val rows = (1 to 160).map { i =>
+      val lab = labels(i % 8)
+      Row(i.toLong, lab, s"tok_$lab tok_$lab tok_$lab word$i")
+    }
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("label", StringType), StructField("text", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+    val cm = graft.ops.Classify
+      .naiveBayesConfusion(df, "id", "label", "text", maxLabels = 8)
+      .collect()
+    // every scored doc lands in the matrix: totals equal the test split
+    val total = cm.map(_.getLong(2)).sum
+    val testDocs = graft.ops.Sampling.hashSplit(
+        df.select(col("id"), col("label"), col("text")), "id", 75, 0)
+      .where(col("split") === "test").count()
+    assert(total == testDocs && total > 0)
+    // and the class-specific vocabulary makes it diagonal — including
+    // the 8th label, which the old key dropped
+    val predLabels = cm.map(_.getString(1)).toSet
+    assert(predLabels.size == 8, predLabels.toString)
+    assert(cm.forall(r => r.getString(0) == r.getString(1)))
+    // 9 labels exceed the bound and must fail fast, not corrupt
+    val extra = (9990L to 9997L).map(i => Row(i, "i", "tok_i tok_i"))
+    val df9 = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows ++ extra, 4), schema)
+    intercept[IllegalArgumentException] {
+      graft.ops.Classify.naiveBayesConfusion(df9, "id", "label", "text",
+        maxLabels = 8).collect()
+    }
+  }
+
   test("FixedPoint ratio: split form is exact floor((1 + n/d) * 2^20)") {
     val cases = Seq((1L, 1L), (7L, 3L), (1000000L, 17L),
       (8999999999L, 123457L), (5L, 1000000000L))
