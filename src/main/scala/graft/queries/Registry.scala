@@ -89,7 +89,8 @@ object Registry {
       QueriesRound8b.defs ++
       QueriesRound8c.defs ++
       QueriesRound8d.defs ++
-      QueriesRound8e.defs
+      QueriesRound8e.defs ++
+      QueriesRound8f.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
