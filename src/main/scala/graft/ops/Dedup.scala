@@ -544,8 +544,12 @@ object Dedup {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("__p")).rowsBetween(0, w - 1)
     val sh = df
+      // tokens in their own projection: inlined into the generator,
+      // every slice in the shingle lambda re-runs the regexp
+      // tokenization per shingle index (measured 20x on q430)
+      .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
       .select(col(idCol),
-        posexplode(wordShingles(Text.tokens(col(textCol)), shingleN))
+        posexplode(wordShingles(col("__toks"), shingleN))
           .as(Seq("__p", "__sh")))
       .where(col("__p") < (1 << 20) - 1)
       .repartition(col(idCol))

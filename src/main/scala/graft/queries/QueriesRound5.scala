@@ -259,11 +259,16 @@ object QueriesRound5 {
     // division.
     QueryDef("q167_contamination",
       (s, d) => {
-        val d0 = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
+        // tokens materialized behind an exchange barrier (shingleRows
+        // discipline): both sh() calls below would otherwise re-run the
+        // regexp tokenization per shingle-slice lambda position
+        val d0 = documents(s, d).select(col("doc_id"), col("lang"),
+          Text.tokens(col("text")).as("__toks"),
           (Sampling.hashLong(col("doc_id")) % 100).as("hm"))
+          .repartition(col("doc_id"))
         def sh(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
           col("lang"),
-          explode(Dedup.wordShingles(Text.tokens(col("text")), 8)).as("sh"))
+          explode(Dedup.wordShingles(col("__toks"), 8)).as("sh"))
         val trainSh = sh(d0.where(col("hm") < 80)).select("sh").distinct()
         val hits = sh(d0.where(col("hm") >= 80))
           .join(trainSh, Seq("sh"), "left_semi")

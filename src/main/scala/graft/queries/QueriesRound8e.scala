@@ -100,9 +100,14 @@ object QueriesRound8e {
     QueryDef("q440_kmv_merge_law",
       (s, d) => {
         val k = 128
+        // tokenize ONCE behind an exchange barrier (the shingleRows
+        // discipline — CollapseProject otherwise re-runs the regexp
+        // per shingle-slice lambda; measured 12 s vs 0.6 s at sf0.1)
         val dh = documents(s, d)
-          .select(explode(graft.ops.Dedup.wordShingles(
-              Text.tokens(col("text")), 3)).as("tok"),
+          .select(col("doc_id"), Text.tokens(col("text")).as("__toks"))
+          .repartition(col("doc_id"))
+          .select(explode(graft.ops.Dedup.wordShingles(col("__toks"), 3))
+              .as("tok"),
             (graft.ops.Sampling.hashLong(concat(col("doc_id").cast("string"),
               lit("#half"))) % 2).as("half"))
           .select(col("half"), graft.ops.Sampling.hashLong(col("tok")).as("h"))

@@ -99,10 +99,16 @@ object QueriesScaleExt {
         // sketch the 3-gram shingle space (the synthetic corpus has a
         // ~31-word vocabulary — smaller than any useful k — but
         // thousands of distinct shingles at every SF)
+        // tokenize once behind an exchange barrier (shingleRows
+        // discipline — CollapseProject otherwise re-runs the regexp
+        // tokenization per shingle-slice lambda, ~10x this explode)
         val toks = documents(s, d)
           .where(col("lang").isin("en", "de"))
+          .select(col("lang"), col("doc_id"),
+            Text.tokens(col("text")).as("__toks"))
+          .repartition(col("doc_id"))
           .select(col("lang"),
-            explode(Dedup.wordShingles(Text.tokens(col("text")), ShingleN)).as("w"))
+            explode(Dedup.wordShingles(col("__toks"), ShingleN)).as("w"))
         // distinct (lang, hash) rows — the sketch input space
         val hashes = toks.select(col("lang"), md5(col("w")).as("h")).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
