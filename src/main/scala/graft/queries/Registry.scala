@@ -90,7 +90,8 @@ object Registry {
       QueriesRound8c.defs ++
       QueriesRound8d.defs ++
       QueriesRound8e.defs ++
-      QueriesRound8f.defs
+      QueriesRound8f.defs ++
+      QueriesRound8g.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
