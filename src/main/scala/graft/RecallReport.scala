@@ -58,6 +58,14 @@ object RecallReport {
           nProbe = p)))))
     rows += (("SQ8 int8 quantized (full scan)", "symmetric per-vector scale",
       recall(pairs(Similarity.sq8TopK(emb, queries, 10)))))
+    // binary-sign: 1 bit/dim — the coarsest tier; production shape is
+    // Hamming as the first filter + exact rerank (same cascade as PQ)
+    rows += (("binary-sign Hamming (full scan)", "1 bit/dim (64 bits/vec)",
+      recall(pairs(Similarity.binarySignTopK(emb, queries, 10)))))
+    val bCand = Similarity.binarySignTopK(emb, queries, 200)
+      .select(col("query_id"), col("neighbor_id"))
+    rows += (("binary-sign candidates + exact rerank", "top-200 rerank",
+      recall(pairs(Similarity.rerankExact(emb, bCand, 10)))))
     // PQ compresses 256 B of floats to a few CODES; on this corpus
     // (near-orthogonal random vectors — incompressible by design) raw
     // ADC ranking is the honest worst case, and the production shape

@@ -89,4 +89,60 @@ object Classify {
       .select(col("label").as("true_label"), col("pred_label"),
         col("n_docs"))
   }
+
+  /** Signed hashed features (the q315 hashing trick) with a label:
+    * (doc_id, y, dim, f) tuples, dim = md5(token) % 64, sign from a
+    * second hash, zero-sum dims dropped. One token shuffle; features
+    * stay in tuple form (never a wide array). */
+  def hashedFeatures(docs: DataFrame, idCol: String, textCol: String,
+                     y: org.apache.spark.sql.Column): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), y.as("y"),
+        explode(Text.tokens(col(textCol))).as("__t"))
+      .select(col("doc_id"), col("y"),
+        (Sampling.hashLong(col("__t")) % 64).as("dim"),
+        (Sampling.hashLong(concat(lit("s:"), col("__t"))) % 2 * 2 - 1)
+          .as("__sgn"))
+      .groupBy("doc_id", "y", "dim").agg(sum("__sgn").as("f"))
+      .where(col("f") =!= 0)
+
+  /** Docs misclassified under weight frame `w` (dim, w): margin
+    * y·⟨w, x⟩ ≤ 0, zero-margin (including feature-less docs)
+    * counts as misclassified — the perceptron convention. One O(64)
+    * broadcast join + one map-side-combining agg. */
+  def perceptronMiscl(feats: DataFrame, docs: DataFrame,
+                      w: DataFrame): DataFrame = {
+    val sc = feats.join(broadcast(w), "dim")
+      .groupBy("doc_id").agg(sum(col("f") * col("w")).as("__s"))
+    docs.join(sc, Seq("doc_id"), "left")
+      .where(coalesce(col("y") * col("__s"), lit(0L)) <= 0)
+      .select("doc_id")
+  }
+
+  /** Full-batch perceptron training: round r adds Σ y·x over the docs
+    * misclassified under w_{r−1} (w₀ = 0, so round 1 updates on ALL
+    * docs). Returns (weights after round 1..rounds, misclassified-doc
+    * frames entering round 1..rounds). Everything exact integers —
+    * counts, weights, margins — so training replays bit-identically
+    * on any engine (the q449 chained-CTE oracle). */
+  def perceptronFit(feats: DataFrame, docs: DataFrame,
+                    rounds: Int): (Seq[DataFrame], Seq[DataFrame]) = {
+    def step(w: DataFrame, m: DataFrame): DataFrame = {
+      val upd = feats.join(m, "doc_id")
+        .groupBy("dim").agg(sum(col("y") * col("f")).as("__u"))
+      w.join(upd, Seq("dim"), "full")
+        .select(col("dim"),
+          (coalesce(col("w"), lit(0L)) + coalesce(col("__u"), lit(0L)))
+            .as("w"))
+    }
+    val w1 = feats.groupBy("dim").agg(sum(col("y") * col("f")).as("w"))
+    var ws = Seq(w1)
+    var ms = Seq(docs.select("doc_id"))
+    for (_ <- 2 to rounds) {
+      val m = perceptronMiscl(feats, docs, ws.last)
+      ws = ws :+ step(ws.last, m)
+      ms = ms :+ m
+    }
+    (ws, ms)
+  }
 }

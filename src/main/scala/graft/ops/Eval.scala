@@ -47,4 +47,54 @@ object Eval {
       .select(col("n_pos"), col("n_neg"), col("u2"),
         expr("(u2 * 1000000L) div (n_pos * n_neg * 2L)").as("auc_ppm"))
   }
+
+  /** Isotonic regression (pool-adjacent-violators) over an ordered
+    * bin frame — the monotone calibration fit that turns q308-style
+    * reliability bins into a non-decreasing calibration map.
+    *
+    * Mechanics: each pass dissolves EVERY boundary whose left group
+    * mean exceeds its right group mean (compared by cross-multiplied
+    * integers, `sp_l·w_r > sp_r·w_l` — no division) and re-pools.
+    * Pooling violators in any order reaches the same unique isotonic
+    * solution, and each pass with a violation reduces the group count
+    * by ≥ 1, so `passes = bins − 1` always reaches the fixed point
+    * (EvalSpec pins this against the classic sequential stack PAV on
+    * random inputs).
+    *
+    * Scale shape: the corpus is already reduced to the O(bins) frame
+    * before this runs; every window here orders that tiny frame (10
+    * rows for decile bins), never the corpus — the passes cost
+    * nothing at any corpus size.
+    *
+    * Input: one row per bin with (binCol, nCol weight, posCol
+    * positive count). Output: bin, n, pos, grp (min bin of the pooled
+    * group), cal_ppm (pooled rate, floor micro) — non-decreasing in
+    * bin by construction. */
+  def pavPool(df: DataFrame, binCol: String, nCol: String,
+              posCol: String, passes: Int): DataFrame = {
+    var cur = df.select(col(binCol).cast("long").as("bin"),
+      col(nCol).cast("long").as("n"), col(posCol).cast("long").as("pos"))
+      .withColumn("__g", col("bin"))
+    val wo = Window.orderBy("__g")
+    for (_ <- 1 to passes) {
+      val mapped = cur.groupBy("__g")
+        .agg(sum("n").as("__w"), sum("pos").as("__sp"))
+        .withColumn("__pw", lag("__w", 1).over(wo))
+        .withColumn("__psp", lag("__sp", 1).over(wo))
+        .withColumn("__start", (col("__pw").isNull ||
+          !(col("__psp") * col("__w") > col("__sp") * col("__pw")))
+          .cast("long"))
+        .withColumn("__idx", sum("__start")
+          .over(wo.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("__ng", min("__g").over(Window.partitionBy("__idx")))
+        .select(col("__g").as("__og"), col("__ng"))
+      cur = cur.join(mapped, col("__g") === col("__og"))
+        .select(col("bin"), col("n"), col("pos"), col("__ng").as("__g"))
+    }
+    val pooled = cur.groupBy("__g")
+      .agg(sum("n").as("__w"), sum("pos").as("__sp"))
+    cur.join(pooled, "__g")
+      .select(col("bin"), col("n"), col("pos"), col("__g").as("grp"),
+        expr("(__sp * 1000000L) div __w").as("cal_ppm"))
+  }
 }

@@ -704,4 +704,45 @@ object Similarity {
     Checkpoints.free(gram)
     v
   }
+
+  /** SQL fragments packing the sign bits of a millis-quantized vector
+    * column `v` (array<long>, 64 dims) into two 32-bit halves — two
+    * halves so neither engine's BIGINT sign bit is ever touched.
+    * Shared by q446 and [[binarySignTopK]]. */
+  val signPackLoSql: String = "aggregate(transform(sequence(0, 31), " +
+    "i -> IF(element_at(v, i + 1) >= 0L, shiftleft(1L, i), 0L)), " +
+    "0L, (a, x) -> a + x)"
+  val signPackHiSql: String = "aggregate(transform(sequence(0, 31), " +
+    "i -> IF(element_at(v, i + 33) >= 0L, shiftleft(1L, i), 0L)), " +
+    "0L, (a, x) -> a + x)"
+
+  /** Binary-sign (1-bit) quantization search — the coarsest cascade
+    * tier under SQ8 (8 bits/dim) and PQ (sub-byte/vec): each 64-dim
+    * vector collapses to ONE 64-bit signature and candidate scoring
+    * is two XOR+popcounts. At 100 TB the signature table is 64x
+    * smaller than float32 — it lives in memory when nothing else
+    * does, which is why real systems run Hamming as the first filter
+    * and rerank survivors exactly (measured in RECALL.md next to the
+    * PQ cascade). Signatures are a pure projection; queries broadcast;
+    * ties break by neighbor id. */
+  def binarySignTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    def sigs(df: DataFrame, outId: String, lo: String, hi: String) = df
+      .select(col(idCol).as(outId),
+        transform(col(vecCol),
+          x => round(x.cast("double") * 1000, 0).cast("long")).as("v"))
+      .select(col(outId), expr(signPackLoSql).as(lo),
+        expr(signPackHiSql).as(hi))
+    val c = sigs(corpus, "neighbor_id", "lo", "hi")
+    val q = broadcast(sigs(queries, "query_id", "qlo", "qhi"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    c.join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("hamming",
+        expr("bit_count(lo ^ qlo) + bit_count(hi ^ qhi)").cast("long"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select("query_id", "neighbor_id", "hamming")
+  }
 }

@@ -91,7 +91,9 @@ object Registry {
       QueriesRound8d.defs ++
       QueriesRound8e.defs ++
       QueriesRound8f.defs ++
-      QueriesRound8g.defs
+      QueriesRound8g.defs ++
+      QueriesRound8h.defs ++
+      QueriesRound8i.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
