@@ -127,19 +127,29 @@ object Classify {
     * on any engine (the q449 chained-CTE oracle). */
   def perceptronFit(feats: DataFrame, docs: DataFrame,
                     rounds: Int): (Seq[DataFrame], Seq[DataFrame]) = {
+    // Materialize the feature frame once and every per-round artifact:
+    // each round references feats twice (scores + update) and w_{r-1}
+    // twice, so an unmaterialized loop re-tokenizes the corpus
+    // O(2^rounds) times — the pavPool lesson. The weight frames are
+    // O(64) rows, the miscl frames O(docs); and a consumer embedding
+    // the weights in a STREAMING plan (q451) must see a materialized
+    // frame, not a training DAG re-run per micro-batch.
+    val f = feats.localCheckpoint()
     def step(w: DataFrame, m: DataFrame): DataFrame = {
-      val upd = feats.join(m, "doc_id")
+      val upd = f.join(m, "doc_id")
         .groupBy("dim").agg(sum(col("y") * col("f")).as("__u"))
       w.join(upd, Seq("dim"), "full")
         .select(col("dim"),
           (coalesce(col("w"), lit(0L)) + coalesce(col("__u"), lit(0L)))
             .as("w"))
+        .localCheckpoint()
     }
-    val w1 = feats.groupBy("dim").agg(sum(col("y") * col("f")).as("w"))
+    val w1 = f.groupBy("dim").agg(sum(col("y") * col("f")).as("w"))
+      .localCheckpoint()
     var ws = Seq(w1)
     var ms = Seq(docs.select("doc_id"))
     for (_ <- 2 to rounds) {
-      val m = perceptronMiscl(feats, docs, ws.last)
+      val m = perceptronMiscl(f, docs, ws.last).localCheckpoint()
       ws = ws :+ step(ws.last, m)
       ms = ms :+ m
     }

@@ -80,4 +80,18 @@ object FixedPoint {
   def duckRatioFp20(n: String, d: String): String =
     s"(CAST($One AS BIGINT) + (($n // $d) * CAST($One AS BIGINT)) + " +
       s"((($n % $d) * CAST($One AS BIGINT)) // $d))"
+
+  /** Scala-side evaluators of the SAME definitions — for computing
+    * CONSTANTS at query-build time that are then printed as literals
+    * into both engines' SQL (e.g. the q460 SPRT increments). Bit-equal
+    * to the SQL fragments by construction (same table, same steps). */
+  def ratioFp20Long(n: Long, d: Long): Long =
+    One + (n / d) * One + ((n % d) * One) / d
+
+  def log2MicroLong(r: Long): Long = {
+    val b = 63 - java.lang.Long.numberOfLeadingZeros(r)
+    (b - Frac).toLong * 1000000L + log2Tab(((r >> (b - 8)) - 256).toInt)
+  }
+
+  def lnMicroLong(r: Long): Long = log2MicroLong(r) * Ln2Micro / 1000000L
 }

@@ -50,6 +50,55 @@ object QueriesRound8i {
     |  FROM w2 FULL JOIN u3 ON w2.dim = u3.dim)""".stripMargin
   }
 
+  /** The robots longest-prefix-gate oracle — shared with the
+    * streaming twin (q459), which must satisfy the identical law. */
+  private[queries] def duckRobotsGate: String = {
+    val rh = DuckSql.hashLong("host || '#' || prefix")
+    s"""WITH h AS (SELECT DISTINCT source || '.example.com' AS host
+    |  FROM documents),
+    |r AS (SELECT host, unnest(['/', '/docs', '/docs/priv', '/tmp'])
+    |    AS prefix FROM h),
+    |rules AS (SELECT host, prefix, $rh % 2 = 1 AS allow FROM r),
+    |u AS (SELECT doc_id, source || '.example.com' AS host,
+    |    CASE WHEN doc_id % 4 = 0 THEN '/docs/' || doc_id
+    |      WHEN doc_id % 4 = 1 THEN '/docs/priv/' || doc_id
+    |      WHEN doc_id % 4 = 2 THEN '/tmp/' || doc_id
+    |      ELSE '/' || doc_id END AS path
+    |  FROM documents)
+    |SELECT u.doc_id, u.host, u.path,
+    |  max_by(rules.prefix, length(rules.prefix)) AS rule_prefix,
+    |  max_by(rules.allow, length(rules.prefix)) AS allowed
+    |FROM u JOIN rules ON u.host = rules.host
+    |WHERE starts_with(u.path, rules.prefix)
+    |GROUP BY 1, 2, 3 ORDER BY u.doc_id""".stripMargin
+  }
+
+  /** The robots rule table + synthesized URL frame (Spark side) —
+    * shared by q453 and the streaming q459. */
+  private[queries] def robotsRulesAndUrls(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val hosts = documents(s, d).select(col("source")).distinct()
+      .select(concat(col("source"), lit(".example.com")).as("host"))
+    val rules = hosts
+      .select(col("host"), explode(array(lit("/"), lit("/docs"),
+        lit("/docs/priv"), lit("/tmp"))).as("prefix"))
+      .withColumn("allow",
+        Sampling.hashLong(concat(col("host"), lit("#"), col("prefix")))
+          % 2 === 1)
+    val urls = documents(s, d)
+      .select(col("doc_id"),
+        concat(col("source"), lit(".example.com")).as("host"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("/docs/"), col("doc_id")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("/docs/priv/"), col("doc_id")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("/tmp/"), col("doc_id")))
+          .otherwise(concat(lit("/"), col("doc_id"))).as("path"))
+    (rules, urls)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q451: STREAMING trained-model inference (lane #22) ------------
@@ -203,24 +252,7 @@ object QueriesRound8i {
     // URLs never shuffle.
     QueryDef("q453_robots_prefix_gate",
       (s, d) => {
-        val hosts = documents(s, d).select(col("source")).distinct()
-          .select(concat(col("source"), lit(".example.com")).as("host"))
-        val rules = hosts
-          .select(col("host"), explode(array(lit("/"), lit("/docs"),
-            lit("/docs/priv"), lit("/tmp"))).as("prefix"))
-          .withColumn("allow",
-            Sampling.hashLong(concat(col("host"), lit("#"), col("prefix")))
-              % 2 === 1)
-        val urls = documents(s, d)
-          .select(col("doc_id"),
-            concat(col("source"), lit(".example.com")).as("host"),
-            when(col("doc_id") % 4 === 0,
-              concat(lit("/docs/"), col("doc_id")))
-              .when(col("doc_id") % 4 === 1,
-                concat(lit("/docs/priv/"), col("doc_id")))
-              .when(col("doc_id") % 4 === 2,
-                concat(lit("/tmp/"), col("doc_id")))
-              .otherwise(concat(lit("/"), col("doc_id"))).as("path"))
+        val (rules, urls) = robotsRulesAndUrls(s, d)
         urls.join(broadcast(rules), Seq("host"))
           .where(col("path").startsWith(col("prefix")))
           .groupBy("doc_id", "host", "path")
@@ -228,26 +260,7 @@ object QueriesRound8i {
             expr("max_by(allow, length(prefix))").as("allowed"))
           .orderBy("doc_id")
       },
-      Some {
-        val rh = DuckSql.hashLong("host || '#' || prefix")
-        s"""WITH h AS (SELECT DISTINCT source || '.example.com' AS host
-        |  FROM documents),
-        |r AS (SELECT host, unnest(['/', '/docs', '/docs/priv', '/tmp'])
-        |    AS prefix FROM h),
-        |rules AS (SELECT host, prefix, $rh % 2 = 1 AS allow FROM r),
-        |u AS (SELECT doc_id, source || '.example.com' AS host,
-        |    CASE WHEN doc_id % 4 = 0 THEN '/docs/' || doc_id
-        |      WHEN doc_id % 4 = 1 THEN '/docs/priv/' || doc_id
-        |      WHEN doc_id % 4 = 2 THEN '/tmp/' || doc_id
-        |      ELSE '/' || doc_id END AS path
-        |  FROM documents)
-        |SELECT u.doc_id, u.host, u.path,
-        |  max_by(rules.prefix, length(rules.prefix)) AS rule_prefix,
-        |  max_by(rules.allow, length(rules.prefix)) AS allowed
-        |FROM u JOIN rules ON u.host = rules.host
-        |WHERE starts_with(u.path, rules.prefix)
-        |GROUP BY 1, 2, 3 ORDER BY u.doc_id""".stripMargin
-      }),
+      Some(duckRobotsGate)),
 
     // ---- q454: leave-one-source-out ablation ledger ---------------------
     // Data-valuation lite: for each source, the corpus-level LM

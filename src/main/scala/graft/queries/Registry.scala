@@ -93,7 +93,8 @@ object Registry {
       QueriesRound8f.defs ++
       QueriesRound8g.defs ++
       QueriesRound8h.defs ++
-      QueriesRound8i.defs
+      QueriesRound8i.defs ++
+      QueriesRound8j.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
