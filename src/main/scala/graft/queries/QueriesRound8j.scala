@@ -33,6 +33,50 @@ object QueriesRound8j {
       s"2 * CAST(substr($c, i, 1) AS INTEGER) END) ELSE " +
       s"CAST(substr($c, i, 1) AS INTEGER) END))"
 
+
+  /** The q456 planted-card text synthesis (Spark SQL fragment) —
+    * shared with the streaming twin q463. */
+  private[graft] def luhnPlantedTextSql: String = {
+    val pay = "lpad(CAST(doc_id * doc_id AS STRING), 15, '0')"
+    val chk = s"(10 - ${luhnSumSpark(pay, 15)} % 10) % 10"
+    val digit = s"CASE WHEN doc_id % 14 = 0 THEN $chk " +
+      s"ELSE ($chk + 5) % 10 END"
+    s"CASE WHEN doc_id % 7 = 0 " +
+      s"THEN concat(text, ' ', $pay, CAST($digit AS STRING)) " +
+      s"ELSE text END"
+  }
+
+  /** The q456 oracle — shared verbatim with the streaming twin q463
+    * (batch/stream detection parity is the verified law). */
+  private[graft] def duckLuhnGate: String = {
+    val pay = "lpad(CAST(doc_id * doc_id AS VARCHAR), 15, '0')"
+    val chk = s"(10 - ${luhnSumDuck(pay, 15)} % 10) % 10"
+    val digit = s"CASE WHEN doc_id % 14 = 0 THEN $chk " +
+      s"ELSE ($chk + 5) % 10 END"
+    s"""WITH t2 AS (SELECT doc_id, source,
+    |    CASE WHEN doc_id % 7 = 0
+    |      THEN text || ' ' || $pay || CAST($digit AS VARCHAR)
+    |      ELSE text END AS txt
+    |  FROM documents),
+    |c AS (SELECT doc_id, source, unnest(
+    |    CASE WHEN len(regexp_extract_all(txt, '\\d{16}')) = 0
+    |      THEN [NULL] ELSE regexp_extract_all(txt, '\\d{16}') END)
+    |    AS cc
+    |  FROM t2),
+    |v AS (SELECT doc_id, source, cc,
+    |    CASE WHEN cc IS NOT NULL THEN
+    |      CASE WHEN ${luhnSumDuck("cc", 16)} % 10 = 0
+    |        THEN 1 ELSE 0 END END AS ok
+    |  FROM c)
+    |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+    |  CAST(sum(CASE WHEN cc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    |    AS n_candidates,
+    |  CAST(sum(coalesce(ok, 0)) AS BIGINT) AS n_valid_cc,
+    |  CAST(sum(CASE WHEN cc IS NOT NULL AND ok = 0 THEN 1 ELSE 0 END)
+    |    AS BIGINT) AS n_luhn_reject
+    |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q456: Luhn credit-card detection ------------------------------
@@ -48,15 +92,9 @@ object QueriesRound8j {
     // 16-step integer fold, no UDF.
     QueryDef("q456_luhn_cc_detect",
       (s, d) => {
-        val pay = "lpad(CAST(doc_id * doc_id AS STRING), 15, '0')"
-        val chk = s"(10 - ${luhnSumSpark(pay, 15)} % 10) % 10"
-        val digit = s"CASE WHEN doc_id % 14 = 0 THEN $chk " +
-          s"ELSE ($chk + 5) % 10 END"
-        val txt = s"CASE WHEN doc_id % 7 = 0 " +
-          s"THEN concat(text, ' ', $pay, CAST($digit AS STRING)) " +
-          s"ELSE text END"
         val cand = documents(s, d)
-          .select(col("doc_id"), col("source"), expr(txt).as("__t2"))
+          .select(col("doc_id"), col("source"),
+            expr(luhnPlantedTextSql).as("__t2"))
           .select(col("doc_id"), col("source"),
             explode_outer(expr("regexp_extract_all(__t2, '\\\\d{16}', 0)"))
               .as("cc"))
@@ -73,34 +111,7 @@ object QueriesRound8j {
               .otherwise(0L)).as("n_luhn_reject"))
           .orderBy("source")
       },
-      Some {
-        val pay = "lpad(CAST(doc_id * doc_id AS VARCHAR), 15, '0')"
-        val chk = s"(10 - ${luhnSumDuck(pay, 15)} % 10) % 10"
-        val digit = s"CASE WHEN doc_id % 14 = 0 THEN $chk " +
-          s"ELSE ($chk + 5) % 10 END"
-        s"""WITH t2 AS (SELECT doc_id, source,
-        |    CASE WHEN doc_id % 7 = 0
-        |      THEN text || ' ' || $pay || CAST($digit AS VARCHAR)
-        |      ELSE text END AS txt
-        |  FROM documents),
-        |c AS (SELECT doc_id, source, unnest(
-        |    CASE WHEN len(regexp_extract_all(txt, '\\d{16}')) = 0
-        |      THEN [NULL] ELSE regexp_extract_all(txt, '\\d{16}') END)
-        |    AS cc
-        |  FROM t2),
-        |v AS (SELECT doc_id, source, cc,
-        |    CASE WHEN cc IS NOT NULL THEN
-        |      CASE WHEN ${luhnSumDuck("cc", 16)} % 10 = 0
-        |        THEN 1 ELSE 0 END END AS ok
-        |  FROM c)
-        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(CASE WHEN cc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_candidates,
-        |  CAST(sum(coalesce(ok, 0)) AS BIGINT) AS n_valid_cc,
-        |  CAST(sum(CASE WHEN cc IS NOT NULL AND ok = 0 THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_luhn_reject
-        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
-      }),
+      Some(duckLuhnGate)),
 
     // ---- q457: behavioral predictability (transition entropy) ----------
     // Per user, the conditional entropy H(next event | current event)

@@ -94,7 +94,8 @@ object Registry {
       QueriesRound8g.defs ++
       QueriesRound8h.defs ++
       QueriesRound8i.defs ++
-      QueriesRound8j.defs
+      QueriesRound8j.defs ++
+      QueriesRound8k.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
