@@ -95,7 +95,8 @@ object Registry {
       QueriesRound8h.defs ++
       QueriesRound8i.defs ++
       QueriesRound8j.defs ++
-      QueriesRound8k.defs
+      QueriesRound8k.defs ++
+      QueriesRound8l.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
