@@ -63,7 +63,11 @@ object GraftFunctions {
       (args: Seq[Expression]) => KmvDistinct(args.head,
         if (args.length > 1) args(1).eval().asInstanceOf[Number].intValue() else 256,
         if (args.length > 2) args(2).eval().asInstanceOf[Number].intValue() else 0)
-        .toAggregateExpression()))
+        .toAggregateExpression()),
+    (FunctionIdentifier("graft_hll_distinct"),
+      new ExpressionInfo(classOf[HllDistinct].getName, "graft_hll_distinct"),
+      (args: Seq[Expression]) =>
+        HllDistinct(args.head).toAggregateExpression()))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -98,6 +102,10 @@ object GraftFunctions {
         strats :+ graft.plans.GreedyThinStrategy
     }
   }
+
+  /** HLL distinct-count aggregate over a pre-hashed 32-bit column
+    * (Sampling.hashLong); register the functions first. */
+  def hllDistinct(c: Column): Column = call_function("graft_hll_distinct", c)
 
   /** Column-level dot product backed by the codegen'd expression.
     * Callers must have registered the functions on the session first

@@ -96,7 +96,8 @@ object Registry {
       QueriesRound8i.defs ++
       QueriesRound8j.defs ++
       QueriesRound8k.defs ++
-      QueriesRound8l.defs
+      QueriesRound8l.defs ++
+      QueriesRound8m.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
