@@ -231,6 +231,34 @@ object Multimodal {
       if (w <= 0 || w > Int.MaxValue || habs == 0)
         ImageMeta("bmp", 0, 0, 0, valid = false)
       else ImageMeta("bmp", w.toInt, habs, depth, valid = true)
+    } else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8) {
+      // JPEG: walk FF-marker segments (2-byte big-endian lengths that
+      // INCLUDE the length field) until a SOF0-SOF3 frame header gives
+      // precision/height/width; SOS/EOI or a broken walk ends it
+      def be16(o: Int): Int =
+        ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+      var o = 2
+      var out = ImageMeta("jpeg", 0, 0, 0, valid = false)
+      var done = false
+      while (!done && o + 3 < bytes.length) {
+        if ((bytes(o) & 0xff) != 0xff) done = true
+        else {
+          val marker = bytes(o + 1) & 0xff
+          if (marker == 0xd9 || marker == 0xda) done = true
+          else {
+            val len = be16(o + 2)
+            if (len < 2 || o + 2 + len > bytes.length) done = true
+            else if (marker >= 0xc0 && marker <= 0xc3 && len >= 9) {
+              val depth = bytes(o + 4) & 0xff
+              val h = be16(o + 5); val w = be16(o + 7)
+              out = ImageMeta("jpeg", w, h, depth, valid = w > 0 && h > 0)
+              done = true
+            } else o += 2 + len
+          }
+        }
+      }
+      out
     } else ImageMeta("", 0, 0, 0, valid = false)
   }
 
@@ -248,6 +276,28 @@ object Multimodal {
     buf.putInt(width).putInt(height)
     buf.put(bitDepth.toByte).put(6.toByte) // RGBA
     buf.put(0.toByte).put(0.toByte).put(0.toByte)
+    buf.array()
+  }
+
+  /** Synthesize a minimal structurally-valid JPEG header walk:
+    * SOI → APP0/JFIF → SOF0 (precision 8, one component) → EOI. No
+    * entropy-coded data — enough for the marker-walk parser, the same
+    * header-only contract as [[makePngHeader]]. */
+  def makeJpegHeader(width: Int, height: Int): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(2 + 18 + 13 + 2)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    buf.put(0xff.toByte).put(0xd8.toByte) // SOI
+    buf.put(0xff.toByte).put(0xe0.toByte).putShort(16) // APP0 len 16
+    buf.put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+    buf.put(1.toByte).put(1.toByte) // version 1.1
+    buf.put(0.toByte).putShort(1).putShort(1) // units, density
+    buf.put(0.toByte).put(0.toByte) // thumbnail 0x0
+    buf.put(0xff.toByte).put(0xc0.toByte).putShort(11) // SOF0 len 11
+    buf.put(8.toByte) // precision
+    buf.putShort(height.toShort).putShort(width.toShort)
+    buf.put(1.toByte) // one component
+    buf.put(1.toByte).put(0x11.toByte).put(0.toByte)
+    buf.put(0xff.toByte).put(0xd9.toByte) // EOI
     buf.array()
   }
 

@@ -24,11 +24,11 @@ object QueriesRound8k {
     IndexedSeq.fill(16)(IndexedSeq.fill(64)(if (rnd.nextBoolean()) 1 else -1))
   }
 
-  private def jlSparkLit: String =
+  private[queries] def jlSparkLit: String =
     jlSigns.map(_.mkString("array(", ", ", ")"))
       .mkString("array(", ", ", ")")
 
-  private def jlDuckLit: String =
+  private[queries] def jlDuckLit: String =
     jlSigns.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
 
   /** One column's hash-sampled content signature: distinct values of

@@ -97,7 +97,8 @@ object Registry {
       QueriesRound8j.defs ++
       QueriesRound8k.defs ++
       QueriesRound8l.defs ++
-      QueriesRound8m.defs
+      QueriesRound8m.defs ++
+      QueriesRound8n.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
