@@ -98,7 +98,8 @@ object Registry {
       QueriesRound8k.defs ++
       QueriesRound8l.defs ++
       QueriesRound8m.defs ++
-      QueriesRound8n.defs
+      QueriesRound8n.defs ++
+      QueriesRound8o.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
