@@ -99,7 +99,8 @@ object Registry {
       QueriesRound8l.defs ++
       QueriesRound8m.defs ++
       QueriesRound8n.defs ++
-      QueriesRound8o.defs
+      QueriesRound8o.defs ++
+      QueriesRound8p.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
