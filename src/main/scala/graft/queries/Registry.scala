@@ -100,7 +100,8 @@ object Registry {
       QueriesRound8m.defs ++
       QueriesRound8n.defs ++
       QueriesRound8o.defs ++
-      QueriesRound8p.defs
+      QueriesRound8p.defs ++
+      QueriesRound8q.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
