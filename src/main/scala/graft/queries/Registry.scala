@@ -101,7 +101,8 @@ object Registry {
       QueriesRound8n.defs ++
       QueriesRound8o.defs ++
       QueriesRound8p.defs ++
-      QueriesRound8q.defs
+      QueriesRound8q.defs ++
+      QueriesRound8r.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
