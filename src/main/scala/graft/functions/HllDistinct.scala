@@ -32,7 +32,13 @@ case class HllDistinct(
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = v.asInstanceOf[Number].longValue()
+      // mask to the documented [0, 2³²) contract: the function is in the
+      // SQL registry, so a caller can feed it a column that is NOT
+      // Sampling.hashLong output — without the mask a negative or
+      // >= 2³² value indexes outside the 64-register array and kills
+      // the executor. Masked, any long still lands in a valid register
+      // (pre-hashed inputs are unchanged: the mask is identity there).
+      val h = v.asInstanceOf[Number].longValue() & 0xFFFFFFFFL
       val bucket = (h / 67108864L).toInt // top 6 of the 32 hash bits
       val rest = h % 67108864L // low 26 bits
       val rank =

@@ -89,6 +89,11 @@ object FixedPoint {
     One + (n / d) * One + ((n % d) * One) / d
 
   def log2MicroLong(r: Long): Long = {
+    // precondition: the 256-entry mantissa table needs 8 fraction bits,
+    // so r < 256 would make (b - 8) negative — a mod-64 JVM shift that
+    // silently indexes garbage. Current callers always pass >= 2²⁰
+    // (ratioFp20Long output); fail loudly for any future small-ratio use.
+    require(r >= 256, s"log2MicroLong needs r >= 256 (8 mantissa bits), got $r")
     val b = 63 - java.lang.Long.numberOfLeadingZeros(r)
     (b - Frac).toLong * 1000000L + log2Tab(((r >> (b - 8)) - 256).toInt)
   }

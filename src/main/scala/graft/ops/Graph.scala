@@ -129,39 +129,53 @@ object Graph {
     *
     * Scale posture: the per-edge contribution is folded into the
     * O(|V|) rank frame FIRST (rank div deg — one row per source), and
-    * with `broadcastRanks = true` (the default) that frame carries an
-    * EXPLICIT broadcast hint: a rank frame re-born from a per-round
-    * localCheckpoint is a stats-less LogicalRDD, so the static planner
-    * quotes it at the default (huge) size and plans a sort-merge join
-    * — which EnsureRequirements backs with an O(|E|) Exchange of the
-    * edge frame, and AQE's late broadcast conversion cannot cancel a
-    * shuffle whose map stage already ran (measured: the hint took the
-    * one-round edge Exchange from the plan entirely). With the hint,
-    * a round touches the O(|E|) frame only as an in-place scan of the
-    * dst-partitioned cache, and the contribution aggregation that
-    * follows is partial-combining AND exchange-free. Set
-    * `broadcastRanks = false` when O(|V|) is too big for one executor
-    * (billions of nodes): rounds fall back to the src-layout
-    * shuffle-join shape, paying O(|E|) exchanges but never holding V
-    * in memory. Iteration count is fixed (default 3), not
+    * while the node count stays under `broadcastRankRows` that frame
+    * carries an EXPLICIT broadcast hint: a rank frame re-born from a
+    * per-round localCheckpoint is a stats-less LogicalRDD, so the
+    * static planner quotes it at the default (huge) size and plans a
+    * sort-merge join — which EnsureRequirements backs with an O(|E|)
+    * Exchange of the edge frame, and AQE's late broadcast conversion
+    * cannot cancel a shuffle whose map stage already ran (measured:
+    * the hint took the one-round edge Exchange from the plan
+    * entirely). With the hint, a round touches the O(|E|) frame only
+    * as an in-place scan of the dst-partitioned cache, and the
+    * contribution aggregation that follows is partial-combining AND
+    * exchange-free. The broadcast is SIZE-GATED, never unconditional
+    * (the seededBfs discipline): the node frame is counted once from
+    * its checkpointed blocks, and above the row bound rounds fall
+    * back to the shuffle-join shape — the edge frame is re-laid-out
+    * ONCE on src (one O(|E|) shuffle amortized over all rounds, so
+    * per-round joins still scan it in place) and V is never held in
+    * one executor. Iteration count is fixed (default 3), not
     * convergence-polled, so the job's shape is known in advance.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 3, base: Long = 150000L,
                dampNum: Long = 85L, assumeLaidOut: Boolean = false,
-               broadcastRanks: Boolean = true): DataFrame = {
+               broadcastRankRows: Long = 5000000L): DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
-    val hint: DataFrame => DataFrame =
-      if (broadcastRanks) df => broadcast(df) else df => df
-    val e = edgeFrame(edges, srcCol, dstCol, assumeLaidOut,
-      layoutKey = if (broadcastRanks) "dst" else "src")
+    val e0 = edgeFrame(edges, srcCol, dstCol, assumeLaidOut,
+      layoutKey = "dst")
     // out-degree is static, so it RIDES IN the rank frame (computed
     // once here via the fused nodeFrame agg, carried through every
     // round) — each round then builds its per-source contributions
     // with a projection instead of a ranks-deg join. Sink nodes carry
     // a null degree; they emit no contribution row (no matching src
     // in e), so the null never reaches the arithmetic.
-    val nodes = nodeFrame(e).localCheckpoint()
+    val nodes = nodeFrame(e0).localCheckpoint()
+    val useBroadcast = nodes.count() <= broadcastRankRows
+    val hint: DataFrame => DataFrame =
+      if (useBroadcast) df => broadcast(df) else df => df
+    // fallback regime: per-round joins are src-keyed shuffle joins, so
+    // re-lay the edges on src once (amortized) instead of paying an
+    // O(|E|) exchange every round; a caller-laid frame is kept as-is
+    val e =
+      if (useBroadcast || assumeLaidOut) e0
+      else {
+        val relaid = layoutEdges(e0, "src", "dst", layoutKey = "src")
+        Checkpoints.free(e0)
+        relaid
+      }
 
     var ranks = nodes.withColumn("rank_micro", lit(1000000L))
     for (_ <- 1 to iters) {
@@ -201,27 +215,36 @@ object Graph {
     * sub-micro remainder < N decays per round instead of being
     * assigned arbitrarily — deterministic by construction.
     *
-    * Scale posture: identical to `pageRank` plus, per round, one
-    * partial-combining global aggregate over the O(dangling) rank rows
-    * (a single-row frame) cross-joined back BROADCAST — a scalar
-    * broadcast, never a shuffle. Dangling membership is a static
-    * anti-join computed once. */
+    * Scale posture: identical to `pageRank` (size-gated O(|V|)
+    * broadcast, src re-layout in the fallback regime) plus, per
+    * round, one partial-combining global aggregate over the
+    * O(dangling) rank rows (a single-row frame) cross-joined back
+    * BROADCAST — a scalar broadcast, never a shuffle. Dangling
+    * membership is a static anti-join computed once. */
   def pageRankRedistributed(edges: DataFrame, srcCol: String, dstCol: String,
                             iters: Int = 3, base: Long = 150000L,
                             dampNum: Long = 85L,
                             assumeLaidOut: Boolean = false,
-                            broadcastRanks: Boolean = true): DataFrame = {
+                            broadcastRankRows: Long = 5000000L): DataFrame = {
     require(iters >= 1, "pageRankRedistributed needs at least one iteration")
-    val hint: DataFrame => DataFrame =
-      if (broadcastRanks) df => broadcast(df) else df => df
-    val e = edgeFrame(edges, srcCol, dstCol, assumeLaidOut,
-      layoutKey = if (broadcastRanks) "dst" else "src")
+    val e0 = edgeFrame(edges, srcCol, dstCol, assumeLaidOut,
+      layoutKey = "dst")
     // out-degree rides in the node frame (the pageRank discipline,
     // fused nodeFrame agg) — and doubles as dangling membership:
     // __deg IS NULL ⟺ the node has no out-edges, so the per-round
     // dangling-mass sum is a filter + aggregate, no membership join
     // at all.
-    val nodes = nodeFrame(e).localCheckpoint()
+    val nodes = nodeFrame(e0).localCheckpoint()
+    val useBroadcast = nodes.count() <= broadcastRankRows
+    val hint: DataFrame => DataFrame =
+      if (useBroadcast) df => broadcast(df) else df => df
+    val e =
+      if (useBroadcast || assumeLaidOut) e0
+      else {
+        val relaid = layoutEdges(e0, "src", "dst", layoutKey = "src")
+        Checkpoints.free(e0)
+        relaid
+      }
     val nCnt = nodes.agg(count(lit(1)).as("__n")).localCheckpoint()
 
     var ranks = nodes.withColumn("rank_micro", lit(1000000L))
@@ -262,28 +285,37 @@ object Graph {
     * Non-seed mass decays unless re-fed through the graph — the
     * standard non-renormalized personalized formulation.
     *
-    * Scale posture: identical to `pageRank`; the seed flag is a
-    * left-semi-derived O(|V|) column, never a driver-side set. */
+    * Scale posture: identical to `pageRank` (size-gated O(|V|)
+    * broadcast, src re-layout in the fallback regime); the seed flag
+    * is a left-semi-derived O(|V|) column, never a driver-side set. */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
                            seeds: DataFrame, iters: Int = 3,
                            base: Long = 150000L, dampNum: Long = 85L,
                            assumeLaidOut: Boolean = false,
-                           broadcastRanks: Boolean = true): DataFrame = {
+                           broadcastRankRows: Long = 5000000L): DataFrame = {
     require(iters >= 1, "personalizedPageRank needs at least one iteration")
-    val hint: DataFrame => DataFrame =
-      if (broadcastRanks) df => broadcast(df) else df => df
-    val e = edgeFrame(edges, srcCol, dstCol, assumeLaidOut,
-      layoutKey = if (broadcastRanks) "dst" else "src")
+    val e0 = edgeFrame(edges, srcCol, dstCol, assumeLaidOut,
+      layoutKey = "dst")
     val seedIds = seeds.select(col(seeds.columns.head).cast("long").as("id"))
       .distinct()
     // seed flag AND out-degree both ride in the node frame (fused
     // nodeFrame agg + one small seed join) — rounds project
     // contributions instead of joining deg
-    val nodes = nodeFrame(e)
+    val nodes = nodeFrame(e0)
       .join(seedIds.withColumn("__seed", lit(1L)), Seq("id"), "left")
       .select(col("id"), coalesce(col("__seed"), lit(0L)).as("__seed"),
         col("__deg"))
       .localCheckpoint()
+    val useBroadcast = nodes.count() <= broadcastRankRows
+    val hint: DataFrame => DataFrame =
+      if (useBroadcast) df => broadcast(df) else df => df
+    val e =
+      if (useBroadcast || assumeLaidOut) e0
+      else {
+        val relaid = layoutEdges(e0, "src", "dst", layoutKey = "src")
+        Checkpoints.free(e0)
+        relaid
+      }
 
     var ranks = nodes.withColumn("rank_micro",
       when(col("__seed") === 1L, lit(1000000L)).otherwise(lit(0L)))
@@ -330,18 +362,20 @@ object Graph {
     * chained CTEs by a SQL oracle (q171).
     *
     * Scale posture: each round is two semi-joins (restrict edges to
-    * surviving endpoints — the dst-side restriction broadcasts when
-    * the survivor set is small) plus one partial-combining hash-agg
-    * for degrees; the symmetrized edge frame is laid out and
-    * checkpointed once and never re-shuffles. Round cost is O(|E|)
-    * scan + O(surviving V) state, never per-node driver work. */
+    * surviving endpoints) plus one partial-combining hash-agg for
+    * degrees; the symmetrized edge frame is laid out and checkpointed
+    * once and never re-shuffles. The survivor-set broadcast is
+    * SIZE-GATED PER ROUND (the seededBfs discipline): the alive frame
+    * only shrinks, so the gate re-reads each round's checkpointed
+    * count and flips to shuffle semi-joins only while the set exceeds
+    * `broadcastAliveRows` — never an unconditional O(|V|) broadcast.
+    * Round cost is O(|E|) scan + O(surviving V) state, never per-node
+    * driver work. */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
             k: Int, rounds: Int = 3,
-            broadcastAlive: Boolean = true): DataFrame = {
+            broadcastAliveRows: Long = 5000000L): DataFrame = {
     require(k >= 1, "kCore needs k >= 1")
     require(rounds >= 1, "kCore needs at least one round")
-    val hint: DataFrame => DataFrame =
-      if (broadcastAlive) df => broadcast(df) else df => df
     val directed = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
@@ -349,6 +383,9 @@ object Graph {
       directed.union(directed.select(col("dst").as("src"), col("src").as("dst"))),
       "src", "dst")
     var alive = e.select(col("src").as("id")).distinct().localCheckpoint()
+    var aliveRows = alive.count()
+    def hint(df: DataFrame): DataFrame =
+      if (aliveRows <= broadcastAliveRows) broadcast(df) else df
     for (_ <- 1 to rounds) {
       val deg = e
         .join(hint(alive.withColumnRenamed("id", "src")), Seq("src"), "left_semi")
@@ -358,6 +395,7 @@ object Graph {
       alive = deg.where(col("__deg") >= k)
         .select(col("src").as("id"))
         .localCheckpoint()
+      aliveRows = alive.count()
       Checkpoints.free(old)
     }
     // final degree within the survivor-induced subgraph; the left join
@@ -387,17 +425,20 @@ object Graph {
     * reachability, LPA clusters by connection DENSITY, so a bridge
     * edge between two dense clusters keeps them distinct labels.
     *
-    * Per round: one src-keyed join of the broadcast O(|V|) label frame
-    * into the once-laid-out symmetric edges, a (dst, label) combining
-    * count, and a struct-max argmax — no windows, no doc×doc. The
-    * round count is a compile-time bound (known job shape), and each
-    * superseded label frame is freed when the next materializes. */
+    * Per round: one src-keyed join of the O(|V|) label frame into the
+    * once-laid-out symmetric edges, a (dst, label) combining count,
+    * and a struct-max argmax — no windows, no doc×doc. The label
+    * frame's broadcast is SIZE-GATED (the seededBfs discipline) on
+    * the node count read once from the checkpointed init frame — the
+    * frame is exactly O(|V|) every round, so one gate decides the
+    * regime; above `broadcastLabelRows` rounds run as shuffle joins.
+    * The round count is a compile-time bound (known job shape), and
+    * each superseded label frame is freed when the next
+    * materializes. */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        rounds: Int = 2,
-                       broadcastLabels: Boolean = true): DataFrame = {
+                       broadcastLabelRows: Long = 5000000L): DataFrame = {
     require(rounds >= 1, "labelPropagation needs at least one round")
-    val hint: DataFrame => DataFrame =
-      if (broadcastLabels) df => broadcast(df) else df => df
     val directed = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
@@ -406,6 +447,9 @@ object Graph {
       "src", "dst")
     var labels = e.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
+    val hint: DataFrame => DataFrame =
+      if (labels.count() <= broadcastLabelRows) df => broadcast(df)
+      else df => df
     for (_ <- 1 to rounds) {
       val cnt = e
         .join(hint(labels.select(col("id").as("src"), col("label"))), Seq("src"))
@@ -446,29 +490,43 @@ object Graph {
     * reached in the previous round and anti-joins out already-settled
     * ids, so round cost is O(frontier edges), not O(V) — in unweighted
     * BFS a node's first-discovery distance is already minimal, so the
-    * two shapes produce identical results (pinned in GraphSpec). */
+    * two shapes produce identical results (pinned in GraphSpec).
+    *
+    * The distance/frontier broadcast is SIZE-GATED PER ROUND (the
+    * seededBfs discipline): the frame grows monotonically and is
+    * re-checkpointed every round, so the gate reads each round's
+    * cached count and the join flips to a shuffle join once the frame
+    * crosses `broadcastFrontierRows` — never an unconditional O(|V|)
+    * broadcast. In the shuffle regime the dst-laid edge frame pays a
+    * per-round src exchange; a caller expecting that regime
+    * throughout should pre-lay the edges on src and pass
+    * `assumeLaidOut = true` (the seededBfs layout). */
   def boundedBfs(edges: DataFrame, srcCol: String, dstCol: String,
                  seeds: DataFrame, hops: Int,
                  frontierOnly: Boolean = false,
                  assumeLaidOut: Boolean = false,
-                 broadcastFrontier: Boolean = true): DataFrame = {
+                 broadcastFrontierRows: Long = 5000000L): DataFrame = {
     require(hops >= 0, "boundedBfs needs a non-negative hop bound")
-    val hint: DataFrame => DataFrame =
-      if (broadcastFrontier) df => broadcast(df) else df => df
     val e = edgeFrame(edges, srcCol, dstCol, assumeLaidOut,
-      layoutKey = if (broadcastFrontier) "dst" else "src")
+      layoutKey = "dst")
     var dist = seeds.select(col(seeds.columns.head).cast("long").as("id"))
       .distinct()
       .withColumn("dist", lit(0L))
       .localCheckpoint()
     if (frontierOnly) {
       var frontier = dist
+      var frontierRows = frontier.count()
       for (_ <- 1 to hops) {
-        val fresh = e.join(hint(frontier.withColumnRenamed("id", "src")), "src")
+        val f = frontier.withColumnRenamed("id", "src")
+        val joined =
+          if (frontierRows <= broadcastFrontierRows) e.join(broadcast(f), "src")
+          else e.join(f, "src")
+        val fresh = joined
           .select(col("dst").as("id"), (col("dist") + 1).as("dist"))
           .groupBy("id").agg(min("dist").as("dist"))
           .join(dist, Seq("id"), "left_anti")
           .localCheckpoint()
+        frontierRows = fresh.count()
         val oldDist = dist
         val oldFrontier = frontier
         dist = dist.union(fresh).localCheckpoint()
@@ -481,13 +539,19 @@ object Graph {
       // hops = 0 leaves frontier aliased to the returned seed frame
       if (!(frontier eq dist)) Checkpoints.free(frontier)
     } else {
+      var distRows = dist.count()
       for (_ <- 1 to hops) {
-        val next = e.join(hint(dist.withColumnRenamed("id", "src")), "src")
+        val ds = dist.withColumnRenamed("id", "src")
+        val joined =
+          if (distRows <= broadcastFrontierRows) e.join(broadcast(ds), "src")
+          else e.join(ds, "src")
+        val next = joined
           .select(col("dst").as("id"), (col("dist") + 1).as("dist"))
         val old = dist
         dist = dist.union(next)
           .groupBy("id").agg(min("dist").as("dist"))
           .localCheckpoint()
+        distRows = dist.count()
         Checkpoints.free(old)
       }
     }
@@ -570,17 +634,17 @@ object Graph {
     * rounds + negative cycles make "shortest within k hops" the only
     * honest semantics and the callers here are cost graphs.
     *
-    * Scale posture: rounds move only the O(|V|) distance frame
-    * (broadcast by default; `broadcastDist = false` falls back to the
-    * shuffle-join shape for node sets beyond one executor); the edge
-    * frame is scanned in place from its cache; superseded distance
-    * frames unpersist as soon as the next round materializes. */
+    * Scale posture: rounds move only the O(|V|) distance frame, its
+    * broadcast SIZE-GATED PER ROUND on the checkpointed frame's row
+    * count (the seededBfs discipline — the frame grows as relaxation
+    * reaches new nodes, and above `broadcastDistRows` rounds flip to
+    * shuffle joins instead of OOMing an executor); the edge frame is
+    * scanned in place from its cache; superseded distance frames
+    * unpersist as soon as the next round materializes. */
   def weightedSssp(edges: DataFrame, srcCol: String, dstCol: String,
                    weightCol: String, seeds: DataFrame, rounds: Int,
-                   broadcastDist: Boolean = true): DataFrame = {
+                   broadcastDistRows: Long = 5000000L): DataFrame = {
     require(rounds >= 0, "weightedSssp needs a non-negative round bound")
-    val hint: DataFrame => DataFrame =
-      if (broadcastDist) df => broadcast(df) else df => df
     val laid = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"),
@@ -597,14 +661,19 @@ object Graph {
       .distinct()
       .withColumn("dist", lit(0L))
       .localCheckpoint()
+    var distRows = dist.count()
     for (_ <- 1 to rounds) {
-      val relaxed = laid
-        .join(hint(dist.withColumnRenamed("id", "src")), "src")
+      val ds = dist.withColumnRenamed("id", "src")
+      val joined =
+        if (distRows <= broadcastDistRows) laid.join(broadcast(ds), "src")
+        else laid.join(ds, "src")
+      val relaxed = joined
         .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
       val old = dist
       dist = dist.union(relaxed)
         .groupBy("id").agg(min("dist").as("dist"))
         .localCheckpoint()
+      distRows = dist.count()
       Checkpoints.free(old)
     }
     Checkpoints.free(laid)
@@ -627,22 +696,25 @@ object Graph {
     *
     * Scale posture: the edge frame is laid out once (dst-partitioned)
     * and each half-step folds scores into the O(|V|) frame first, then
-    * joins broadcast (the `pageRank` hint discipline) — a round moves
-    * only O(|V|) rows. The per-round max is ONE scalar row
-    * cross-joined broadcast (the `pageRankRedistributed` discipline).
-    * Superseded score frames unpersist as soon as the next round
-    * materializes. */
+    * joins under the SIZE-GATED broadcast hint (the `pageRank`
+    * discipline — the node frame is counted once from its checkpoint;
+    * above `broadcastRankRows` every half-step runs as a shuffle
+    * join) — a round moves only O(|V|) rows. The per-round max is ONE
+    * scalar row cross-joined broadcast (the `pageRankRedistributed`
+    * discipline). Superseded score frames unpersist as soon as the
+    * next round materializes. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iters: Int = 2, scale: Long = 1000000L,
            assumeLaidOut: Boolean = false,
-           broadcastRanks: Boolean = true): DataFrame = {
+           broadcastRankRows: Long = 5000000L): DataFrame = {
     require(iters >= 1, "hits needs at least one iteration")
-    val hint: DataFrame => DataFrame =
-      if (broadcastRanks) df => broadcast(df) else df => df
     val e = edgeFrame(edges, srcCol, dstCol, assumeLaidOut, layoutKey = "dst")
     val nodes = nodeFrame(e)
       .select(col("id"), col("__deg").isNotNull.as("__has_out"))
       .localCheckpoint()
+    val hint: DataFrame => DataFrame =
+      if (nodes.count() <= broadcastRankRows) df => broadcast(df)
+      else df => df
     // half-step: sum a broadcast score frame over one edge side,
     // rescale to max `scale`, left-join back onto the node frame
     // the O(|V|) edge-fold `sums` feeds BOTH the max-scalar and the
@@ -666,7 +738,7 @@ object Graph {
         .localCheckpoint()
       val mx = sums.agg(max("__s").as("__mx"))
       val out = nodes.join(hint(sums), Seq("id"), "left")
-        .crossJoin(hint(mx))
+        .crossJoin(broadcast(mx)) // ONE row — size-independent, always hinted
         .select(col("id"), col("__has_out"),
           coalesce(expr(s"(__s * ${scale}L) div __mx"), lit(0L)).as(outCol))
         .localCheckpoint() // eager — sums' blocks are consumed here

@@ -234,27 +234,45 @@ object Multimodal {
     } else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
       (bytes(1) & 0xff) == 0xd8) {
       // JPEG: walk FF-marker segments (2-byte big-endian lengths that
-      // INCLUDE the length field) until a SOF0-SOF3 frame header gives
-      // precision/height/width; SOS/EOI or a broken walk ends it
+      // INCLUDE the length field) until a SOF frame header gives
+      // precision/height/width; SOS/EOI or a broken walk ends it.
+      // Spec details real crawl bytes exercise: a marker may be
+      // preceded by any number of 0xFF FILL bytes (skipped, not
+      // treated as a zero-length segment); TEM/RSTn are standalone
+      // (no length field); every SOF variant counts (0xC0-0xCF minus
+      // DHT 0xC4, JPG 0xC8, DAC 0xCC — baseline, progressive,
+      // lossless, arithmetic, differential alike carry the same
+      // precision/height/width prefix).
       def be16(o: Int): Int =
         ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+      def isSof(m: Int): Boolean =
+        m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
       var o = 2
       var out = ImageMeta("jpeg", 0, 0, 0, valid = false)
       var done = false
-      while (!done && o + 3 < bytes.length) {
+      while (!done && o + 1 < bytes.length) {
         if ((bytes(o) & 0xff) != 0xff) done = true
         else {
-          val marker = bytes(o + 1) & 0xff
-          if (marker == 0xd9 || marker == 0xda) done = true
+          // collapse fill bytes: 0xFF 0xFF ... 0xFF <marker>
+          var m = o + 1
+          while (m < bytes.length && (bytes(m) & 0xff) == 0xff) m += 1
+          if (m >= bytes.length) done = true
           else {
-            val len = be16(o + 2)
-            if (len < 2 || o + 2 + len > bytes.length) done = true
-            else if (marker >= 0xc0 && marker <= 0xc3 && len >= 9) {
-              val depth = bytes(o + 4) & 0xff
-              val h = be16(o + 5); val w = be16(o + 7)
-              out = ImageMeta("jpeg", w, h, depth, valid = w > 0 && h > 0)
-              done = true
-            } else o += 2 + len
+            val marker = bytes(m) & 0xff
+            if (marker == 0xd9 || marker == 0xda) done = true
+            else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+              o = m + 1 // standalone marker, no length field
+            } else if (m + 2 >= bytes.length) done = true
+            else {
+              val len = be16(m + 1)
+              if (len < 2 || m + 1 + len > bytes.length) done = true
+              else if (isSof(marker) && len >= 9) {
+                val depth = bytes(m + 3) & 0xff
+                val h = be16(m + 4); val w = be16(m + 6)
+                out = ImageMeta("jpeg", w, h, depth, valid = w > 0 && h > 0)
+                done = true
+              } else o = m + 1 + len
+            }
           }
         }
       }

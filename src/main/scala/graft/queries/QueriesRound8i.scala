@@ -175,6 +175,7 @@ object QueriesRound8i {
           .persist()
         var bounds = s.range(1)
           .select(lit(1).as("lo"), lit(128).as("hi")).localCheckpoint()
+        val oldBounds = scala.collection.mutable.ListBuffer(bounds)
         for (_ <- 1 to 7) {
           val m = bounds.select(col("lo"), col("hi"),
             expr("(lo + hi) div 2").as("mid"))
@@ -192,9 +193,14 @@ object QueriesRound8i {
               when(col("mx") >= 2, col("hi")).otherwise(col("mid"))
                 .as("hi"))
             .localCheckpoint()
+          oldBounds += bounds
         }
         val fin = broadcast(bounds.select(col("lo").as("ll")))
-        toks.crossJoin(fin)
+        // materialize the (tiny, one-group) final readout so the cached
+        // token frame and the per-round bounds frames can be freed NOW
+        // instead of lingering in executor storage for the rest of the
+        // suite (the Checkpoints.free discipline of the graph loops)
+        val out = toks.crossJoin(fin)
           .select(col("ll"), explode(expr("IF(size(toks) >= ll, transform(" +
             "sequence(1, size(toks) - ll + 1), " +
             "i -> array_join(slice(toks, i, ll), ' ')), array())")).as("sh"))
@@ -205,6 +211,10 @@ object QueriesRound8i {
             sum("c").as("n_occurrences"), min("sh").as("witness"))
           .select(col("ll").cast("long").as("max_len"),
             col("n_repeated"), col("n_occurrences"), col("witness"))
+          .localCheckpoint()
+        toks.unpersist()
+        oldBounds.foreach(graft.ops.Checkpoints.free)
+        out
       },
       Some {
         val rounds = (1 to 7).map { k =>
@@ -348,7 +358,13 @@ object QueriesRound8i {
           .orderBy(col("diff").desc, col("cents").asc)
           .limit(1)
           .select(col("n1"), col("n2"), col("diff").as("d_num"),
-            expr("(diff * 1000000) div (n1 * n2)").as("ks_ppm"),
+            // diff is bounded by n1*n2, so diff * 10⁶ overflows BIGINT
+            // once n1*n2 > ~9.2e12 (~3M events per cohort) — lift the
+            // product to DECIMAL(38) like the reject_95 compare; the
+            // quotient itself is ≤ 10⁶ so the BIGINT result is safe
+            expr("CAST((CAST(diff AS DECIMAL(38,0)) * 1000000)"
+              + " div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)")
+              .as("ks_ppm"),
             col("cents").as("ks_at_cents"),
             expr("CAST(diff AS DECIMAL(38,0)) * diff * 10000 > " +
               "CAST(18496 AS DECIMAL(38,0)) * (n1 + n2) * n1 * n2")
@@ -372,7 +388,8 @@ object QueriesRound8i {
         |    abs(ca * n2 - cb * n1) AS diff FROM c)
         |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
         |  CAST(diff AS BIGINT) AS d_num,
-        |  CAST((diff * 1000000) // (n1 * n2) AS BIGINT) AS ks_ppm,
+        |  CAST((CAST(diff AS HUGEINT) * 1000000)
+        |    // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS ks_ppm,
         |  CAST(cents AS BIGINT) AS ks_at_cents,
         |  CAST(diff AS HUGEINT) * diff * 10000
         |    > CAST(18496 AS HUGEINT) * (n1 + n2) * n1 * n2 AS reject_95

@@ -42,7 +42,14 @@ object QueriesRound8l {
         val b = sums.where(col("half") === 1)
           .select(col("label"), col("n").as("n_b"), col("sv").as("sb"))
         // dist^2 of mean difference, exact: sum_i (nb*sa_i - na*sb_i)^2
-        // reported in micro units of (na*nb)^2 to stay integral
+        // reported in micro units of (na*nb)^2 to stay integral.
+        // OVERFLOW BOUND (the FixedPoint posture): each |component sum|
+        // is <= n * 1000 (milli-unit embeddings in [-1, 1]), so a term
+        // is <= (2000 * n_a * n_b)^2 and the 64-dim BIGINT sum holds
+        // while n_a * n_b < ~6e5^2 — i.e. up to ~1.2M vectors per label.
+        // Beyond that, lift the zip_with arithmetic to DECIMAL(38,0)
+        // (the q455 ks_ppm treatment); at that corpus size the A/A
+        // readout would be sharded per label group anyway.
         a.join(b, "label")
           .withColumn("__d2", aggregate(
             zip_with(col("sa"), col("sb"),

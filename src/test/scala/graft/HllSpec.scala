@@ -44,6 +44,24 @@ class HllSpec extends SparkSpec {
     assert(agg === rel)
   }
 
+  test("out-of-contract input never crashes: values are masked to 32 bits") {
+    // graft_hll_distinct is in the SQL registry, so a user can feed it
+    // raw longs instead of Sampling.hashLong output — negative or
+    // >= 2^32 values must land in a valid register (errors-as-data),
+    // and a masked value must behave exactly like its low 32 bits
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val raw = Seq(-1L, -987654321L, Long.MinValue, Long.MaxValue,
+      (1L << 40) + 12345L, 0L, 42L)
+    val est = raw.toDF("v").repartition(3)
+      .agg(GraftFunctions.hllDistinct(col("v")).as("e"))
+      .collect().head.getLong(0)
+    val masked = raw.map(_ & 0xFFFFFFFFL).distinct.toDF("v")
+      .agg(GraftFunctions.hllDistinct(col("v")).as("e"))
+      .collect().head.getLong(0)
+    assert(est === masked)
+  }
+
   test("q474 dead-dimension law: exactly the planted dims flag") {
     val out = Registry.byName("q474_dead_dimension_audit").fn(spark, sf)
       .collect()
