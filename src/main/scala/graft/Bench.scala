@@ -197,10 +197,52 @@ object Bench {
     }
     val totalLine =
       s"""{"metric":"total","value":${f2(total)},"unit":"sec","n":${results.size},"failed":$fs,"sf":"$sfDir"}"""
+    // family subtotal ledger: BENCH totals mix suite growth, host
+    // phase, and data drift — a per-family breakdown lets consecutive
+    // rounds be diffed family-by-family instead of re-attributing the
+    // whole total each time. Name-keyword classification (first match
+    // wins), diagnostic-grade: the point is a stable partition of the
+    // suite, not a perfect taxonomy.
+    val famRules: Seq[(String, Seq[String])] = Seq(
+      "streaming" -> Seq("stream"),
+      "graph" -> Seq("pagerank", "bfs", "kcore", "ktruss", "hits", "sssp",
+        "propagation", "triangle", "modularity", "boruvka", "walk",
+        "centrality", "topo_", "clustering_coefficient", "power_iteration",
+        "pointer_doubling", "diameter", "reachability"),
+      "ann" -> Seq("cosine", "ivf", "sq8", "pq_adc", "maxsim", "matryoshka",
+        "knn", "embedding", "centroid", "kcenter", "rrf", "retrieval",
+        "binary_quant", "jl_projection", "hubness", "index_cost",
+        "lsh_topk", "lsh_multiprobe", "hard_negatives", "feature_hashing",
+        "dead_dimension"),
+      "dedup" -> Seq("dedup", "minhash", "simhash", "lsh", "shingle",
+        "duplicate", "winnow", "cdc_chunk", "neardup", "phash",
+        "fingerprint", "dup", "stitch", "symspell", "golden_record",
+        "fellegi", "survivor", "contamination", "leak"),
+      "multimodal" -> Seq("image", "audio", "wav", "jpeg", "png", "mp4",
+        "vad", "patchify", "capture"),
+      "sketch" -> Seq("kmv", "hll", "cms_", "bloom", "sketch",
+        "approx_distinct", "approx_percentile"),
+      "text" -> Seq("token", "tfidf", "bm25", "lang", "bpe", "ngram",
+        "text", "readability", "zipf", "surprisal", "pmi", "colloc",
+        "entropy", "unicode", "nfc", "script", "html", "phrase", "vocab",
+        "perplexity", "term", "word", "sentence", "bigram", "luhn",
+        "homoglyph", "robots", "pii", "redaction", "url", "heaps",
+        "code_switching", "yules", "hill_tail", "string"))
+    def family(n: String): String =
+      famRules.collectFirst {
+        case (f, ks) if ks.exists(n.contains) => f
+      }.getOrElse("relational")
+    val byFam = results.filter(_._2 >= 0).groupBy(p => family(p._1))
+    val famOrder = famRules.map(_._1) :+ "relational"
+    val famLine = famOrder.filter(byFam.contains).map { f =>
+      val ts = byFam(f).map(_._2)
+      s""""$f":{"sec":${f2(ts.sum)},"n":${ts.size}}"""
+    }.mkString("""{"metric":"families",""", ",", "}")
     // stop BEFORE printing: anything the shutdown path writes after the
     // metric lines would push them out of the tail window
     spark.stop()
     mapLines.foreach(println)
+    println(famLine)
     println(totalLine)
   }
 }
