@@ -134,11 +134,16 @@ case class GreedyThinExec(
 
   /** Key fields are compared/stored field-by-field in generated code,
     * so only types with value-level equality and a safe copy are
-    * eligible; anything else falls back to the interpreted path. */
+    * eligible; anything else (complex types) falls back to the
+    * interpreted path. DecimalType qualifies: `Decimal.equals` is
+    * value-based (compareTo == 0) and `clone()` detaches the stored
+    * key from any buffer the producing stage might reuse — the same
+    * copy-on-group-change treatment as StringType. */
   private def codegenKeyType(dt: DataType): Boolean = dt match {
     case BooleanType | ByteType | ShortType | IntegerType | LongType |
          FloatType | DoubleType | DateType | TimestampType |
          TimestampNTZType | StringType => true
+    case _: DecimalType => true
     case _ => false
   }
 
@@ -179,9 +184,11 @@ case class GreedyThinExec(
     val storeKey = keys.lazyZip(keyEvs).lazyZip(states).map {
       case (k, ev, (sv, sn)) =>
         val copied = k.dataType match {
-          // string values point into reused row/sorter buffers —
-          // copy on group change (one copy per KEY, not per row)
-          case StringType => s"${ev.isNull} ? null : ${ev.value}.clone()"
+          // string/decimal values may point into (or be) reused
+          // buffers/objects of the producing stage — copy on group
+          // change (one copy per KEY, not per row)
+          case StringType | _: DecimalType =>
+            s"${ev.isNull} ? null : ${ev.value}.clone()"
           case _ => ev.value.toString
         }
         s"$sn = ${ev.isNull};\n          $sv = $copied;"

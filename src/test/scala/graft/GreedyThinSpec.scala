@@ -298,6 +298,46 @@ class GreedyThinSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
+  test("decimal-keyed thin runs through codegen and equals the reference") {
+    // r8 verdict stretch: DecimalType keys now codegen (value-based
+    // Decimal.equals, clone-on-group-change) instead of falling back
+    val rnd = new scala.util.Random(98)
+    val rows = (1 to 500).map { i =>
+      (BigDecimal(rnd.nextInt(7)) / 100, rnd.nextInt(50).toLong, i.toLong)
+    }
+    val schema = StructType(Seq(
+      StructField("price", DecimalType(12, 2)), StructField("t", LongType),
+      StructField("id", LongType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map(r => Row(r._1.bigDecimal, r._2, r._3)), 5), schema)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val out = GreedyThinOp.thin(df, Seq("price"), "t", Seq("id"), 4L)
+      val got = out.collect().map(_.getLong(2)).toSet
+      assert("""\*\(\d+\) GreedyThin""".r
+        .findFirstIn(out.queryExecution.executedPlan.toString).isDefined,
+        out.queryExecution.executedPlan.toString)
+      val want = rows.groupBy(_._1).values.flatMap { grp =>
+        val sorted = grp.sortBy(r => (r._2, r._3))
+        var last = Long.MinValue
+        sorted.flatMap { case (_, t, id) =>
+          if (last == Long.MinValue || t >= last + 4L) { last = t; Some(id) }
+          else None
+        }
+      }.toSet
+      assert(got == want && want.nonEmpty)
+      // interpreted fallback (codegen off) must agree bit-for-bit
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val interp = GreedyThinOp.thin(df, Seq("price"), "t", Seq("id"), 4L)
+        .collect().map(_.getLong(2)).toSet
+      assert(interp == want)
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
   test("AQE skew handling never violates the operator's ClusteredDistribution") {
     // the r7 stretch item: a deliberately skewed key under AQE. AQE's
     // skew machinery can SPLIT a partition only inside its skew-join
