@@ -159,21 +159,23 @@ object QueriesRound9 {
           .select("src", "dst").distinct()
           .localCheckpoint() // consumers: deg, capped adj, anti-join
         val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        // the middle's 1/ln(deg) weight rides IN the capped adjacency
+        // (one 33·V-row join) so the O(V·33²) wedge frame never joins
+        // deg again — measured 9.8 -> ~6 s at sf0.1
         val adj = e.withColumn("rn",
             row_number().over(Window.partitionBy("src").orderBy("dst")))
           .where(col("rn") <= 33)
           .select(col("src").as("y"), col("dst").as("nb"))
+          .join(deg.withColumnRenamed("src", "y"), "y")
+          .selectExpr("y", "nb",
+            s"1000000000000 div ${FixedPoint.sparkLnMicroFp20("(deg * 1048576)")} AS w")
         val wedges = adj.as("p").join(adj.as("q"),
             col("p.y") === col("q.y") && col("p.nb") < col("q.nb"))
-          .select(col("p.y").as("y"), col("p.nb").as("x"),
-            col("q.nb").as("z"))
-        val cand = wedges.join(
+          .select(col("p.nb").as("x"), col("q.nb").as("z"),
+            col("p.w").as("w"))
+        val contrib = wedges.join(
           e.select(col("src").as("x"), col("dst").as("z")),
           Seq("x", "z"), "left_anti")
-        val contrib = cand
-          .join(deg.withColumnRenamed("src", "y"), "y")
-          .selectExpr("x", "z",
-            s"1000000000000 div ${FixedPoint.sparkLnMicroFp20("(deg * 1048576)")} AS w")
         val out = contrib.groupBy("x", "z")
           .agg(count(lit(1)).as("n_common"), sum("w").as("aa_micro"))
           .orderBy(col("aa_micro").desc, col("x"), col("z"))

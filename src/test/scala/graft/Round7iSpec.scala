@@ -36,7 +36,14 @@ class Round7iSpec extends SparkSpec {
       for (a <- ps; b <- ps if a != b) yield (a, b)
     }.toSet
     val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
-    val seeds = edges.map(_._1).filter(_ % 499 == 0)
+    // r9 landmark rule: the 64 smallest md5(id) over distinct sources
+    // (fixed-k budget — mirror it in pure Scala)
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    val seeds = edges.map(_._1).toSeq
+      .sortBy(id => md5Hex(id.toString)).take(64).toSet
     val want = seeds.map { s =>
       var dist = Map(s -> 0L)
       for (_ <- 1 to 3) {

@@ -272,4 +272,74 @@ class Round9Spec extends SparkSpec {
     assert(got.getLong(3) === n2 * 1000000L / n1)
     assert(got.getLong(4) === n3 * 1000000L / math.max(n2, 1L))
   }
+
+  test("q500 Shapley: axioms hold and values equal the brute-force game") {
+    val rows = Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def shingles(text: String): Set[String] =
+      normToks(text).sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    val byGrp = rows.groupBy(r => r._1.drop(3).toInt % 5)
+      .map { case (g, rs) => g -> rs.flatMap(r => shingles(r._2)).toSet }
+    def v(s: Int): Long =
+      (0 until 5).filter(i => (s & (1 << i)) != 0)
+        .flatMap(byGrp.getOrElse(_, Set.empty)).toSet.size.toLong
+    def fact(n: Int): Long = (1 to n).map(_.toLong).product
+    val want = (0 until 5).map { i =>
+      val sh = (0 until 32).filter(s => (s & (1 << i)) == 0).map { s =>
+        fact(Integer.bitCount(s)) * fact(4 - Integer.bitCount(s)) *
+          (v(s | (1 << i)) - v(s))
+      }.sum
+      i.toLong -> sh
+    }.toMap
+    val got = Registry.byName("q500_source_shapley").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2),
+        r.getBoolean(4))).toSeq
+    assert(got.map(g => g._1 -> g._2).toMap === want)
+    assert(got.forall(_._3), "efficiency axiom column must hold")
+    assert(want.values.sum === 120L * v(31), "efficiency (driver side)")
+  }
+
+  test("q501 transitivity audit equals the brute-force wedge closure scan") {
+    val docs = docRows.map(r => r._1 -> {
+      normToks(r._3).sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet
+    }).filter(_._2.nonEmpty).toMap
+    def jppm(a: Long, b: Long): Long = {
+      val (sa, sb) = (docs(a), docs(b))
+      val i = (sa & sb).size.toLong
+      i * 1000000L / (sa.size + sb.size - i)
+    }
+    // OPH banding replay (the q491 reference path)
+    val K = 16; val C = 8589934592L
+    val sigs = docs.toSeq.map { case (id, sh) =>
+      val bins = Array.fill[Option[Long]](K)(None)
+      sh.foreach { s =>
+        val h = hashLongRef(s); val b = (h % K).toInt
+        if (bins(b).forall(_ > h)) bins(b) = Some(h)
+      }
+      val dens = (0 until 4).map { j =>
+        (0 until K).iterator.flatMap(t =>
+          bins((j + t) % K).map(_ + t.toLong * C)).next()
+      }
+      (id, md5Hex(dens.mkString(",")))
+    }
+    val cand = sigs.groupBy(_._2).values.filter(_.size <= 32).flatMap { g =>
+      for (a <- g; b <- g if a._1 < b._1) yield (a._1, b._1)
+    }.toSet
+    val edges = cand.filter(p => jppm(p._1, p._2) >= 500000)
+    val both = edges.toSeq.flatMap(e => Seq(e, (e._2, e._1)))
+    val wedges = (for {
+      (u, g) <- both.groupBy(_._1).toSeq
+      a <- g.map(_._2); b <- g.map(_._2) if a < b
+    } yield (a, b)).toSet
+    val closed = wedges.count(p => jppm(p._1, p._2) >= 500000).toLong
+    val got = Registry.byName("q501_dedup_transitivity").fn(spark, sf)
+      .collect().head
+    assert(got.getLong(0) === edges.size.toLong)
+    assert(got.getLong(1) === wedges.size.toLong)
+    assert(got.getLong(2) === closed)
+    assert(got.getLong(3) ===
+      closed * 1000000L / math.max(wedges.size.toLong, 1L))
+  }
 }
