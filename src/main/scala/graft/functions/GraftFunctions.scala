@@ -67,7 +67,12 @@ object GraftFunctions {
     (FunctionIdentifier("graft_hll_distinct"),
       new ExpressionInfo(classOf[HllDistinct].getName, "graft_hll_distinct"),
       (args: Seq[Expression]) =>
-        HllDistinct(args.head).toAggregateExpression()))
+        HllDistinct(args.head).toAggregateExpression()),
+    (FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKPairs].getName, "graft_topk"),
+      (args: Seq[Expression]) => TopKPairs(args(0), args(1),
+        args(2).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression()))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -106,6 +111,14 @@ object GraftFunctions {
   /** HLL distinct-count aggregate over a pre-hashed 32-bit column
     * (Sampling.hashLong); register the functions first. */
   def hllDistinct(c: Column): Column = call_function("graft_hll_distinct", c)
+
+  /** Exact bounded top-k aggregate: the k largest (key, id) pairs per
+    * group under (key DESC, id ASC) as array<struct<key, id>> — O(k)
+    * state, map-side combining (the rank-window replacement); `id`
+    * must be unique. Register the functions first. */
+  def topK(key: Column, id: Column, k: Int): Column =
+    call_function("graft_topk", key, id,
+      org.apache.spark.sql.functions.lit(k))
 
   /** Column-level dot product backed by the codegen'd expression.
     * Callers must have registered the functions on the session first
