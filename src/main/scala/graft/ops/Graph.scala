@@ -614,6 +614,74 @@ object Graph {
     dist
   }
 
+  /** Bounded-round multi-source BFS over a BITMASK — the MS-BFS idea
+    * (Then et al., VLDB 2015, "The More the Merrier"): up to 64 seeds
+    * share ONE traversal by riding a 64-bit mask per node, so a round
+    * moves O(|V|) rows of one long instead of the O(seeds × |V|)
+    * (seed, id, dist) rows [[seededBfs]] moves — at 64 landmarks that
+    * is a 64× smaller frontier frame for the identical answer. The
+    * per-round fold is bit_or (commutative, partial-combining), so
+    * every value is partition-order-independent like the min-folds of
+    * the row form; GraphSpec pins the two forms equal.
+    *
+    * Input `seeds`: (id, bit) with bit in [0, 64) unique per seed.
+    * Returns (id, round, new_mask): the seeds that FIRST reach `id`
+    * at hop `round` (round 0 = the seeds themselves) — first-discovery
+    * distance is minimal under unit weights, so per-(seed, node) hop
+    * distance reads directly off the round column.
+    *
+    * Scale posture: the edge frame is laid out once; each round is
+    * one equi-join of the O(|V|) mask frame (broadcast under the
+    * seededBfs-style row gate) plus one bit_or hash-agg; superseded
+    * mask frames free as the next materializes. */
+  def seededBfsBitmask(edges: DataFrame, srcCol: String, dstCol: String,
+                       seeds: DataFrame, hops: Int,
+                       assumeLaidOut: Boolean = false,
+                       broadcastMaskRows: Long = 5000000L): DataFrame = {
+    require(hops >= 0, "seededBfsBitmask needs a non-negative hop bound")
+    val e = edgeFrame(edges, srcCol, dstCol, assumeLaidOut, layoutKey = "dst")
+    // `store` is the round's CHECKPOINTED frame (freed when the next
+    // round's store materializes — Checkpoints.free matches checkpoint
+    // roots only, so projections of it are never passed to free)
+    var store = seeds
+      .select(col(seeds.columns.head).cast("long").as("id"),
+        col(seeds.columns(1)).cast("int").as("bit"))
+      .groupBy("id")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("mask"))
+      .localCheckpoint()
+    var cur = store
+    var out = store.select(col("id"), lit(0).cast("int").as("round"),
+      col("mask").as("new_mask")).localCheckpoint()
+    var curRows = cur.count()
+    for (r <- 1 to hops) {
+      val cs = cur.select(col("id").as("src"), col("mask"))
+      val joined =
+        if (curRows <= broadcastMaskRows) e.join(broadcast(cs), "src")
+        else e.join(cs, "src")
+      val contrib = joined
+        .groupBy(col("dst").as("id"))
+        .agg(expr("bit_or(mask)").as("cmask"))
+      val merged = cur.join(contrib, Seq("id"), "full_outer")
+        .select(col("id"),
+          expr("coalesce(mask, 0L) | coalesce(cmask, 0L)").as("mask"),
+          expr("coalesce(cmask, 0L) & ~coalesce(mask, 0L)").as("new_mask"))
+        .localCheckpoint()
+      val newly = merged.where(col("new_mask") =!= 0L)
+        .select(col("id"), lit(r).cast("int").as("round"), col("new_mask"))
+      val oldOut = out
+      out = out.union(newly).localCheckpoint()
+      val oldStore = store
+      store = merged
+      cur = merged.select("id", "mask")
+      curRows = merged.count()
+      Checkpoints.free(oldStore)
+      Checkpoints.free(oldOut)
+    }
+    if (!assumeLaidOut) Checkpoints.free(e)
+    Checkpoints.free(store)
+    out
+  }
+
   /** Bounded-round single-source shortest paths over WEIGHTED edges
     * (Bellman-Ford): after `rounds` relaxations each reached node
     * carries the minimum total weight over all paths of at most

@@ -40,23 +40,32 @@ object QueriesRound7i {
             .join(li.withColumnRenamed("l_partkey", "dst"), "l_orderkey")
             .where(col("src") =!= col("dst")),
           "src", "dst", layoutKey = "src")
-        // Graph.seededBfs owns the loop: frontier-propagation shape
-        // (min-dist IS first-discovery under unit weights, so the
-        // output is identical to the full union-min fold the oracle
-        // replays), and the frontier broadcast is SIZE-GUARDED — the
-        // seed-keyed frontier is O(k × frontier width); above the row
-        // bound the round runs as a shuffle join against the laid-out
-        // edges.
+        // Graph.seededBfsBitmask owns the loop — the MS-BFS form (Then
+        // et al., VLDB'15): the 64 landmarks ride ONE 64-bit mask per
+        // node, so each round moves O(|V|) longs instead of the
+        // O(64·|V|) (seed, id, dist) rows the row form moves (measured
+        // 10.0 -> 7.5 s isolated at sf0.1, slope 0.67 -> 0.30 — the
+        // BASELINE r9 note), with the same size-guarded broadcast. First-discovery round IS the min hop distance
+        // under unit weights, so the per-(seed, node) distances — and
+        // the harmonic readout — are identical to the row form the
+        // oracle replays (GraphSpec pins the two forms equal).
         val seeds = e.select(col("src").as("id")).distinct()
           .orderBy(md5(col("id").cast("string")))
           .limit(64)
-          .select("id")
-        val dist = Graph.seededBfs(e, "src", "dst", seeds, hops = 3,
-          assumeLaidOut = true)
-        val out = dist.where(col("dist") > 0)
+          .withColumn("bit", (row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(md5(col("id").cast("string")))) - 1).cast("int"))
+        val reach = Graph.seededBfsBitmask(e, "src", "dst", seeds,
+          hops = 3, assumeLaidOut = true)
+        val bits = s.range(64).select(col("id").cast("int").as("bit"))
+        val out = reach.where(col("round") > 0)
+          .join(broadcast(bits),
+            expr("((new_mask >> bit) & 1) = 1"))
+          .join(broadcast(seeds.select(col("id").as("seed"), col("bit"))),
+            "bit")
           .groupBy("seed")
           .agg(count(lit(1)).as("n_reached"),
-            sum(expr("1000000 div dist")).as("harmonic_micro"))
+            sum(expr("1000000 div round")).as("harmonic_micro"))
           .orderBy("seed")
         graft.ops.Checkpoints.free(e)
         out

@@ -372,6 +372,24 @@ class GraphShapeSpec extends SparkSpec {
     assert(hA == hB && hA.nonEmpty)
   }
 
+  test("seededBfsBitmask equals seededBfs row form (any gate regime)") {
+    import org.apache.spark.sql.functions.{expr => sexpr}
+    val seeds = Seq((0L, 0), (13L, 1), (27L, 2)).toDF("id", "bit")
+    val rowForm = Graph.seededBfs(edges, "src", "dst",
+      seeds.select("id"), hops = 3)
+      .as[(Long, Long, Long)].collect().toSet // (seed, id, dist)
+    for (gate <- Seq(5000000L, 0L)) {
+      val reach = Graph.seededBfsBitmask(edges, "src", "dst", seeds,
+        hops = 3, broadcastMaskRows = gate)
+      val got = reach
+        .join(seeds.select(col("id").as("seed"), col("bit")),
+          sexpr("((new_mask >> bit) & 1) = 1"))
+        .select(col("seed"), col("id"), col("round").cast("long"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === rowForm && got.nonEmpty, s"gate=$gate")
+    }
+  }
+
   test("no unconditional O(|V|) broadcast remains in Graph.scala") {
     // the r8 verdict's family-level defect: every broadcast of a frame
     // that scales with |V| must sit behind a row-count gate. Enforce
