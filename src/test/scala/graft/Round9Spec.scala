@@ -342,4 +342,67 @@ class Round9Spec extends SparkSpec {
     assert(got.getLong(3) ===
       closed * 1000000L / math.max(wedges.size.toLong, 1L))
   }
+
+  test("q505 RFM quintiles equal the brute-force rank coding") {
+    val ref = java.time.LocalDate.parse("2024-01-31").toEpochDay *
+      86400L * 1000000L
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")),
+        (col("value").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byU = ev.groupBy(_._1).toSeq.map { case (u, g) =>
+      val lastTs = g.map(_._2).max
+      // whole hours by integer epoch arithmetic — the q505 definition
+      (u, (ref - lastTs) / 3600000000L, g.size.toLong, g.map(_._3).sum)
+    }
+    val n = byU.size.toLong
+    def codes(metric: ((Long, Long, Long, Long)) => Long): Map[Long, Long] =
+      byU.sortBy(r => (metric(r), r._1)).zipWithIndex
+        .map { case (r, i) => r._1 -> (i.toLong * 5 / n + 1) }.toMap
+    val (rc, fc, mc) = (codes(_._2), codes(_._3), codes(_._4))
+    val want = byU.map(r => (rc(r._1), fc(r._1), mc(r._1)))
+      .groupBy(identity).map { case (k, g) =>
+        (k._1, k._2, k._3, g.size.toLong) }.toSet
+    val got = Registry.byName("q505_rfm_segments").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got === want)
+  }
+
+  test("q506/q507: split ledger and sync flags equal brute force") {
+    val dayUs = 86400L * 1000000L
+    val t20 = java.time.LocalDate.parse("2024-01-20").toEpochDay * dayUs
+    val t23 = java.time.LocalDate.parse("2024-01-23").toEpochDay * dayUs
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def part(t: Long): String =
+      if (t < t20) "train" else if (t >= t23) "test" else "embargo"
+    val rows = ev.groupBy(e => part(e._2))
+    val trU = rows.getOrElse("train", Array.empty).map(_._1).toSet
+    val teU = rows.getOrElse("test", Array.empty).map(_._1).toSet
+    val got6 = Registry.byName("q506_temporal_split_audit").fn(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    for (p <- Seq("train", "test", "embargo") if rows.contains(p)) {
+      val (nr, nu, ov) = got6(p)
+      assert(nr === rows(p).length.toLong, p)
+      assert(nu === rows(p).map(_._1).distinct.length.toLong, p)
+      assert(ov === (trU & teU).size.toLong, p)
+    }
+    // q507: flag counts from the synthesis arithmetic
+    val toks = docRows.map(r => r._1 -> normToks(r._3).size)
+      .filter(_._2 > 0)
+    val wantFlags = toks.map { case (id, tk) =>
+      val per = if (id % 23 == 0) 400 else if (id % 29 == 0) 4 else 40
+      val rm = 1000L * 80 * tk / (tk.toLong * per)
+      if (rm < 500) "slow" else if (rm > 5000) "fast" else "ok"
+    }.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val got7 = Registry.byName("q507_av_sync_audit").fn(spark, sf)
+      .groupBy("flag").sum("n_docs").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got7 === wantFlags)
+    assert(wantFlags.contains("slow") && wantFlags.contains("fast"),
+      "planted outliers must exist at this SF")
+  }
 }
