@@ -405,4 +405,35 @@ class Round9Spec extends SparkSpec {
     assert(wantFlags.contains("slow") && wantFlags.contains("fast"),
       "planted outliers must exist at this SF")
   }
+
+  test("q508 greedy cover equals brute force; gains are non-increasing") {
+    val rows = Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def shingles(text: String): Set[String] =
+      normToks(text).sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    val byGrp = rows.groupBy(r => r._1.drop(3).toInt % 5)
+      .map { case (g, rs) => g -> rs.flatMap(r => shingles(r._2)).toSet }
+    val schedule = collection.mutable.ListBuffer.empty[(Long, Long, Long, Long)]
+    var cov = Set.empty[String]
+    val left = collection.mutable.Set(0, 1, 2, 3, 4)
+    for (r <- 1 to 5) {
+      val best = left.toSeq.map { g =>
+        val next = cov ++ byGrp.getOrElse(g, Set.empty)
+        (g, next.size - cov.size, next.size)
+      }.minBy { case (g, gain, _) => (-gain, g) }
+      left -= best._1
+      cov = cov ++ byGrp.getOrElse(best._1, Set.empty)
+      schedule += ((r.toLong, best._1.toLong, best._2.toLong,
+        best._3.toLong))
+    }
+    val got = Registry.byName("q508_greedy_source_cover").fn(spark, sf)
+      .select("round", "grp_chosen", "gain", "covered_after").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    assert(got === schedule.toSeq)
+    // submodularity of coverage: greedy gains never increase
+    val gains = got.map(_._3)
+    assert(gains.zip(gains.tail).forall { case (a, b) => b <= a })
+  }
 }
