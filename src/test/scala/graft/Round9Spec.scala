@@ -436,4 +436,38 @@ class Round9Spec extends SparkSpec {
     val gains = got.map(_._3)
     assert(gains.zip(gains.tail).forall { case (a, b) => b <= a })
   }
+
+  test("q509 law: quotient-merge CC equals full CC on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(509)
+    for (trial <- 1 to 3) {
+      val edges = (1 to 150).map(_ =>
+        (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+        .filter(p => p._1 != p._2)
+      val eAll = edges.toDF("id_a", "id_b").localCheckpoint()
+      val newNode = (id: Long) => id % 3 == 0
+      val eOld = eAll.where(expr("id_a % 3 != 0 AND id_b % 3 != 0"))
+      val eNew = eAll.where(expr("id_a % 3 = 0 OR id_b % 3 = 0"))
+      val lab1 = graft.ops.Dedup.duplicateGroups(eOld)
+      val quotient = eNew
+        .join(lab1.select(col("id").as("id_a"),
+          col("group_id").as("ra")), Seq("id_a"), "left")
+        .join(lab1.select(col("id").as("id_b"),
+          col("group_id").as("rb")), Seq("id_b"), "left")
+        .select(coalesce(col("ra"), col("id_a")).as("id_a"),
+          coalesce(col("rb"), col("id_b")).as("id_b"))
+        .where(col("id_a") =!= col("id_b"))
+      val lab2 = graft.ops.Dedup.duplicateGroups(quotient)
+      val composed = lab1
+        .join(lab2.select(col("id").as("group_id"),
+          col("group_id").as("g2")), Seq("group_id"), "left")
+        .select(col("id"), coalesce(col("g2"), col("group_id"))
+          .as("group_id"))
+        .unionByName(lab2.join(lab1.select("id"), Seq("id"), "left_anti"))
+        .as[(Long, Long)].collect().toMap
+      val full = graft.ops.Dedup.duplicateGroups(eAll)
+        .as[(Long, Long)].collect().toMap
+      assert(composed === full && full.nonEmpty, s"trial $trial")
+    }
+  }
 }
