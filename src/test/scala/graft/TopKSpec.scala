@@ -9,6 +9,12 @@ import org.apache.spark.sql.functions._
   * partition-count invariance (the merge path), null handling, and
   * the O(k)-state contract's determinism under duplicates of the key.
   */
+/** Executor-shared flag for the task-kill test (local mode: one JVM,
+  * so an object field is visible to the retried attempt). */
+object TopKChaos {
+  val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+}
+
 class TopKSpec extends SparkSpec {
   import spark.implicits._
 
@@ -50,6 +56,46 @@ class TopKSpec extends SparkSpec {
     // null key row skipped; duplicate key 5 ordered by id; k > group ok
     assert(got("a") === Seq((7L, 4L), (5L, 1L), (5L, 2L)))
     assert(got("b") === Seq((1L, 9L)))
+  }
+
+  test("graft_topk map-side combine: partial + final aggregate stages") {
+    GraftFunctions.register(spark)
+    val df = spark.range(1000)
+      .selectExpr("id % 7 AS g", "id * 13 % 101 AS key", "id")
+      .repartition(5)
+      .groupBy("g")
+      .agg(GraftFunctions.topK(col("key"), col("id"), 4).as("top"))
+    val plan = df.queryExecution.executedPlan.toString
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial stage BELOW the exchange — the map-side combine that
+    // caps the shuffle at k pairs per (group x partition). Two
+    // aggregate operators (partial + final) must be present.
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("graft_topk"), plan)
+  }
+
+  test("graft_topk survives a task kill mid-partition (retry = clean run)") {
+    GraftFunctions.register(spark)
+    TopKChaos.fired.set(false)
+    val chaosKey = udf { (k: Long) =>
+      if (!TopKChaos.fired.getAndSet(true))
+        throw new RuntimeException("topk chaos: killing first attempt")
+      k
+    }
+    val base = spark.range(600)
+      .selectExpr("id % 5 AS g", "id * 11 % 83 AS key", "id")
+    val clean = base.groupBy("g")
+      .agg(GraftFunctions.topK(col("key"), col("id"), 3).as("top"))
+      .select(col("g"), col("top").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val chaotic = base
+      .withColumn("key", chaosKey(col("key")))
+      .groupBy("g")
+      .agg(GraftFunctions.topK(col("key"), col("id"), 3).as("top"))
+      .select(col("g"), col("top").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(TopKChaos.fired.get, "the chaos kill never fired")
+    assert(chaotic === clean && clean.size == 5)
   }
 
   test("graft_topk in SQL and the q503 drift ledger sanity") {
