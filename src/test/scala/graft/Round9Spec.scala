@@ -437,6 +437,18 @@ class Round9Spec extends SparkSpec {
     assert(gains.zip(gains.tail).forall { case (a, b) => b <= a })
   }
 
+  test("q491/q501 lockstep: the duplicated OPH banding stays identical") {
+    // q501 re-builds q491's banding (file-local fragment duplication,
+    // the lshCtes precedent) — pin the two in lockstep: q501's edge
+    // count must equal the count of q491 candidates whose exact
+    // Jaccard clears the 0.5 threshold
+    val verified = Registry.byName("q491_oph_minhash").fn(spark, sf)
+      .where(col("exact_ppm") >= 500000).count()
+    val edges = Registry.byName("q501_dedup_transitivity").fn(spark, sf)
+      .collect().head.getLong(0)
+    assert(edges === verified)
+  }
+
   test("q509 law: quotient-merge CC equals full CC on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(509)
