@@ -49,6 +49,13 @@ case class TopKState(n: Long, vs: Seq[Double])
 case class TopKPoint(key: Long, n: Long,
                      v1: Option[Double], v2: Option[Double], v3: Option[Double])
 
+/** streamingTokenBucket event/state/output: per-key admission
+  * control with O(1) state (level + last event time). */
+case class BucketEvent(key: Long, id: Long, ts_us: Long)
+case class BucketState(levelMicro: Long, lastTs: Long)
+case class BucketDecision(user_id: Long, event_id: Long,
+                          admitted: Long, level_after: Long)
+
 /** Structured Streaming operators (SURVEY §2A-9, §3.3).
   *
   * The reference's streaming shapes map 1:1:
@@ -600,6 +607,40 @@ object Sessions {
     }
     events.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Streaming token-bucket admission per key: the live twin of
+    * `RateLimit.replaySummary`'s batch fold, one decision row per
+    * event (append-safe — each event decides exactly once, so
+    * micro-batch splits never duplicate output). State is O(1) per
+    * key: the bucket level and the last event time. Events sort by
+    * (ts_us, id) within each micro-batch; cross-batch order is
+    * arrival order, so bounded out-of-orderness must be handled
+    * upstream (the streamingEwma discipline). The arithmetic is the
+    * SAME pure `RateLimit.step` the batch fold mirrors, so stream ≡
+    * batch ≡ recursive-CTE oracle under one hash gate. */
+  def streamingTokenBucket(events: Dataset[BucketEvent]): Dataset[BucketDecision] = {
+    import events.sparkSession.implicits._
+    def update(key: Long, rows: Iterator[BucketEvent],
+               state: GroupState[BucketState]): Iterator[BucketDecision] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.id))
+      if (sorted.isEmpty) Iterator.empty
+      else {
+        var (lvl, last) = state.getOption
+          .map(s => (s.levelMicro, s.lastTs))
+          .getOrElse((graft.ops.RateLimit.CapMicro, -1L))
+        val out = sorted.map { e =>
+          val delta = if (last < 0) 0L else e.ts_us - last
+          val (nl, adm) = graft.ops.RateLimit.step(lvl, delta)
+          lvl = nl; last = e.ts_us
+          BucketDecision(key, e.id, if (adm) 1L else 0L, nl)
+        }
+        state.update(BucketState(lvl, last))
+        out.iterator
+      }
+    }
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
   /** Silence split column for batch backfill of utterance assembly:
