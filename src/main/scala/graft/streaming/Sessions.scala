@@ -49,6 +49,13 @@ case class TopKState(n: Long, vs: Seq[Double])
 case class TopKPoint(key: Long, n: Long,
                      v1: Option[Double], v2: Option[Double], v3: Option[Double])
 
+/** streamingHolt event/state/output: per-key day-bucket sufficient
+  * statistics (bounded: 30 counts) and the recomputed Holt readout. */
+case class DayEvent(key: Long, day: Int)
+case class HoltState(counts: Seq[Long])
+case class HoltPoint(user_id: Long, n_events: Long, level: Double,
+                     trend: Double, forecast_7d: Double)
+
 /** streamingTokenBucket event/state/output: per-key admission
   * control with O(1) state (level + last event time). */
 case class BucketEvent(key: Long, id: Long, ts_us: Long)
@@ -603,6 +610,46 @@ object Sessions {
         state.update(TopKState(n, top))
         def at(i: Int): Option[Double] = top.lift(i)
         Iterator.single(TopKPoint(key, n, at(0), at(1), at(2)))
+      }
+    }
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Streaming Holt linear-trend maintenance per key: the live twin
+    * of the q520 batch fold, via the third stateful pattern in this
+    * file — BOUNDED SUFFICIENT STATISTICS + recompute. EWMA keeps
+    * O(1) state because its recurrence telescopes; Holt's two-state
+    * recurrence over a dense day grid does not, but its sufficient
+    * statistic (30 day-counts) is bounded, so the state stores the
+    * counts and re-runs the O(30) fold per emission. Split-safe under
+    * ANY micro-batch partition of the events (counts are commutative),
+    * unlike carrying (l, b) across batches would be. Emits the
+    * running readout per touching batch (Update mode); downstream
+    * selects the emission with the largest n_events (the
+    * streamingEwma discipline). The fold body is the EXACT expression
+    * sequence of the batch lane, so doubles match bit-for-bit. */
+  def streamingHolt(events: Dataset[DayEvent]): Dataset[HoltPoint] = {
+    import events.sparkSession.implicits._
+    def update(key: Long, rows: Iterator[DayEvent],
+               state: GroupState[HoltState]): Iterator[HoltPoint] = {
+      val incoming = rows.toSeq
+      if (incoming.isEmpty) Iterator.empty
+      else {
+        val counts = state.getOption.map(_.counts.toArray)
+          .getOrElse(Array.fill(30)(0L))
+        incoming.foreach { e =>
+          if (e.day >= 1 && e.day <= 30) counts(e.day - 1) += 1
+        }
+        state.update(HoltState(counts.toSeq))
+        var l = counts(0).toDouble; var b = 0.0
+        for (day <- 2 to 30) {
+          val y = counts(day - 1).toDouble
+          val ln = 0.5 * y + 0.5 * (l + b)
+          b = 0.25 * (0.5 * y + 0.5 * (l + b) - l) + 0.75 * b
+          l = ln
+        }
+        Iterator.single(HoltPoint(key, counts.sum, l, b, l + 7.0 * b))
       }
     }
     events.groupByKey(_.key)
