@@ -238,10 +238,25 @@ object Bench {
       val ts = byFam(f).map(_._2)
       s""""$f":{"sec":${f2(ts.sum)},"n":${ts.size}}"""
     }.mkString("""{"metric":"families",""", ",", "}")
+    // self-attribution ledger (r9 verdict #7): for the 20 most
+    // expensive queries emit BOTH the in-suite first-pass min-of-2 AND
+    // the time-separated re-measure min (second pass minutes later +
+    // third-pass single shot) — when the two disagree the gap is the
+    // host phase, not the plan, and the bench says so itself instead
+    // of costing a round of manual attribution (q149/q319 history).
+    val topNames = firstPass.filter(_._2 >= 0).sortBy(-_._2).take(20)
+    val isoLine = topNames.map { case (name, suite) =>
+      val iso = Seq(secondPass.get(name), thirdPass.get(name))
+        .flatten.filter(_ >= 0)
+      val isoMin = if (iso.isEmpty) suite else math.min(iso.min, suite)
+      s"\"" + shortName(name) + "\":{\"suite\":" + f2(suite) +
+        ",\"iso\":" + f2(isoMin) + "}"
+    }.mkString("""{"metric":"isolated","queries":{""", ",", "}}")
     // stop BEFORE printing: anything the shutdown path writes after the
     // metric lines would push them out of the tail window
     spark.stop()
     mapLines.foreach(println)
+    println(isoLine)
     println(famLine)
     println(totalLine)
   }

@@ -232,7 +232,12 @@ object Similarity {
               nCells: Int = 16, nProbe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // consumed by count, seed pick, Lloyd step and final assignment —
-    // persist once instead of recomputing the scan lineage each time
+    // persist once instead of recomputing the scan lineage each time.
+    // CALLER CONTRACT: the returned plan reads this persisted frame
+    // (so it cannot be released here); after materializing the result,
+    // drop it with sparkContext.getPersistentRDDs/unpersist or
+    // catalog.clearCache (every IVF query does; Round10Spec pins that
+    // no blocks linger after the q54 lane + block sweep).
     val corp = corpus.select(col(idCol), col(vecCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ivfTopKWith(corp, queries, k, trainCentroids(corp, nCells, idCol, vecCol),
@@ -277,9 +282,14 @@ object Similarity {
     // consumed by count, seed collect, and the Lloyd collect — persist
     // so direct callers don't re-scan the corpus three times (when the
     // caller already persisted the same plan, the cache manager
-    // dedupes and this is a no-op)
+    // dedupes and this is a no-op). Training is self-contained (the
+    // result is a driver-side array; no returned plan references this
+    // frame), so the persist is released in the finally below — the
+    // q452 lesson: an op that persists must unpersist on every path,
+    // not rely on callers remembering to.
     val corpus = corpusIn.select(col(idCol), col(vecCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // seed centroids: deterministic hash-spread pick — a scan + limit,
     // never a global row_number window (which would funnel the whole
     // corpus through one task). Seed quality only affects the Lloyd
@@ -334,6 +344,7 @@ object Similarity {
         .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
     }
     (0 until math.max(maxIter, 0)).foldLeft(seeds)((c, _) => lloydStep(c))
+    } finally corpus.unpersist(false)
   }
 
   /** Product-quantization codebooks: one deterministic codebook per

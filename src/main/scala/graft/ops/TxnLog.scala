@@ -1,0 +1,202 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Mini-lakehouse transaction log: ACID table commits as an ordered
+  * sequence of atomically-published log files, the protocol behind
+  * every modern table format (public designs: the Delta Lake VLDB'20
+  * paper, the Iceberg spec, Hive ACID). The reference's
+  * `last_run.json` overwrite (reference `main.py:19-22`) is the
+  * degenerate single-writer case of exactly this — one state file,
+  * last writer wins; this is the multi-writer generalization SURVEY
+  * §2A maps to "checkpoint/commit-log".
+  *
+  * Design (all public-knowledge techniques):
+  * - A table is a directory of immutable parquet segments plus
+  *   `_txnlog/<version 20-digit zero-padded>.txn` commit files.
+  * - Each commit lists `add`/`remove` segment actions. The LIVE set at
+  *   version v is the ordered fold of actions ≤ v (adds insert,
+  *   removes delete) — so compaction, append, and delete are all just
+  *   commits, and any historical snapshot is reconstructible (time
+  *   travel).
+  * - **Optimistic concurrency**: a writer prepares its segments, then
+  *   publishes `<v>.txn` via write-to-temp + rename-without-overwrite
+  *   through [[FileContext]] (`Options.Rename.NONE` — atomic and
+  *   fails if the destination exists, on HDFS and local FS alike; the
+  *   same primitive Delta's HDFS LogStore documents). Exactly one
+  *   writer can own a version; the loser re-reads the log, checks its
+  *   action set against the intervening commits, and either rebases
+  *   to the new head or aborts.
+  * - **Snapshot isolation**: a reader lists the log ONCE, resolves the
+  *   live set at the version it saw, and reads only those immutable
+  *   segments — concurrent commits create new versions, never mutate
+  *   segments, so the read is consistent without locks.
+  * - Contiguity rule: versions start at 1 and must be gap-free; a
+  *   reader stops at the first gap (a gap can only be a not-yet-
+  *   visible in-flight publish on an eventually-listing store).
+  *
+  * At 100 TB the log is O(commits), not O(data): resolving it is a
+  * driver-side listing of tiny files (checkpoint/compaction of the log
+  * itself would follow the same public designs), while the data reads
+  * stay fully distributed over the resolved segment list. On object
+  * stores without atomic rename the publish step swaps to a
+  * conditional PUT / external lock service — same protocol, different
+  * primitive (the Delta paper's LogStore abstraction).
+  */
+object TxnLog {
+
+  /** One file-level action inside a commit. `kind` ∈ add | remove. */
+  case class Action(kind: String, path: String)
+
+  case class Commit(version: Long, writer: String, actions: Seq[Action])
+
+  /** Outcome of [[commitWithRetry]]: the version finally owned plus
+    * how many publish attempts it took (1 = no contention). */
+  case class CommitResult(version: Long, attempts: Int)
+
+  private def logDir(table: String) = new Path(table, "_txnlog")
+
+  private def versionFile(table: String, v: Long) =
+    new Path(logDir(table), f"$v%020d.txn")
+
+  private def hfs(s: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Attempt to publish `actions` as exactly `version`. Returns true
+    * iff this writer won the version. Never throws on contention —
+    * losing the rename race is a normal protocol outcome. */
+  def tryCommit(s: SparkSession, table: String, version: Long,
+                writer: String, actions: Seq[Action]): Boolean = {
+    require(version >= 1, s"versions start at 1, got $version")
+    val dir = logDir(table)
+    val fs = hfs(s, dir)
+    fs.mkdirs(dir)
+    val target = versionFile(table, version)
+    if (fs.exists(target)) return false // fast-path: already owned
+    // stage the full commit body in a writer-private temp file so a
+    // crash mid-write can never leave a torn <v>.txn visible
+    val tmp = new Path(dir, s"_tmp_${writer}_$version.txn")
+    val out = fs.create(tmp, true)
+    try {
+      val body = (s"commit\t$version\t$writer" +:
+        actions.map(a => s"${a.kind}\t${a.path}")).mkString("", "\n", "\n")
+      out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+    // the atomic publish: rename WITHOUT overwrite — exactly one
+    // writer's rename can create <v>.txn
+    val fc = FileContext.getFileContext(target.toUri,
+      s.sparkContext.hadoopConfiguration)
+    val won =
+      try { fc.rename(tmp, target, Options.Rename.NONE); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.io.IOException => false // raw local FS signals via IOE
+      }
+    if (!won) fs.delete(tmp, false)
+    won
+  }
+
+  /** Read the commit log up to (and including) `asOf`, in version
+    * order, stopping at the first gap (contiguity rule above). One
+    * listing = one consistent snapshot of the log. */
+  def commits(s: SparkSession, table: String,
+              asOf: Option[Long] = None): Seq[Commit] = {
+    val dir = logDir(table)
+    val fs = hfs(s, dir)
+    if (!fs.exists(dir)) return Seq.empty
+    val cap = asOf.getOrElse(Long.MaxValue)
+    val files = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.matches("\\d{20}\\.txn"))
+      .map(p => p.getName.stripSuffix(".txn").toLong -> p)
+      .filter(_._1 <= cap)
+      .sortBy(_._1)
+    // stop before the first gap: versions must run 1, 2, 3, …
+    val contiguous = files.zipWithIndex
+      .takeWhile { case ((v, _), i) => v == i + 1L }
+      .map(_._1)
+    contiguous.map { case (v, p) =>
+      val in = fs.open(p)
+      val text =
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](8192)
+          Iterator.continually(in.read(chunk)).takeWhile(_ > 0)
+            .foreach(n => buf.write(chunk, 0, n))
+          new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+      val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+      val head = lines.head.split("\t")
+      require(head(0) == "commit" && head(1).toLong == v,
+        s"malformed commit file ${p.getName}")
+      Commit(v, head(2), lines.tail.map { l =>
+        val a = l.split("\t"); Action(a(0), a(1))
+      })
+    }.toSeq
+  }
+
+  /** Live segment paths after folding `cs` in version order (stable
+    * insertion order — deterministic read plans). */
+  def liveFiles(cs: Seq[Commit]): Seq[String] = {
+    val live = new java.util.LinkedHashSet[String]()
+    cs.foreach(_.actions.foreach { a =>
+      a.kind match {
+        case "add" => live.add(a.path)
+        case "remove" => live.remove(a.path)
+        case k => throw new IllegalArgumentException(s"unknown action $k")
+      }
+    })
+    import scala.jdk.CollectionConverters._
+    live.asScala.toSeq
+  }
+
+  /** Highest committed contiguous version (0 = empty table). */
+  def currentVersion(s: SparkSession, table: String): Long =
+    commits(s, table).lastOption.map(_.version).getOrElse(0L)
+
+  /** Snapshot-isolation read at `asOf` (None = latest): one log
+    * listing, then a plain distributed parquet scan of the resolved
+    * immutable segments. Returns (frame, versionRead, nLiveSegments). */
+  def snapshot(s: SparkSession, table: String,
+               asOf: Option[Long] = None): (DataFrame, Long, Int) = {
+    val cs = commits(s, table, asOf)
+    require(cs.nonEmpty, s"no commits at or before $asOf in $table")
+    val files = liveFiles(cs)
+    (s.read.parquet(files: _*), cs.last.version, files.size)
+  }
+
+  /** Optimistic-concurrency commit loop: try the current head + 1; on
+    * losing the race, re-read the intervening commits and rebase iff
+    * this writer's touched-path set is disjoint from every winner's
+    * (append vs append and append vs compact commute; two operations
+    * touching the same segment do not — the standard file-level OCC
+    * conflict rule). Aborts with IllegalStateException on a true
+    * conflict or after `maxAttempts`. */
+  def commitWithRetry(s: SparkSession, table: String, writer: String,
+                      actions: Seq[Action],
+                      maxAttempts: Int = 10,
+                      baseVersion: Option[Long] = None): CommitResult = {
+    val mine = actions.map(_.path).toSet
+    var attempt = 0
+    // `baseVersion` pins the snapshot the writer PREPARED against
+    // (possibly stale — the contention path); default reads the head
+    var base = baseVersion.getOrElse(currentVersion(s, table))
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val v = base + 1
+      if (tryCommit(s, table, v, writer, actions))
+        return CommitResult(v, attempt)
+      // lost: somebody owns v (and possibly more). Conflict-check
+      // every commit that landed since our base before rebasing.
+      val landed = commits(s, table).filter(_.version > base)
+      val clash = landed.flatMap(_.actions.map(_.path)).toSet.intersect(mine)
+      if (clash.nonEmpty)
+        throw new IllegalStateException(
+          s"writer $writer conflicts on segments $clash at version ${base + 1}")
+      base = landed.lastOption.map(_.version).getOrElse(base)
+    }
+    throw new IllegalStateException(
+      s"writer $writer gave up after $maxAttempts attempts")
+  }
+}

@@ -24,8 +24,17 @@ object QueriesRound9m {
     // exact pair-agreement odds u = Σ c_v(c_v−1) / N(N−1), fixed
     // m-priors, and per-pair match weight Σ ±log2(m/u | (1−u)/(1−m))
     // in exact micro-bits on the shared FixedPoint table. Candidates
-    // come from (brand, size) blocking — ≤ a few hundred pairs per
-    // block at any SF, never part×part. Both log arguments are > 1 by
+    // come from (brand, size) blocking — never part×part, but parts
+    // per block grow LINEARLY with SF (~n/1250 for ~25 brands × ~50
+    // sizes), so pairs per block grow quadratically: ~16 parts/block
+    // at sf0.1, ~2.6k pairs/block at sf1, and past that a linkage run
+    // adds a third blocking key (tok) exactly like production FS
+    // engines re-block. BIGINT bound (the q521/q455 discipline): the
+    // fp20 remainder terms inside log2MicroFp20 are (num mod d)·2²⁰
+    // with d up to 1000·u_den = 1000·n(n−1), so they stay in BIGINT
+    // while 1000·n(n−1) < 2⁴³ ⇔ n ≲ 94k parts (sf ≈ 0.45 at TPC-H's
+    // 200k parts/SF); beyond that the ratio lifts to DECIMAL(38) like
+    // q455. Both log arguments are > 1 by
     // construction (m > u always here), so every weight is a positive
     // integer and disagreement subtracts — no signed-log machinery.
     QueryDef("q515_fellegi_sunter",

@@ -45,8 +45,15 @@ object QueriesRound9q {
           expr("(s - 3 * n) * 1000000 div (6 * n)").as("po_ppm"),
           expr("(c0 * c0 + c1 * c1 + c2 * c2) * 1000000 div (9 * n * n)")
             .as("pe_ppm"),
-          expr("(3 * n * s - 9 * n * n - 2 * (c0*c0 + c1*c1 + c2*c2))" +
-            " * 1000000 div (18 * n * n - 2 * (c0*c0 + c1*c1 + c2*c2))")
+          // kappa's numerator (3nS − 9n² − 2Σc²) goes NEGATIVE whenever
+          // agreement falls below chance; Spark `div` truncates toward
+          // zero where DuckDB `//` floors, so the sign rides outside
+          // (the q522 discipline). po/pe numerators are provably ≥ 0
+          // (S ≥ 3n since each row's n_ij sum to 3) and stay bare divs.
+          expr("CAST(signum(3 * n * s - 9 * n * n" +
+            " - 2 * (c0*c0 + c1*c1 + c2*c2)) AS BIGINT)" +
+            " * (abs(3 * n * s - 9 * n * n - 2 * (c0*c0 + c1*c1 + c2*c2))" +
+            " * 1000000 div (18 * n * n - 2 * (c0*c0 + c1*c1 + c2*c2)))")
             .as("kappa_ppm"))
       },
       Some(s"""WITH rated AS (SELECT
@@ -74,8 +81,11 @@ object QueriesRound9q {
         |SELECT n, s, c0*c0 + c1*c1 + c2*c2 AS sum_c2,
         |  (s - 3 * n) * 1000000 // (6 * n) AS po_ppm,
         |  (c0*c0 + c1*c1 + c2*c2) * 1000000 // (9 * n * n) AS pe_ppm,
-        |  (3 * n * s - 9 * n * n - 2 * (c0*c0 + c1*c1 + c2*c2)) * 1000000
-        |    // (18 * n * n - 2 * (c0*c0 + c1*c1 + c2*c2)) AS kappa_ppm
+        |  CAST(sign(3 * n * s - 9 * n * n - 2 * (c0*c0 + c1*c1 + c2*c2))
+        |      AS BIGINT)
+        |    * (abs(3 * n * s - 9 * n * n - 2 * (c0*c0 + c1*c1 + c2*c2))
+        |      * 1000000
+        |      // (18 * n * n - 2 * (c0*c0 + c1*c1 + c2*c2))) AS kappa_ppm
         |FROM a""".stripMargin)),
 
     // ---- q522: embedding centroid drift between snapshots ----------------------

@@ -112,7 +112,11 @@ object QueriesRound9z {
     // filter's FP rate; this sizes one BEFORE building): for each
     // source's distinct-token count n and target FP 1%/0.1%, the
     // optimal bits m = ceil(n·ln(1/p)/ln²2) and hash count
-    // k = round(m/n·ln2) — all on integer micro-nats printed from
+    // k = floor(m/n·ln2) — floor, not round: both engines and the
+    // spec pin the floored (m·693147 div (n·10⁶)) form, which
+    // under-counts k by at most 1 vs the textbook rounding (the FP
+    // rate moves by < 2× at these k, a planner-grade tolerance) —
+    // all on integer micro-nats printed from
     // the SAME FixedPoint table both engines share (ln(100) and
     // ln(1000) folded at build time from log2MicroLong — one source
     // of truth, the q460 discipline), so the whole plan is
