@@ -99,6 +99,13 @@ object GraftFunctions {
       spark.experimental.extraOptimizations =
         extra3 :+ graft.plans.PruneColumnsThroughGreedyThin
     }
+    // stats-fed broadcast planning (plans/StatsBroadcast): a no-op
+    // until Relational.analyzeForCbo fills the ledger
+    val extra4 = spark.experimental.extraOptimizations
+    if (!extra4.contains(graft.plans.StatsBroadcastJoin)) {
+      spark.experimental.extraOptimizations =
+        extra4 :+ graft.plans.StatsBroadcastJoin
+    }
     // the greedy-thinning planner strategy (plans/GreedyThin) — the
     // extraStrategies twin of injectPlannerStrategy
     val strats = spark.experimental.extraStrategies
@@ -149,6 +156,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.FuseMultiContains)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughGreedyThin)
     ext.injectOptimizerRule(_ => graft.plans.PruneColumnsThroughGreedyThin)
+    ext.injectOptimizerRule(_ => graft.plans.StatsBroadcastJoin)
     ext.injectPlannerStrategy(_ => graft.plans.GreedyThinStrategy)
   }
 }

@@ -791,4 +791,25 @@ object Relational {
           .when(col("__fa") =!= col("__fb"), "changed")
           .otherwise("unchanged").as("diff_class"))
   }
+
+  /** ANALYZE for the stats-fed broadcast rule: one scan collecting the
+    * exact row count and per-column NDVs (the q395 ledger shape), then
+    * registers them in [[graft.plans.StatsLedger]] keyed by the
+    * table's root path so [[graft.plans.StatsBroadcastJoin]] can
+    * estimate post-filter cardinalities the size-only planner cannot
+    * see. Row width is the schema's defaultSize sum — a planning-grade
+    * width, consistent with Catalyst's own fallback. Call it the way a
+    * warehouse calls ANALYZE TABLE: once per table per load, O(scan). */
+  def analyzeForCbo(df: DataFrame, pathKey: String,
+                    cols: Seq[String]): graft.plans.StatsLedger.TableStats = {
+    val aggs = count(lit(1)).as("__n") +:
+      cols.map(c => countDistinct(col(c)).as(s"__ndv_$c"))
+    val row = df.agg(aggs.head, aggs.tail: _*).head
+    val ndv = cols.zipWithIndex
+      .map { case (c, i) => c -> row.getLong(i + 1) }.toMap
+    val width = math.max(df.schema.map(_.dataType.defaultSize).sum, 1).toLong
+    val st = graft.plans.StatsLedger.TableStats(row.getLong(0), width, ndv)
+    graft.plans.StatsLedger.put(pathKey, st)
+    st
+  }
 }

@@ -196,6 +196,50 @@ object QueriesRound10 {
         |  CAST(2 AS INTEGER) AS appender_attempts,
         |  true AS rival_aborted,
         |  CAST(2 AS INTEGER) AS n_segments
-        |FROM orders""".stripMargin))
+        |FROM orders""".stripMargin)),
+
+    // ---- q549: ANALYZE-fed broadcast planning ------------------------------------
+    // The consumer of q395's statistics ledger (r9 verdict #8): the
+    // lane runs ANALYZE (exact row count + NDVs, one scan), registers
+    // the stats in the StatsLedger, and joins lineitem against a
+    // brand-sliced part dimension — the shape where Catalyst's
+    // size-only estimator can't see the slice (Filter keeps the
+    // child's sizeInBytes) but the measured NDV math can, so
+    // plans/StatsBroadcastJoin may hint the broadcast side
+    // pre-shuffle (saving the fact side's exchange WRITE, which AQE's
+    // late conversion still pays — the 100 TB argument; plan flip
+    // pinned in StatsBroadcastSpec). The hash gate verifies BOTH the
+    // join result AND the ANALYZE computation itself (dim_rows,
+    // ndv_brand ride as columns).
+    QueryDef("q549_stats_fed_join",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val dim = part(s, d)
+        val key = graft.plans.StatsBroadcastJoin.pathKeyOf(dim)
+          .getOrElse(s"$d/part.parquet")
+        val st = graft.ops.Relational.analyzeForCbo(dim, key,
+          Seq("p_brand", "p_partkey"))
+        val sliced = dim.where(col("p_brand") === "Brand#19")
+          .select(col("p_partkey"))
+        lineitem(s, d)
+          .join(sliced, col("l_partkey") === col("p_partkey"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+              .as("sum_cents"))
+          .select(col("n"), col("sum_cents"),
+            lit(st.rows).as("dim_rows"),
+            lit(st.ndv("p_brand")).as("ndv_brand"))
+      },
+      Some("""SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |     JOIN part ON l_partkey = p_partkey
+        |     WHERE p_brand = 'Brand#19') AS n,
+        |  (SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |       AS BIGINT) FROM lineitem
+        |     JOIN part ON l_partkey = p_partkey
+        |     WHERE p_brand = 'Brand#19') AS sum_cents,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM part) AS dim_rows,
+        |  (SELECT CAST(count(DISTINCT p_brand) AS BIGINT) FROM part)
+        |    AS ndv_brand""".stripMargin))
   )
 }
