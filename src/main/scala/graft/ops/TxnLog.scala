@@ -166,6 +166,82 @@ object TxnLog {
     (s.read.parquet(files: _*), cs.last.version, files.size)
   }
 
+  /** Write a log CHECKPOINT at `upTo`: the resolved live-segment set
+    * folded into one `<v>.ckpt` file, so readers resolve
+    * O(commits since checkpoint) instead of O(all commits) — how every
+    * public table format keeps a year-old table's log readable.
+    * Checkpoints are DERIVED data (recomputable from the commits they
+    * summarize), so plain overwrite is safe: concurrent checkpointers
+    * at the same version write identical bytes, and a torn checkpoint
+    * is detected by its trailer line and ignored. */
+  def writeCheckpoint(s: SparkSession, table: String, upTo: Long): Unit = {
+    val cs = commits(s, table, Some(upTo))
+    require(cs.nonEmpty && cs.last.version == upTo,
+      s"cannot checkpoint at $upTo: log only reaches ${cs.lastOption.map(_.version)}")
+    val live = liveFiles(cs)
+    val dir = logDir(table)
+    val fs = hfs(s, dir)
+    val out = fs.create(new Path(dir, f"$upTo%020d.ckpt"), true)
+    try {
+      val body = (s"ckpt\t$upTo" +: live.map(p => s"live\t$p") :+ "end")
+        .mkString("", "\n", "\n")
+      out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+  }
+
+  /** Greatest complete checkpoint at or below `asOf`, as a synthetic
+    * base commit (version, add-actions), or None. */
+  private def latestCheckpoint(s: SparkSession, table: String,
+                               asOf: Long): Option[Commit] = {
+    val dir = logDir(table)
+    val fs = hfs(s, dir)
+    if (!fs.exists(dir)) return None
+    fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.matches("\\d{20}\\.ckpt"))
+      .map(p => p.getName.stripSuffix(".ckpt").toLong -> p)
+      .filter(_._1 <= asOf)
+      .sortBy(-_._1)
+      .iterator
+      .map { case (v, p) =>
+        val in = fs.open(p)
+        val text =
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            val chunk = new Array[Byte](8192)
+            Iterator.continually(in.read(chunk)).takeWhile(_ > 0)
+              .foreach(n => buf.write(chunk, 0, n))
+            new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+          } finally in.close()
+        val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+        if (lines.headOption.exists(_ == s"ckpt\t$v") &&
+          lines.lastOption.contains("end"))
+          Some(Commit(v, "ckpt",
+            lines.tail.dropRight(1).map(l => Action("add", l.split("\t")(1)))))
+        else None // torn checkpoint: skip it, older ones still work
+      }
+      .collectFirst { case Some(c) => c }
+  }
+
+  /** Snapshot read that starts from the newest usable checkpoint and
+    * applies only the commit suffix — same result as [[snapshot]],
+    * O(suffix) log reads. Returns (frame, version, nSegments,
+    * checkpointVersion: 0 = none used). */
+  def snapshotViaCheckpoint(s: SparkSession, table: String,
+                            asOf: Option[Long] = None)
+      : (DataFrame, Long, Int, Long) = {
+    val cap = asOf.getOrElse(currentVersion(s, table))
+    latestCheckpoint(s, table, cap) match {
+      case None =>
+        val (df, v, n) = snapshot(s, table, asOf)
+        (df, v, n, 0L)
+      case Some(base) =>
+        val suffix = commits(s, table, Some(cap)).filter(_.version > base.version)
+        val files = liveFiles(base +: suffix)
+        val v = suffix.lastOption.map(_.version).getOrElse(base.version)
+        (s.read.parquet(files: _*), v, files.size, base.version)
+    }
+  }
+
   /** Optimistic-concurrency commit loop: try the current head + 1; on
     * losing the race, re-read the intervening commits and rebase iff
     * this writer's touched-path set is disjoint from every winner's

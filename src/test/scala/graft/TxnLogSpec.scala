@@ -101,6 +101,33 @@ class TxnLogSpec extends SparkSpec {
     assert(TxnLog.currentVersion(spark, t) == 3L)
   }
 
+  test("checkpoint: ckpt+suffix resolution equals full-log; torn ckpt is skipped") {
+    val t = freshTable()
+    val a = writeSeg(t, "a", Seq(1L))
+    val b = writeSeg(t, "b", Seq(2L))
+    val c = writeSeg(t, "c", Seq(1L, 2L))
+    TxnLog.tryCommit(spark, t, 1L, "w", Seq(Action("add", a)))
+    TxnLog.tryCommit(spark, t, 2L, "w", Seq(Action("add", b)))
+    TxnLog.tryCommit(spark, t, 3L, "w",
+      Seq(Action("remove", a), Action("remove", b), Action("add", c)))
+    TxnLog.writeCheckpoint(spark, t, 2L)
+    val d = writeSeg(t, "d", Seq(9L))
+    TxnLog.tryCommit(spark, t, 4L, "w", Seq(Action("add", d)))
+    val (snap, ver, n, ckptV) = TxnLog.snapshotViaCheckpoint(spark, t)
+    assert(ckptV == 2L && ver == 4L && n == 2)
+    assert(snap.count() == 3L) // {c, d} = rows 1,2,9
+    // torn checkpoint (no `end` trailer) at a NEWER version must be
+    // skipped in favor of the older complete one
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val torn = fs.create(new org.apache.hadoop.fs.Path(
+      s"$t/_txnlog/${"%020d".format(3)}.ckpt"), true)
+    torn.write(s"ckpt\t3\nlive\t$a\n".getBytes("UTF-8")); torn.close()
+    val (snap2, ver2, _, ckptV2) = TxnLog.snapshotViaCheckpoint(spark, t)
+    assert(ckptV2 == 2L && ver2 == 4L, "reader trusted a torn checkpoint")
+    assert(snap2.count() == 3L)
+  }
+
   test("contiguity: readers stop before a version gap") {
     val t = freshTable()
     val a = writeSeg(t, "a", Seq(1L))
