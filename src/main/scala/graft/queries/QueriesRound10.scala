@@ -40,7 +40,7 @@ object QueriesRound10 {
     * Returns the segment paths (a, b, c, d). A real pipeline writes
     * each segment once as data arrives; the three mod-filtered writes
     * here are the test harness, not the protocol's cost. */
-  private def buildHistory(s: SparkSession, d: String,
+  private[queries] def buildHistory(s: SparkSession, d: String,
                            root: String): (String, String, String, String) = {
     reset(s, root)
     def seg(name: String, m: Int): String = {
