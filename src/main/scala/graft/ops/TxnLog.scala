@@ -21,13 +21,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   commits, and any historical snapshot is reconstructible (time
   *   travel).
   * - **Optimistic concurrency**: a writer prepares its segments, then
-  *   publishes `<v>.txn` via write-to-temp + rename-without-overwrite
-  *   through [[FileContext]] (`Options.Rename.NONE` — atomic and
-  *   fails if the destination exists, on HDFS and local FS alike; the
-  *   same primitive Delta's HDFS LogStore documents). Exactly one
-  *   writer can own a version; the loser re-reads the log, checks its
-  *   action set against the intervening commits, and either rebases
-  *   to the new head or aborts.
+  *   publishes `<v>.txn` via write-to-temp + a CREATION-EXCLUSIVE
+  *   publish — hard link (`link(2)`, atomic EEXIST) on POSIX local
+  *   filesystems, [[FileContext]] rename-without-overwrite on HDFS
+  *   (atomic at the NameNode), a conditional PUT on object stores —
+  *   the per-store LogStore strategy public table formats document.
+  *   Exactly one writer can own a version; the loser re-reads the
+  *   log, checks its action set against the intervening commits, and
+  *   either rebases to the new head or aborts.
   * - **Snapshot isolation**: a reader lists the log ONCE, resolves the
   *   live set at the version it saw, and reads only those immutable
   *   segments — concurrent commits create new versions, never mutate
@@ -83,18 +84,42 @@ object TxnLog {
         actions.map(a => s"${a.kind}\t${a.path}")).mkString("", "\n", "\n")
       out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } finally out.close()
-    // the atomic publish: rename WITHOUT overwrite — exactly one
-    // writer's rename can create <v>.txn
-    val fc = FileContext.getFileContext(target.toUri,
-      s.sparkContext.hadoopConfiguration)
-    val won =
-      try { fc.rename(tmp, target, Options.Rename.NONE); true }
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case _: java.nio.file.FileAlreadyExistsException => false
-        case _: java.io.IOException => false // raw local FS signals via IOE
-      }
-    if (!won) fs.delete(tmp, false)
+    // the atomic publish: a creation-exclusive primitive per store
+    // (the LogStore-per-filesystem strategy every public table format
+    // documents). On POSIX local FS that is hard link — link(2) fails
+    // with EEXIST and never overwrites; FileContext.rename(NONE) is
+    // NOT safe here because its default implementation is
+    // check-then-rename (TOCTOU) and the checksum wrapper renames
+    // data + crc as TWO renames, so two racing publishers can
+    // interleave into B's bytes under A's crc (found by the 8-writer
+    // race in TxnLogConcurrencySpec). On HDFS the NameNode makes
+    // rename-without-overwrite a single atomic op, so it stays the
+    // publish there; object stores would swap in a conditional PUT.
+    val won = fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      case _ =>
+        val fc = FileContext.getFileContext(target.toUri,
+          s.sparkContext.hadoopConfiguration)
+        try { fc.rename(tmp, target, Options.Rename.NONE); true }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: java.io.IOException => false
+        }
+    }
+    // staging file (and its checksum sidecar) is no longer needed on
+    // either path: the link carries the data; no .crc ever follows it,
+    // so no torn data/crc pair can exist for a published commit
+    fs.delete(tmp, false)
     won
   }
 
