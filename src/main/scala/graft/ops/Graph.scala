@@ -416,6 +416,72 @@ object Graph {
     out
   }
 
+  /** Full core DECOMPOSITION (every node's shell index), extending the
+    * binary [[kCore]] question to the per-node readout influence /
+    * robustness analyses want: shell(v) = the largest k ≤ `maxK` such
+    * that v survives the bounded k-core peel. Peeling for k starts
+    * from the (k−1)-core's survivors (cores are nested), so the frame
+    * only shrinks; `roundsPerK` bounds each peel (the q149
+    * bounded-round semantics — the oracle replays the IDENTICAL
+    * bounded rounds, so the contract is exact, not approximate).
+    *
+    * Scale posture: the symmetric edge frame is laid out ONCE;
+    * each peel round is two size-gated semi-joins + one combining
+    * hash-agg (the kCore shape); shell assignment is one union of the
+    * O(|V|) per-k survivor frames + a max-agg — maxK·roundsPerK
+    * bounded rounds total, no windows, no driver loops. */
+  def coreDecomposition(edges: DataFrame, srcCol: String, dstCol: String,
+                        maxK: Int, roundsPerK: Int = 2,
+                        broadcastAliveRows: Long = 5000000L): DataFrame = {
+    require(maxK >= 1 && roundsPerK >= 1, "coreDecomposition bounds must be >= 1")
+    val directed = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    val e = layoutEdges(
+      directed.union(directed.select(col("dst").as("src"), col("src").as("dst"))),
+      "src", "dst")
+    var alive = e.select(col("src").as("id")).distinct().localCheckpoint()
+    var aliveRows = alive.count()
+    def hint(df: DataFrame): DataFrame =
+      if (aliveRows <= broadcastAliveRows) broadcast(df) else df
+    val all = alive
+    // the (id, k) survivor ledger is re-checkpointed per k so freed
+    // intermediate alive frames are never reachable from it (a shell
+    // snapshot reading a freed checkpoint would recompute-or-crash)
+    var shellAcc: DataFrame = null
+    for (k <- 1 to maxK) {
+      for (_ <- 1 to roundsPerK) {
+        val deg = e
+          .join(hint(alive.withColumnRenamed("id", "src")), Seq("src"), "left_semi")
+          .join(hint(alive.withColumnRenamed("id", "dst")), Seq("dst"), "left_semi")
+          .groupBy("src").agg(count(lit(1)).as("__deg"))
+        val old = alive
+        alive = deg.where(col("__deg") >= k)
+          .select(col("src").as("id"))
+          .localCheckpoint()
+        aliveRows = alive.count()
+        if (!(old eq all)) Checkpoints.free(old)
+      }
+      val snap = alive.select(col("id"), lit(k.toLong).as("__k"))
+      val oldAcc = shellAcc
+      shellAcc =
+        (if (shellAcc == null) snap else shellAcc.unionAll(snap))
+          .localCheckpoint()
+      if (oldAcc != null) Checkpoints.free(oldAcc)
+    }
+    // shell(v) = max k whose survivor set contains v; nodes peeled in
+    // the k=1 rounds (never survivors) get shell 0 via the left join
+    val out = all
+      .join(shellAcc.groupBy("id").agg(max("__k").as("__s")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__s"), lit(0L)).as("shell"))
+      .localCheckpoint()
+    Checkpoints.free(alive)
+    Checkpoints.free(shellAcc)
+    Checkpoints.free(all)
+    Checkpoints.free(e)
+    out
+  }
+
   /** Bounded-round synchronous label propagation (community
     * detection): labels start as node ids; each round every node
     * adopts the most frequent label among its NEIGHBORS, ties broken
