@@ -1,0 +1,225 @@
+package graft.queries
+
+import graft.Tables._
+import graft.functions.GraftFunctions
+import graft.ops.Similarity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-10 ninth batch: graph-based ANN — beam search over an
+  * LSH-built neighbor graph, the NSW/HNSW-family search pattern, with
+  * measured recall riding the verified output.
+  */
+object QueriesRound10i {
+
+  private val NPlanes = 4
+  private val Seed = 42L
+  private val Seed2 = 43L // second table: connectivity across partitions
+  private val Degree = 6 // kNN-graph out-degree
+  private val Beam = 8
+  private val Hops = 6
+  private val K = 3 // final top-k
+  private val Entry = 100L // fixed entry node (NSW convention)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q568: beam search over an LSH-built kNN graph ---------------------------
+    // The graph-ANN search family (NSW/HNSW) re-expressed in bounded
+    // relational rounds: BUILD — each vector's top-6 neighbors among
+    // candidates colocated in EITHER of two SRP tables (two banded
+    // equi-joins, never corpus×corpus; md5-derived planes so the
+    // oracle rebuilds the identical graph — ONE table leaves the graph
+    // partitioned into its 16 buckets and the beam can never escape
+    // the entry's component, measured as recall 0 before the fix).
+    // SEARCH — IVF-seeded start (fixed global entry + each query's
+    // best same-bucket candidate, how hybrid coarse+graph indexes
+    // enter), then 6 hops of expand-score-prune with beam width 8
+    // (bounded candidates per query per hop, the q149 bounded-round
+    // semantics). The probe set is 4 vectors (broadcast-bounded, the
+    // q277 discipline); the output carries n_overlap vs brute-force
+    // top-3 — the lane ships its own measured recall (≥1 true
+    // neighbor per probe, 7/12 overall at sf0.01; beam crowding is
+    // visible and honest: a near seed can prune the far exploration
+    // path), and the oracle replays BUILD, both seeds, and all 6
+    // SEARCH hops exactly (MATERIALIZED chained CTEs, the q532
+    // lesson).
+    QueryDef("q568_graph_ann_beam",
+      (s, d) => {
+        GraftFunctions.register(s)
+        val planes = Similarity.hyperplanes(NPlanes, QueriesSimilarity.Dim, Seed)
+        def dotN(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          GraftFunctions.dotNative(a, b)
+        val planes2 = Similarity.hyperplanes(NPlanes, QueriesSimilarity.Dim, Seed2)
+        val bk = embeddings(s, d).select(col("vec_id"), col("embedding"),
+          sqrt(dotN(col("embedding"), col("embedding"))).as("nrm"),
+          Similarity.srpBucket(col("embedding"), planes).as("b0"),
+          Similarity.srpBucket(col("embedding"), planes2).as("b1"))
+        // BUILD: top-Degree among candidates colocated in EITHER table
+        // (two banded equi-joins, unioned — one bucketing alone leaves
+        // the graph partitioned into its 16 buckets and the beam can
+        // never leave the entry's component; two independent
+        // partitions overlap, the small-world links NSW needs)
+        val a = bk.select(col("vec_id").as("src"), col("embedding").as("va"),
+          col("nrm").as("na"), col("b0"), col("b1"))
+        val b = bk.select(col("vec_id").as("dst"), col("embedding").as("vb"),
+          col("nrm").as("nb"), col("b0"), col("b1"))
+        val wSrc = Window.partitionBy("src")
+          .orderBy(col("__c").desc, col("dst").asc)
+        val cand = a.join(b.drop("b1"), Seq("b0")).select(
+          col("src"), col("va"), col("na"), col("dst"), col("vb"), col("nb"))
+          .unionAll(a.join(b.drop("b0"), Seq("b1")).select(
+            col("src"), col("va"), col("na"), col("dst"), col("vb"),
+            col("nb")))
+          .where(col("src") =!= col("dst"))
+          .dropDuplicates("src", "dst")
+        val edges = cand
+          .withColumn("__c", round(dotN(col("va"), col("vb")) /
+            (col("na") * col("nb")), 4))
+          .withColumn("__rn", row_number().over(wSrc))
+          .where(col("__rn") <= Degree)
+          .select("src", "dst")
+        val probes = bk.where(col("vec_id") < 4)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            col("nrm").as("qn"), col("b0").as("qb0"))
+        val nodeVec = bk.select(col("vec_id").as("node"),
+          col("embedding").as("nv"), col("nrm").as("nn"))
+        def scoreTop(cand: DataFrame, top: Int): DataFrame = {
+          val w = Window.partitionBy("query_id")
+            .orderBy(col("__c").desc, col("node").asc)
+          cand.join(nodeVec, Seq("node"))
+            .join(broadcast(probes), Seq("query_id"))
+            .withColumn("__c", round(dotN(col("qv"), col("nv")) /
+              (col("qn") * col("nn")), 4))
+            .withColumn("__rn", row_number().over(w))
+            .where(col("__rn") <= top)
+            .select(col("query_id"), col("node"), col("__c"))
+        }
+        // IVF-seeded start (how hybrid coarse+graph indexes enter): the
+        // fixed global entry PLUS each query's best same-b0-bucket
+        // candidate — the beam starts both far (navigable) and near
+        val localSeed = broadcast(probes).join(bk,
+            col("qb0") === col("b0") && col("vec_id") =!= col("query_id"))
+          .withColumn("__c", round(dotN(col("qv"), col("embedding")) /
+            (col("qn") * col("nrm")), 4))
+          .withColumn("__rn", row_number().over(Window.partitionBy("query_id")
+            .orderBy(col("__c").desc, col("vec_id").asc)))
+          .where(col("__rn") === 1)
+          .select(col("query_id"), col("vec_id").as("node"))
+        var frontier: DataFrame = probes
+          .select(col("query_id"), lit(Entry).as("node"))
+          .unionAll(localSeed).distinct()
+        for (_ <- 1 to Hops) {
+          val expanded = frontier.select("query_id", "node")
+            .unionAll(frontier
+              .join(edges, frontier("node") === edges("src"))
+              .select(col("query_id"), col("dst").as("node")))
+            .where(col("node") =!= col("query_id"))
+            .distinct()
+          frontier = scoreTop(expanded, Beam)
+        }
+        val beam = frontier.withColumn("__rk", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("__c").desc, col("node").asc)))
+          .where(col("__rk") <= K)
+          .select(col("query_id"), col("node"), col("__c"))
+        // brute truth: probe × corpus (4 broadcast probes)
+        val brute = scoreTop(
+          nodeVec.select(col("node")).crossJoin(
+            broadcast(probes.select("query_id")))
+            .where(col("node") =!= col("query_id")), K)
+        beam.join(brute.select(col("query_id"),
+            col("node").as("bn"), col("__c").as("bc")),
+            Seq("query_id"), "left")
+          .groupBy("query_id")
+          .agg(countDistinct("node").as("n_beam"),
+            countDistinct(when(col("node") === col("bn"), col("node")))
+              .as("n_overlap"),
+            max(expr("CAST(round(__c * 10000) AS BIGINT)"))
+              .as("beam_best_e4"),
+            max(expr("CAST(round(bc * 10000) AS BIGINT)"))
+              .as("brute_best_e4"))
+          .orderBy("query_id")
+      },
+      Some {
+        val dim = QueriesSimilarity.Dim
+        def cosQ(qv: String, cv: String, qn: String, cn: String) =
+          s"round(${DuckSql.dot(qv, cv, dim)} / ($qn * $cn), 4)"
+        val hops = (1 to Hops).map { h =>
+          val prev = if (h == 1) "f0" else s"f${h - 1}"
+          s"""c$h AS MATERIALIZED (SELECT DISTINCT query_id, node FROM (
+             |  SELECT query_id, node FROM $prev
+             |  UNION ALL
+             |  SELECT p.query_id, e.dst AS node FROM $prev p
+             |    JOIN ed e ON p.node = e.src)
+             |  WHERE node != query_id),
+             |f$h AS MATERIALIZED (SELECT query_id, node, c FROM (
+             |  SELECT c$h.query_id, c$h.node,
+             |    ${cosQ("p.embedding", "n.embedding", "p.nrm", "n.nrm")} + 0
+             |      AS c,
+             |    row_number() OVER (PARTITION BY c$h.query_id ORDER BY
+             |      ${cosQ("p.embedding", "n.embedding", "p.nrm", "n.nrm")}
+             |        DESC, c$h.node) AS rn
+             |  FROM c$h JOIN bk n ON n.vec_id = c$h.node
+             |    JOIN probes p ON p.vec_id = c$h.query_id)
+             |  WHERE rn <= $Beam)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH bk AS (SELECT vec_id, embedding,
+        |    sqrt(${DuckSql.dot("embedding", "embedding", dim)}) AS nrm,
+        |    ${QueriesSimilarity.srpBucketSql("embedding", Seed, NPlanes)}
+        |      AS b0,
+        |    ${QueriesSimilarity.srpBucketSql("embedding", Seed2, NPlanes)}
+        |      AS b1
+        |  FROM embeddings),
+        |cand AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst FROM bk a
+        |    JOIN bk b ON a.b0 = b.b0 AND a.vec_id != b.vec_id
+        |  UNION ALL
+        |  SELECT a.vec_id, b.vec_id FROM bk a
+        |    JOIN bk b ON a.b1 = b.b1 AND a.vec_id != b.vec_id)),
+        |ed AS MATERIALIZED (SELECT src, dst FROM (
+        |  SELECT cand.src, cand.dst,
+        |    row_number() OVER (PARTITION BY cand.src ORDER BY
+        |      ${cosQ("a.embedding", "b.embedding", "a.nrm", "b.nrm")} DESC,
+        |      cand.dst) AS rn
+        |  FROM cand JOIN bk a ON a.vec_id = cand.src
+        |    JOIN bk b ON b.vec_id = cand.dst)
+        |  WHERE rn <= $Degree),
+        |probes AS (SELECT vec_id, embedding, nrm, b0 FROM bk
+        |  WHERE vec_id < 4),
+        |seed0 AS (SELECT query_id, node FROM (
+        |  SELECT p.vec_id AS query_id, n.vec_id AS node,
+        |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        |      ${cosQ("p.embedding", "n.embedding", "p.nrm", "n.nrm")} DESC,
+        |      n.vec_id) AS rn
+        |  FROM probes p JOIN bk n ON p.b0 = n.b0
+        |    AND n.vec_id != p.vec_id)
+        |  WHERE rn = 1),
+        |f0 AS (SELECT DISTINCT query_id, node FROM (
+        |  SELECT vec_id AS query_id, CAST($Entry AS BIGINT) AS node
+        |    FROM probes
+        |  UNION ALL SELECT query_id, node FROM seed0)),
+        |$hops,
+        |beam AS (SELECT query_id, node, c FROM (
+        |  SELECT query_id, node, c, row_number() OVER (PARTITION BY
+        |    query_id ORDER BY c DESC, node) AS rk FROM f$Hops)
+        |  WHERE rk <= $K),
+        |brute AS (SELECT query_id, node, c FROM (
+        |  SELECT p.vec_id AS query_id, n.vec_id AS node,
+        |    ${cosQ("p.embedding", "n.embedding", "p.nrm", "n.nrm")} + 0 AS c,
+        |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        |      ${cosQ("p.embedding", "n.embedding", "p.nrm", "n.nrm")} DESC,
+        |      n.vec_id) AS rn
+        |  FROM probes p JOIN bk n ON n.vec_id != p.vec_id)
+        |  WHERE rn <= $K)
+        |SELECT beam.query_id,
+        |  CAST(count(DISTINCT beam.node) AS BIGINT) AS n_beam,
+        |  CAST(count(DISTINCT CASE WHEN beam.node = brute.node
+        |    THEN beam.node END) AS BIGINT) AS n_overlap,
+        |  CAST(max(round(beam.c * 10000)) AS BIGINT) AS beam_best_e4,
+        |  CAST(max(round(brute.c * 10000)) AS BIGINT) AS brute_best_e4
+        |FROM beam LEFT JOIN brute ON beam.query_id = brute.query_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+      })
+  )
+}

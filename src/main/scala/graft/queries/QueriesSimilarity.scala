@@ -11,25 +11,25 @@ import org.apache.spark.sql.functions._
   */
 object QueriesSimilarity {
 
-  private val Dim = 64
+  private[queries] val Dim = 64
 
   /** Mirror of Similarity.hyperplanes component (i, j-1) for a SQL
     * lambda variable `j` (1-based): first 32 bits of md5("seed:i:j-1")
     * scaled to [-1, 1), snapped to FLOAT exactly as the Spark side's
     * plane literals are. */
-  private def srpPlaneW(seed: Long, i: Int): String = {
+  private[queries] def srpPlaneW(seed: Long, i: Int): String = {
     val h = DuckSql.hashLong(s"'$seed:$i:' || (j - 1)")
     s"CAST(CAST((($h / 4294967296.0) * 2 - 1) AS FLOAT) AS DOUBLE)"
   }
 
   /** Projection of `vec` onto plane i — sequential double accumulation,
     * same order as graft_dot, so the >= 0 sign test is bit-identical. */
-  private def srpProj(vec: String, seed: Long, i: Int): String =
+  private[queries] def srpProj(vec: String, seed: Long, i: Int): String =
     s"list_sum(list_transform(generate_series(1, $Dim), " +
       s"j -> CAST($vec[j] AS DOUBLE) * ${srpPlaneW(seed, i)}))"
 
   /** Mirror of Similarity.srpBucket. */
-  private def srpBucketSql(vec: String, seed: Long, nPlanes: Int): String =
+  private[queries] def srpBucketSql(vec: String, seed: Long, nPlanes: Int): String =
     (0 until nPlanes).map { i =>
       s"(CASE WHEN ${srpProj(vec, seed, i)} >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
