@@ -47,8 +47,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TxnLog {
 
-  /** One file-level action inside a commit. `kind` ∈ add | remove. */
-  case class Action(kind: String, path: String)
+  /** One file-level action inside a commit. `kind` ∈ add | remove.
+    * `stats` optionally carries the segment's column zone maps
+    * (name → (min, max) as longs) INSIDE the commit — so a reader can
+    * prune segments from the LOG ALONE, without listing or opening a
+    * single data file (manifest-level pruning, the public
+    * Iceberg/Delta stats-in-metadata design). */
+  case class Action(kind: String, path: String,
+                    stats: Map[String, (Long, Long)] = Map.empty)
 
   case class Commit(version: Long, writer: String, actions: Seq[Action])
 
@@ -81,7 +87,14 @@ object TxnLog {
     val out = fs.create(tmp, true)
     try {
       val body = (s"commit\t$version\t$writer" +:
-        actions.map(a => s"${a.kind}\t${a.path}")).mkString("", "\n", "\n")
+        actions.map { a =>
+          val st =
+            if (a.stats.isEmpty) ""
+            else a.stats.toSeq.sortBy(_._1)
+              .map { case (c, (lo, hi)) => s"$c:$lo:$hi" }
+              .mkString("\t", ",", "")
+          s"${a.kind}\t${a.path}$st"
+        }).mkString("", "\n", "\n")
       out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } finally out.close()
     // the atomic publish: a creation-exclusive primitive per store
@@ -156,7 +169,14 @@ object TxnLog {
       require(head(0) == "commit" && head(1).toLong == v,
         s"malformed commit file ${p.getName}")
       Commit(v, head(2), lines.tail.map { l =>
-        val a = l.split("\t"); Action(a(0), a(1))
+        val a = l.split("\t")
+        val stats =
+          if (a.length > 2 && a(2).nonEmpty)
+            a(2).split(",").map { f =>
+              val p = f.split(":"); p(0) -> (p(1).toLong, p(2).toLong)
+            }.toMap
+          else Map.empty[String, (Long, Long)]
+        Action(a(0), a(1), stats)
       })
     }.toSeq
   }
@@ -174,6 +194,22 @@ object TxnLog {
     })
     import scala.jdk.CollectionConverters._
     live.asScala.toSeq
+  }
+
+  /** Live ADD actions (with their stats) after folding `cs` — the
+    * manifest view a stats-aware reader prunes from without touching
+    * data files. */
+  def liveActions(cs: Seq[Commit]): Seq[Action] = {
+    val live = new java.util.LinkedHashMap[String, Action]()
+    cs.foreach(_.actions.foreach { a =>
+      a.kind match {
+        case "add" => live.put(a.path, a)
+        case "remove" => live.remove(a.path)
+        case k => throw new IllegalArgumentException(s"unknown action $k")
+      }
+    })
+    import scala.jdk.CollectionConverters._
+    live.values.asScala.toSeq
   }
 
   /** Highest committed contiguous version (0 = empty table). */
