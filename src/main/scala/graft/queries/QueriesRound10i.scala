@@ -106,18 +106,29 @@ object QueriesRound10i {
             .orderBy(col("__c").desc, col("vec_id").asc)))
           .where(col("__rn") === 1)
           .select(col("query_id"), col("vec_id").as("node"))
+        // per-round checkpoints (the Graph-loop discipline): each hop
+        // references its frontier TWICE (keep ∪ expand), so a lazy
+        // chain doubles per hop — 2^Hops plan copies and the edge
+        // build re-executed per hop (measured 25.9 s at sf0.01 before;
+        // the q532 chain-blowup hazard on the Spark side). Checkpoint
+        // the O(|E|) edge frame once and the O(queries × beam)
+        // frontier per hop; free superseded rounds.
+        val edgesCk = edges.localCheckpoint()
         var frontier: DataFrame = probes
           .select(col("query_id"), lit(Entry).as("node"))
-          .unionAll(localSeed).distinct()
+          .unionAll(localSeed).distinct().localCheckpoint()
         for (_ <- 1 to Hops) {
           val expanded = frontier.select("query_id", "node")
             .unionAll(frontier
-              .join(edges, frontier("node") === edges("src"))
+              .join(edgesCk, frontier("node") === edgesCk("src"))
               .select(col("query_id"), col("dst").as("node")))
             .where(col("node") =!= col("query_id"))
             .distinct()
-          frontier = scoreTop(expanded, Beam)
+          val old = frontier
+          frontier = scoreTop(expanded, Beam).localCheckpoint()
+          graft.ops.Checkpoints.free(old)
         }
+        graft.ops.Checkpoints.free(edgesCk)
         val beam = frontier.withColumn("__rk", row_number().over(
           Window.partitionBy("query_id")
             .orderBy(col("__c").desc, col("node").asc)))
