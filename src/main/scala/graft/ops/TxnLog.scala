@@ -196,6 +196,27 @@ object TxnLog {
     live.asScala.toSeq
   }
 
+  /** Write-time segment zone maps: (min, max) of each stats column per
+    * segment-key value, pulled to the driver — an O(segments ×
+    * stats-cols) pull in the same documented class as the IVF
+    * centroid-training collect: commit METADATA is driver-side by
+    * construction (the writer is about to serialize it into a commit
+    * file), so this is the one place a pull is the design, not a
+    * shortcut. */
+  def segmentStats(df: DataFrame, segCol: String,
+                   cols: Seq[String]): Map[Int, Map[String, (Long, Long)]] = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c")))
+    df.groupBy(col(segCol)).agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        r.getInt(0) -> cols.zipWithIndex.map { case (c, i) =>
+          c -> (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))
+        }.toMap
+      }.toMap
+  }
+
   /** Live ADD actions (with their stats) after folding `cs` — the
     * manifest view a stats-aware reader prunes from without touching
     * data files. */

@@ -41,16 +41,15 @@ object QueriesRound10j {
           expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
           .withColumn("band", expr("least(CAST(cents div 7500000 AS INT), 3)"))
         // write-time stats: the segment writer knows its own min/max
-        val stats = base.groupBy("band")
-          .agg(min("cents").as("lo"), max("cents").as("hi"))
-          .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
-          .toMap
+        // (TxnLog.segmentStats — the documented driver-side metadata
+        // pull; queries/ stays collect-free)
+        val stats = TxnLog.segmentStats(base, "band", Seq("cents"))
         (0 to 3).foreach { bnd =>
           val p = s"$root/seg_band$bnd"
           base.where(col("band") === bnd).drop("band")
             .coalesce(1).write.parquet(p)
           require(TxnLog.tryCommit(s, root, bnd + 1L, "ingest",
-            Seq(Action("add", p, Map("cents" -> stats(bnd))))))
+            Seq(Action("add", p, stats(bnd)))))
         }
         // reader: predicate cents ∈ [100$k, 180$k) — prune from the
         // LOG's stats alone (no listing, no footers)
