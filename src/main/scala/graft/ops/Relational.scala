@@ -808,7 +808,16 @@ object Relational {
     val ndv = cols.zipWithIndex
       .map { case (c, i) => c -> row.getLong(i + 1) }.toMap
     val width = math.max(df.schema.map(_.dataType.defaultSize).sum, 1).toLong
-    val st = graft.plans.StatsLedger.TableStats(row.getLong(0), width, ndv)
+    // staleness fingerprint: the scan's on-disk bytes right now — the
+    // broadcast rule refuses the hint once the table materially
+    // outgrows the size it was ANALYZEd at (appends invalidate stats)
+    val scanBytes = df.queryExecution.analyzed.collectFirst {
+      case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+          _, _, _, _) => fs.sizeInBytes
+    }.getOrElse(0L)
+    val st = graft.plans.StatsLedger.TableStats(row.getLong(0), width, ndv,
+      scanBytes)
     graft.plans.StatsLedger.put(pathKey, st)
     st
   }

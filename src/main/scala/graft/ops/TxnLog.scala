@@ -76,6 +76,20 @@ object TxnLog {
   def tryCommit(s: SparkSession, table: String, version: Long,
                 writer: String, actions: Seq[Action]): Boolean = {
     require(version >= 1, s"versions start at 1, got $version")
+    // the commit-file format is delimiter-framed (\t between fields,
+    // \n between actions, ,/: inside the stats blob) with NO escaping
+    // — a path or column name carrying a delimiter would serialize
+    // fine and corrupt the log at PARSE time, making the whole table
+    // unreadable. Reject at the write boundary instead: segment paths
+    // and stats column names are producer-controlled (not data), so a
+    // hard error here costs nothing and a torn log costs everything.
+    actions.foreach { a =>
+      require(!a.path.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"segment path contains a log delimiter (tab/newline): '${a.path}'")
+      a.stats.keys.foreach(c =>
+        require(!c.exists(ch => ":,\t\n\r".contains(ch)),
+          s"stats column name contains a log delimiter (:,\\t): '$c'"))
+    }
     val dir = logDir(table)
     val fs = hfs(s, dir)
     fs.mkdirs(dir)
@@ -120,13 +134,31 @@ object TxnLog {
           case _: java.nio.file.FileAlreadyExistsException => false
         }
       case _ =>
+        // rename-without-overwrite is only creation-exclusive where a
+        // central authority serializes it (the HDFS NameNode). On an
+        // object store (s3a, gs, abfs…) rename is copy+delete with no
+        // exclusivity — two racing publishers could BOTH "succeed" and
+        // silently violate one-winner-per-version. Fail fast there
+        // instead of corrupting the log: those stores need a
+        // conditional-PUT LogStore (the Delta paper's per-store
+        // strategy), which this sandbox cannot exercise.
+        val scheme = target.toUri.getScheme
+        if (scheme != "hdfs" && scheme != "viewfs")
+          throw new UnsupportedOperationException(
+            s"TxnLog publish on scheme '$scheme' is not atomic: " +
+              "rename-without-overwrite is only creation-exclusive on " +
+              "HDFS; this store needs a conditional-PUT LogStore")
         val fc = FileContext.getFileContext(target.toUri,
           s.sparkContext.hadoopConfiguration)
         try { fc.rename(tmp, target, Options.Rename.NONE); true }
         catch {
+          // ONLY already-exists means we lost the race. Any other
+          // IOException is a real failure (network, quota, auth) —
+          // swallowing it as `false` would send commitWithRetry into a
+          // rebase spin against an unchanged head and end in a
+          // misleading "gave up after N attempts".
           case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
           case _: java.nio.file.FileAlreadyExistsException => false
-          case _: java.io.IOException => false
         }
     }
     // staging file (and its checksum sidecar) is no longer needed on
@@ -138,9 +170,17 @@ object TxnLog {
 
   /** Read the commit log up to (and including) `asOf`, in version
     * order, stopping at the first gap (contiguity rule above). One
-    * listing = one consistent snapshot of the log. */
+    * listing = one consistent snapshot of the log.
+    *
+    * `fromVersion` is the checkpoint lower bound: versions ≤ it are
+    * verified present in the LISTING (contiguity still holds) but
+    * their bodies are never opened — that is what makes the
+    * checkpoint read path O(suffix) instead of O(all commits). A
+    * year-old table with a checkpoint reads two tiny files, not ten
+    * thousand. */
   def commits(s: SparkSession, table: String,
-              asOf: Option[Long] = None): Seq[Commit] = {
+              asOf: Option[Long] = None,
+              fromVersion: Long = 0L): Seq[Commit] = {
     val dir = logDir(table)
     val fs = hfs(s, dir)
     if (!fs.exists(dir)) return Seq.empty
@@ -154,6 +194,7 @@ object TxnLog {
     val contiguous = files.zipWithIndex
       .takeWhile { case ((v, _), i) => v == i + 1L }
       .map(_._1)
+      .filter(_._1 > fromVersion) // bodies below the bound never open
     contiguous.map { case (v, p) =>
       val in = fs.open(p)
       val text =
@@ -233,9 +274,21 @@ object TxnLog {
     live.values.asScala.toSeq
   }
 
-  /** Highest committed contiguous version (0 = empty table). */
-  def currentVersion(s: SparkSession, table: String): Long =
-    commits(s, table).lastOption.map(_.version).getOrElse(0L)
+  /** Highest committed contiguous version (0 = empty table).
+    * Listing-only: the version is a property of the file NAMES, so no
+    * commit body is ever opened — O(1) reads however long the log. */
+  def currentVersion(s: SparkSession, table: String): Long = {
+    val dir = logDir(table)
+    val fs = hfs(s, dir)
+    if (!fs.exists(dir)) return 0L
+    val versions = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.matches("\\d{20}\\.txn"))
+      .map(_.stripSuffix(".txn").toLong)
+      .sorted
+    versions.zipWithIndex
+      .takeWhile { case (v, i) => v == i + 1L }
+      .lastOption.map(_._1).getOrElse(0L)
+  }
 
   /** Snapshot-isolation read at `asOf` (None = latest): one log
     * listing, then a plain distributed parquet scan of the resolved
@@ -244,8 +297,11 @@ object TxnLog {
                asOf: Option[Long] = None): (DataFrame, Long, Int) = {
     val cs = commits(s, table, asOf)
     require(cs.nonEmpty, s"no commits at or before $asOf in $table")
+    val v = cs.last.version
+    val hz = vacuumHorizon(s, table)
+    if (v < hz) throw new VersionVacuumedException(table, v, hz)
     val files = liveFiles(cs)
-    (s.read.parquet(files: _*), cs.last.version, files.size)
+    (s.read.parquet(files: _*), v, files.size)
   }
 
   /** Write a log CHECKPOINT at `upTo`: the resolved live-segment set
@@ -317,11 +373,155 @@ object TxnLog {
         val (df, v, n) = snapshot(s, table, asOf)
         (df, v, n, 0L)
       case Some(base) =>
-        val suffix = commits(s, table, Some(cap)).filter(_.version > base.version)
+        // fromVersion = the checkpoint: bodies at or below it are never
+        // opened — this path reads O(suffix) commit files, full stop
+        val suffix = commits(s, table, Some(cap), fromVersion = base.version)
         val files = liveFiles(base +: suffix)
         val v = suffix.lastOption.map(_.version).getOrElse(base.version)
+        val hz = vacuumHorizon(s, table)
+        if (v < hz) throw new VersionVacuumedException(table, v, hz)
         (s.read.parquet(files: _*), v, files.size, base.version)
     }
+  }
+
+  /** Read at a version below the vacuum horizon: the clean, NAMED
+    * failure mode — without it a time-travel read against vacuumed
+    * segments dies deep in the scan as a parquet FileNotFound with no
+    * hint that a retention policy, not corruption, removed the data. */
+  class VersionVacuumedException(table: String, requested: Long, horizon: Long)
+    extends RuntimeException(
+      s"version $requested of $table was vacuumed: the retention horizon " +
+        s"is $horizon — only versions >= $horizon remain readable")
+
+  private def vacuumMark(table: String, horizon: Long) =
+    new Path(logDir(table), f"_vacuum_$horizon%020d.mark")
+
+  /** Current vacuum horizon (0 = never vacuumed): the max over the
+    * name-encoded watermark files. The horizon lives in the file NAME,
+    * never the body — creation is atomic, nothing can tear, and
+    * monotonicity is a max over the listing. */
+  def vacuumHorizon(s: SparkSession, table: String): Long = {
+    val dir = logDir(table)
+    val fs = hfs(s, dir)
+    if (!fs.exists(dir)) return 0L
+    fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.matches("_vacuum_\\d{20}\\.mark"))
+      .map(_.stripPrefix("_vacuum_").stripSuffix(".mark").toLong)
+      .foldLeft(0L)(math.max)
+  }
+
+  /** Segments physically removable at retention `horizon`: a segment
+    * is referenced by some retained version (>= horizon) iff its
+    * LATEST action is an add, or a remove that landed AFTER the
+    * horizon (versions horizon..removeVersion-1 still reference it).
+    * So removable = latest action is a remove at version <= horizon.
+    * One O(actions) pass — never the O(versions²) per-version live-set
+    * fold. */
+  def vacuumPlan(cs: Seq[Commit], horizon: Long): Seq[String] = {
+    // (path -> (kind, version)) of each path's LATEST action
+    val latest = new java.util.LinkedHashMap[String, (String, Long)]()
+    cs.foreach(c => c.actions.foreach(a =>
+      latest.put(a.path, (a.kind, c.version))))
+    import scala.jdk.CollectionConverters._
+    latest.asScala.collect {
+      case (path, ("remove", v)) if v <= horizon => path
+    }.toSeq
+  }
+
+  case class VacuumResult(horizon: Long, removed: Seq[String])
+
+  /** Execute a vacuum at `horizon`: publish the watermark FIRST (so a
+    * reader below the horizon fails with the named error, never a
+    * mid-scan FileNotFound from a post-publish resolution), then
+    * delete the unreferenced segment files. Reads at RETAINED versions
+    * are never endangered: their segments are by definition outside
+    * the removable set, and a reader that resolved BEFORE the publish
+    * scans immutable files the vacuum does not touch. */
+  def vacuum(s: SparkSession, table: String, horizon: Long): VacuumResult = {
+    val cs = commits(s, table)
+    require(cs.nonEmpty && horizon >= 1 && horizon <= cs.last.version,
+      s"vacuum horizon $horizon outside committed range 1..${cs.lastOption.map(_.version).getOrElse(0L)}")
+    val dir = logDir(table)
+    val fs = hfs(s, dir)
+    // watermark before any delete — ordering is the safety argument
+    val mark = vacuumMark(table, horizon)
+    if (!fs.exists(mark)) fs.create(mark, false).close()
+    val removable = vacuumPlan(cs, horizon)
+    removable.foreach(p => fs.delete(new Path(p), true))
+    VacuumResult(horizon, removable)
+  }
+
+  /** Checkpoint-every-N policy: write a checkpoint when the head has
+    * advanced `every` commits past the newest existing checkpoint.
+    * Returns the version checkpointed, or None if not due. Keeps
+    * snapshot resolution O(every) log reads regardless of table age —
+    * call it after commits (it is idempotent and safe under races:
+    * checkpoints are derived data, concurrent writers at the same
+    * version write identical bytes). */
+  def checkpointIfDue(s: SparkSession, table: String,
+                      every: Int): Option[Long] = {
+    require(every >= 1, s"checkpoint interval must be >= 1, got $every")
+    val head = currentVersion(s, table)
+    if (head == 0L) return None
+    val dir = logDir(table)
+    val fs = hfs(s, dir)
+    val newest = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.matches("\\d{20}\\.ckpt"))
+      .map(_.stripSuffix(".ckpt").toLong)
+      .foldLeft(0L)(math.max)
+    if (head - newest >= every) { writeCheckpoint(s, table, head); Some(head) }
+    else None
+  }
+
+  /** Change-data-feed between versions (`fromV`, `toV`]: row-level
+    * changes derived from the commit ACTIONS alone — the suffix
+    * commits name exactly which segments changed, so the feed opens
+    * ONLY those files and never resolves a full snapshot (what a CDC
+    * consumer tails at 100 TB: cost is O(changed data), not O(table)).
+    * Per-commit classification:
+    *   - add-only commit: every row of the added segments is an insert
+    *   - remove-only commit: every row of the removed segments is a
+    *     delete
+    *   - add+remove (rewrite: compaction, copy-on-write delete/update):
+    *     the NET row diff — adds anti-join removes on `idCols` gives
+    *     inserts, removes anti-join adds gives deletes; a pure
+    *     compaction nets to zero changes, which is the reader-visible
+    *     proof compaction is invisible (the q570 contract)
+    * Returns (changes with _change_type ∈ insert|delete and
+    * _commit_version columns, segments opened). */
+  def changeFeed(s: SparkSession, table: String, fromV: Long, toV: Long,
+                 idCols: Seq[String]): (DataFrame, Int) = {
+    import org.apache.spark.sql.functions.lit
+    require(fromV < toV, s"empty CDF range ($fromV, $toV]")
+    val suffix = commits(s, table, Some(toV)).filter(_.version > fromV)
+    require(suffix.nonEmpty && suffix.last.version == toV,
+      s"log does not reach $toV past $fromV in $table")
+    var opened = 0
+    val perCommit = suffix.map { c =>
+      val adds = c.actions.filter(_.kind == "add").map(_.path)
+      val removes = c.actions.filter(_.kind == "remove").map(_.path)
+      opened += adds.size + removes.size
+      def tag(df: DataFrame, t: String) = df
+        .withColumn("_change_type", lit(t))
+        .withColumn("_commit_version", lit(c.version))
+      (adds.nonEmpty, removes.nonEmpty) match {
+        case (true, false) => tag(s.read.parquet(adds: _*), "insert")
+        case (false, true) => tag(s.read.parquet(removes: _*), "delete")
+        case (true, true) =>
+          val a = s.read.parquet(adds: _*)
+          val r = s.read.parquet(removes: _*)
+          tag(a.join(r.select(idCols.map(org.apache.spark.sql.functions.col): _*),
+              idCols, "left_anti"), "insert")
+            .unionAll(tag(r.join(
+              a.select(idCols.map(org.apache.spark.sql.functions.col): _*),
+              idCols, "left_anti"), "delete"))
+        case (false, false) =>
+          s.emptyDataFrame // metadata-only commit: no row changes
+      }
+    }
+    val nonEmpty = perCommit.filter(_.columns.nonEmpty)
+    require(nonEmpty.nonEmpty, s"no data actions in ($fromV, $toV] of $table")
+    (nonEmpty.reduce(_ unionAll _), opened)
   }
 
   /** Optimistic-concurrency commit loop: try the current head + 1; on

@@ -18,7 +18,15 @@ import org.apache.spark.sql.internal.SQLConf
   * no-op, so nothing changes for sessions that never ANALYZE.
   */
 object StatsLedger {
-  case class TableStats(rows: Long, avgRowBytes: Long, ndv: Map[String, Long])
+  /** `scanBytes` is the relation's on-disk size AT ANALYZE TIME — the
+    * staleness fingerprint. Stats only ever say "this side is small
+    * enough to broadcast", so a STALE small row count after the table
+    * grew is the one dangerous direction (it could force a broadcast
+    * of a now-huge side). The rule compares the scan's current size
+    * against this fingerprint and goes silent when the table has
+    * materially outgrown its ANALYZE. 0 = unknown (no gate). */
+  case class TableStats(rows: Long, avgRowBytes: Long, ndv: Map[String, Long],
+                        scanBytes: Long = 0L)
 
   private val stats =
     new java.util.concurrent.ConcurrentHashMap[String, TableStats]()
@@ -79,7 +87,14 @@ object StatsBroadcastJoin extends Rule[LogicalPlan] {
         }
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
         val key = fs.location.rootPaths.headOption.map(_.toString)
-        key.flatMap(StatsLedger.get).map(s => (s.rows, s.avgRowBytes))
+        key.flatMap(StatsLedger.get)
+          // staleness gate: if the scan's CURRENT bytes materially
+          // exceed the ANALYZE-time fingerprint (>25% growth), the
+          // ledger's row count can no longer bound the broadcast —
+          // stay silent rather than risk broadcasting a grown table
+          .filter(s => s.scanBytes <= 0L ||
+            fs.sizeInBytes <= s.scanBytes + s.scanBytes / 4)
+          .map(s => (s.rows, s.avgRowBytes))
       case _ => None
     }
 

@@ -45,11 +45,17 @@ object QueriesRound10j {
         // pull; queries/ stays collect-free)
         val stats = TxnLog.segmentStats(base, "band", Seq("cents"))
         (0 to 3).foreach { bnd =>
+          // the oracle hard-pins 4 live segments, so an empty band at
+          // an untested SF must fail LOUDLY here, not as a bare
+          // NoSuchElementException out of the stats map
+          val bandStats = stats.getOrElse(bnd, throw new IllegalStateException(
+            s"q569: price band $bnd is empty at this scale factor — the " +
+              "oracle pins 4 live segments, so all bands must be populated"))
           val p = s"$root/seg_band$bnd"
           base.where(col("band") === bnd).drop("band")
             .coalesce(1).write.parquet(p)
           require(TxnLog.tryCommit(s, root, bnd + 1L, "ingest",
-            Seq(Action("add", p, stats(bnd)))))
+            Seq(Action("add", p, bandStats))))
         }
         // reader: predicate cents ∈ [100$k, 180$k) — prune from the
         // LOG's stats alone (no listing, no footers)

@@ -103,4 +103,40 @@ class StatsBroadcastSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       StatsLedger.clear()
     }
   }
+
+  test("staleness gate: stats from before a table grew are not trusted") {
+    GraftFunctions.register(spark)
+    StatsLedger.clear()
+    withConfs {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_sbgrow").toString
+      def writeDim(rows: Int, mode: String): Unit =
+        spark.range(rows)
+          .selectExpr("id AS k", "CAST(id % 50 AS STRING) AS grp",
+            "md5(CAST(id AS STRING)) AS pad")
+          .coalesce(1).write.mode(mode).parquet(dir)
+      writeDim(50000, "overwrite")
+      val key = StatsBroadcastJoin.pathKeyOf(spark.read.parquet(dir)).get
+      val st = Relational.analyzeForCbo(
+        spark.read.parquet(dir), key, Seq("grp", "k"))
+      assert(st.scanBytes > 0L, "ANALYZE did not record the fingerprint")
+      // the table then GROWS ~32% (past the 25% gate, but small enough
+      // that a FRESH analyze still finds the slice broadcastable) — the
+      // old stats still say "the grp='7' slice is 1k rows", but the
+      // ledger can no longer bound a broadcast: the rule must go silent
+      writeDim(16000, "append")
+      spark.catalog.clearCache() // fresh relation => fresh size
+      val grown = spark.read.parquet(dir).where("grp = '7'")
+      val p = fact.join(grown, "k").queryExecution.executedPlan
+      assert(collect(p) { case j: SortMergeJoinExec => j }.nonEmpty,
+        s"rule trusted stale stats on a grown table:\n$p")
+      // re-ANALYZE refreshes the fingerprint and re-arms the rule
+      Relational.analyzeForCbo(spark.read.parquet(dir), key, Seq("grp", "k"))
+      val p2 = fact.join(spark.read.parquet(dir).where("grp = '7'"), "k")
+        .queryExecution.executedPlan
+      assert(collect(p2) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        s"re-ANALYZE did not re-arm the rule:\n$p2")
+      StatsLedger.clear()
+    }
+  }
 }

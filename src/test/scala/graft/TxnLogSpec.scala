@@ -128,6 +128,58 @@ class TxnLogSpec extends SparkSpec {
     assert(snap2.count() == 3L)
   }
 
+  test("checkpoint path reads O(suffix): pre-checkpoint bodies never open") {
+    val t = freshTable()
+    val a = writeSeg(t, "a", Seq(1L))
+    val b = writeSeg(t, "b", Seq(2L))
+    TxnLog.tryCommit(spark, t, 1L, "w", Seq(Action("add", a)))
+    TxnLog.tryCommit(spark, t, 2L, "w", Seq(Action("add", b)))
+    TxnLog.writeCheckpoint(spark, t, 2L)
+    val c = writeSeg(t, "c", Seq(3L))
+    TxnLog.tryCommit(spark, t, 3L, "w", Seq(Action("add", c)))
+    // corrupt the BODIES of the checkpointed commits: if the
+    // checkpoint read path (or currentVersion) ever opened them, it
+    // would throw — this is the behavioral pin that the path is
+    // O(suffix), not O(all commits)
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(1, 2).foreach { v =>
+      val p = new org.apache.hadoop.fs.Path(
+        s"$t/_txnlog/${"%020d".format(v)}.txn")
+      val out = fs.create(p, true)
+      out.write("garbage not a commit".getBytes("UTF-8")); out.close()
+    }
+    assert(TxnLog.currentVersion(spark, t) == 3L) // listing-only
+    val (snap, ver, n, ckptV) = TxnLog.snapshotViaCheckpoint(spark, t)
+    assert(ckptV == 2L && ver == 3L && n == 3)
+    assert(snap.count() == 3L)
+    // sanity: the full-log path DOES open the bodies and must fail —
+    // proving the corruption was real and the checkpoint path skipped it
+    intercept[Exception] { TxnLog.snapshot(spark, t) }
+  }
+
+  test("log format rejects delimiter characters at the write boundary") {
+    val t = freshTable()
+    val a = writeSeg(t, "a", Seq(1L))
+    // a tab inside a segment path would serialize fine and corrupt the
+    // log at parse time — must be rejected before any bytes are staged
+    intercept[IllegalArgumentException] {
+      TxnLog.tryCommit(spark, t, 1L, "w", Seq(Action("add", "/x/se\tg")))
+    }
+    // a stats column name carrying the stats-blob delimiters likewise
+    intercept[IllegalArgumentException] {
+      TxnLog.tryCommit(spark, t, 1L, "w",
+        Seq(Action("add", a, Map("a:b" -> (1L, 2L)))))
+    }
+    intercept[IllegalArgumentException] {
+      TxnLog.tryCommit(spark, t, 1L, "w",
+        Seq(Action("add", a, Map("a,b" -> (1L, 2L)))))
+    }
+    // nothing landed: the log is still empty and a clean commit wins v1
+    assert(TxnLog.currentVersion(spark, t) == 0L)
+    assert(TxnLog.tryCommit(spark, t, 1L, "w", Seq(Action("add", a))))
+  }
+
   test("contiguity: readers stop before a version gap") {
     val t = freshTable()
     val a = writeSeg(t, "a", Seq(1L))
