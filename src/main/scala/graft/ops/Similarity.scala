@@ -102,6 +102,25 @@ object Similarity {
     }
   }
 
+  /** Plane count for an SRP bucketing sized to the corpus: the
+    * smallest p in [minPlanes, maxPlanes] with targetOcc · 2^p ≥ n,
+    * i.e. buckets ≈ n / target-occupancy. A FIXED plane count is the
+    * classic LSH scale trap: bucket occupancy grows linearly with the
+    * corpus and a bucket self-join degenerates to O(n²/2^p) — deriving
+    * p from n keeps per-bucket work constant as the corpus grows
+    * (occupancy ≈ targetOcc until the maxPlanes clamp). Pure integer
+    * arithmetic so any engine (the DuckDB oracle's CASE cascade)
+    * reproduces the exact same p. Planes are prefix-stable
+    * ([[hyperplanes]] component (i,j) ignores nPlanes), so a p-plane
+    * bucket id equals the maxPlanes-plane id mod 2^p — what makes the
+    * derivation oracle-verifiable with a static plane expansion. */
+  def planesForCorpus(n: Long, targetOcc: Long = 32L,
+                      minPlanes: Int = 3, maxPlanes: Int = 12): Int = {
+    var p = minPlanes
+    while (p < maxPlanes && (targetOcc << p) < n) p += 1
+    p
+  }
+
   /** Sign-random-projection bucket id: one bit per hyperplane.
     * (Plane literals are float arrays so graft_dot applies.) */
   def srpBucket(vec: Column, planes: Array[Array[Double]]): Column = {
