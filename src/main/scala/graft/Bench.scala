@@ -252,11 +252,32 @@ object Bench {
       s"\"" + shortName(name) + "\":{\"suite\":" + f2(suite) +
         ",\"iso\":" + f2(isoMin) + "}"
     }.mkString("""{"metric":"isolated","queries":{""", ",", "}}")
+    // r4-anchor subtotal (r10 verdict #5): the like-for-like number
+    // that cuts through both host phase and suite growth — the total
+    // over exactly the 148 query names BENCH_r04 recorded (BASELINE.md
+    // anchors it at 67.78 s on r4 code). Emitted every round so each
+    // BENCH_rN.json self-reports its baseline comparison the same way
+    // `isolated` self-reports phase, instead of a builder-run number
+    // hand-transcribed into BASELINE.md.
+    val r4Names: Set[String] = ("q01,q02,q03,q04,q05,q06,q07,q08,q09," +
+      "q10,q100,q101,q102,q103,q104,q105,q106,q107,q108,q109,q11,q110," +
+      "q111,q112,q113,q114,q115,q116,q117,q118,q119,q12,q120,q121,q122," +
+      "q123,q124,q125,q126,q127,q128,q129,q13,q130,q131,q132,q133,q134," +
+      "q135,q136,q137,q138,q139,q14,q140,q141,q142,q143,q144,q145,q146," +
+      "q147,q148,q149,q15,q150,q151,q152,q153,q154,q155,q156,q157,q158," +
+      "q159,q16,q160,q161,q17,q18,q19,q20,q21,q22,q23,q24,q25,q26,q27," +
+      "q28,q29,q30,q31,q32,q33,q34,q35,q36,q37,q40,q41,q42,q43,q44,q45," +
+      "q46,q50,q51,q52,q53,q54,q60,q61,q62,q63,q64,q65,q66,q67,q70,q71," +
+      "q72,q73,q74,q75,q76,q77,q78,q79,q80,q81,q82,q83,q84,q85,q86,q87," +
+      "q88,q89,q90,q91,q92,q93,q94,q95,q96,q97,q98").split(",").toSet
+    val anchor = results.filter { case (n, t) => t >= 0 && r4Names(shortName(n)) }
+    val anchorLine = s"""{"metric":"anchor_r4","sec":${f2(anchor.map(_._2).sum)},"n":${anchor.size},"r4_sec":67.78,"r4_n":148}"""
     // stop BEFORE printing: anything the shutdown path writes after the
     // metric lines would push them out of the tail window
     spark.stop()
     mapLines.foreach(println)
     println(isoLine)
+    println(anchorLine)
     println(famLine)
     println(totalLine)
   }

@@ -70,6 +70,10 @@ object TxnLog {
   private def hfs(s: SparkSession, p: Path): FileSystem =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
 
+  /** Process-unique staging counter — see the tmp-file naming note in
+    * [[tryCommit]]. */
+  private val stagingSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Attempt to publish `actions` as exactly `version`. Returns true
     * iff this writer won the version. Never throws on contention —
     * losing the rename race is a normal protocol outcome. */
@@ -95,9 +99,15 @@ object TxnLog {
     fs.mkdirs(dir)
     val target = versionFile(table, version)
     if (fs.exists(target)) return false // fast-path: already owned
-    // stage the full commit body in a writer-private temp file so a
-    // crash mid-write can never leave a torn <v>.txn visible
-    val tmp = new Path(dir, s"_tmp_${writer}_$version.txn")
+    // stage the full commit body in an INVOCATION-private temp file so
+    // a crash mid-write can never leave a torn <v>.txn visible. The
+    // name carries a process-unique counter, not just (writer,
+    // version): two concurrent commits under the SAME writer id
+    // otherwise share a staging path — one deletes it while the other
+    // links, and the publish dies on NoSuchFile instead of losing the
+    // race cleanly (found by the 8-overlapping-writers spec).
+    val tmp = new Path(dir,
+      s"_tmp_${writer}_${version}_${stagingSeq.incrementAndGet()}.txn")
     val out = fs.create(tmp, true)
     try {
       val body = (s"commit\t$version\t$writer" +:

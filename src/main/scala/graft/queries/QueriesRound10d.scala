@@ -80,13 +80,14 @@ object QueriesRound10d {
         val root = Scratch.dir(s, d) + "/txn_q555"
         QueriesRound10.buildHistory(s, d, root)
         val cs = TxnLog.commits(s, root)
-        val maxV = cs.last.version
         val horizon = 3L
-        val retained = (horizon to maxV)
-          .flatMap(v => TxnLog.liveFiles(cs.filter(_.version <= v))).toSet
+        // the real planner (TxnLog.vacuum executes this same plan):
+        // removable = latest action is a remove at version <= horizon —
+        // one O(actions) pass, never a per-version live-set fold
+        val removable = TxnLog.vacuumPlan(cs, horizon)
         val everAdded = cs.flatMap(_.actions).filter(_.kind == "add")
           .map(_.path).distinct
-        val removable = everAdded.filterNot(retained)
+        val retained = everAdded.filterNot(removable.toSet)
         val reclaimRows = s.read.parquet(removable: _*)
           .agg(count(lit(1)).as("rows_reclaimed"))
         val (snap, _, _) = TxnLog.snapshot(s, root)

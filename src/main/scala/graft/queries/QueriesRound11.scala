@@ -1,0 +1,188 @@
+package graft.queries
+
+import graft.Tables._
+import graft.ops.TxnLog
+import graft.ops.TxnLog.Action
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-11 first batch: the change-data-feed read path of the
+  * transaction log (r10 verdict #4) and physical vacuum execution with
+  * the named time-travel failure mode (r10 verdict #3).
+  *
+  * CDF is the read-side capability every public table format grew
+  * after time travel: a consumer tails ROW-LEVEL changes derived from
+  * the commit ACTIONS alone, so its cost is O(changed data) — at
+  * 100 TB the difference between "diff two snapshots" (two full table
+  * reads, the q570 formulation) and "read the segments the suffix
+  * commits name" is the whole feature.
+  */
+object QueriesRound11 {
+
+  private def reset(s: SparkSession, root: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q571: incremental change-data-feed, hash-matched to the snapshot diff ----
+    // Same question as q570 ("what changed between v2 and v4?") but
+    // answered INCREMENTALLY: fold the suffix commits' actions — v3 is
+    // a rewrite (compaction), so its net diff is adds⟕removes
+    // anti-joins that cancel exactly; v4 is an append, so its rows are
+    // inserts. The output hash-matches the q570 snapshot-join oracle
+    // (the two formulations must agree row-for-row), and the CDF
+    // never resolves a snapshot: it opens exactly the 4 segments the
+    // suffix commits name (audited in the output — the oracle pins
+    // it), where the snapshot-join reads v2's live set AND v4's.
+    QueryDef("q571_txn_cdf_incremental",
+      (s, d) => {
+        val root = Scratch.dir(s, d) + "/txn_q571"
+        QueriesRound10.buildHistory(s, d, root)
+        val (chg, opened) = TxnLog.changeFeed(s, root, 2L, 4L,
+          Seq("o_orderkey"))
+        val ins = chg.where(col("_change_type") === "insert")
+        val del = chg.where(col("_change_type") === "delete")
+        ins.agg(count(lit(1)).as("n_added"), sum("cents").as("added_cents"))
+          .crossJoin(del.agg(count(lit(1)).as("n_removed")))
+          .select(col("n_added"), col("added_cents"), col("n_removed"),
+            lit(opened).as("n_segments_opened"))
+      },
+      // v3 compaction nets to zero; v4 append = keys ≡ 2 (mod 4); the
+      // feed opens v3's {c, a, b} and v4's {d} — 4 segments, no
+      // snapshot resolution
+      Some("""SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |     WHERE o_orderkey % 4 = 2) AS n_added,
+        |  (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |       AS BIGINT) FROM orders WHERE o_orderkey % 4 = 2)
+        |    AS added_cents,
+        |  CAST(0 AS BIGINT) AS n_removed,
+        |  CAST(4 AS INTEGER) AS n_segments_opened""".stripMargin)),
+
+    // ---- q572: CDF on an append-only range reads ONLY the appended segment --------
+    // The pruning payoff, pinned IN the oracle: the (v3, v4] range
+    // contains one add-only commit, so the feed opens exactly seg_d —
+    // 1 of the table's 4 ever-written segments — and the
+    // `n_files_outside_changed` audit column proves from
+    // DataFrame.inputFiles that the PLAN touches no other segment (a
+    // snapshot-diff formulation would read 5 segment-reads across the
+    // two live sets). This is what a CDC consumer tails at 100 TB:
+    // cost proportional to the append, not the table.
+    QueryDef("q572_txn_cdf_append_prune",
+      (s, d) => {
+        val root = Scratch.dir(s, d) + "/txn_q572"
+        QueriesRound10.buildHistory(s, d, root)
+        val (chg, opened) = TxnLog.changeFeed(s, root, 3L, 4L,
+          Seq("o_orderkey"))
+        // plan audit: every input file of the feed's scan must live
+        // under the one segment the suffix commit named
+        val outside = chg.inputFiles.count(f => !f.contains("/seg_d/"))
+        chg.groupBy("_change_type").agg(
+          count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+          .withColumn("n_segments_opened", lit(opened))
+          .withColumn("n_files_outside_changed", lit(outside))
+          .orderBy("_change_type")
+      },
+      Some("""SELECT 'insert' AS _change_type,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  CAST(1 AS INTEGER) AS n_segments_opened,
+        |  CAST(0 AS INTEGER) AS n_files_outside_changed
+        |FROM orders WHERE o_orderkey % 4 = 2""".stripMargin)),
+
+    // ---- q573: copy-on-write delete surfaces as row-level deletes in the CDF ------
+    // The rewrite classification carrying a REAL row change: v3
+    // rewrites seg_b minus the keys ≡ 1 (mod 8) — a copy-on-write
+    // delete, the q542 merge-on-read family's compile-time sibling.
+    // The feed anti-joins the rewrite's two sides on the row identity
+    // and must surface EXACTLY the deleted keys as deletes (and
+    // nothing as inserts), reading only {seg_b, seg_b2} — seg_a is
+    // untouched by the commit and must not appear in the plan
+    // (inputFiles-audited, oracle-pinned).
+    QueryDef("q573_txn_cdf_cow_delete",
+      (s, d) => {
+        val root = Scratch.dir(s, d) + "/txn_q573"
+        reset(s, root)
+        val base = orders(s, d).select(col("o_orderkey"),
+          col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        def seg(name: String, df: DataFrame): String = {
+          val p = s"$root/$name"
+          df.coalesce(1).write.parquet(p)
+          p
+        }
+        val a = seg("seg_a", base.where(col("o_orderkey") % 2 === 0))
+        require(TxnLog.tryCommit(s, root, 1L, "ingest", Seq(Action("add", a))))
+        val b = seg("seg_b", base.where(col("o_orderkey") % 2 === 1))
+        require(TxnLog.tryCommit(s, root, 2L, "ingest", Seq(Action("add", b))))
+        // copy-on-write delete: rewrite b without the ≡1 (mod 8) keys
+        val b2 = seg("seg_b2", s.read.parquet(b)
+          .where(col("o_orderkey") % 8 =!= 1))
+        require(TxnLog.tryCommit(s, root, 3L, "deleter",
+          Seq(Action("remove", b), Action("add", b2))))
+        val (chg, opened) = TxnLog.changeFeed(s, root, 2L, 3L,
+          Seq("o_orderkey"))
+        val outside = chg.inputFiles.count(f => !f.contains("/seg_b"))
+        val del = chg.where(col("_change_type") === "delete")
+        val ins = chg.where(col("_change_type") === "insert")
+        del.agg(count(lit(1)).as("n_deleted"),
+            sum("cents").as("deleted_cents"))
+          .crossJoin(ins.agg(count(lit(1)).as("n_inserted")))
+          .select(col("n_deleted"), col("deleted_cents"), col("n_inserted"),
+            lit(opened).as("n_segments_opened"),
+            lit(outside).as("n_files_outside_changed"))
+      },
+      Some("""SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |     WHERE o_orderkey % 8 = 1) AS n_deleted,
+        |  (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |       AS BIGINT) FROM orders WHERE o_orderkey % 8 = 1)
+        |    AS deleted_cents,
+        |  CAST(0 AS BIGINT) AS n_inserted,
+        |  CAST(2 AS INTEGER) AS n_segments_opened,
+        |  CAST(0 AS INTEGER) AS n_files_outside_changed""".stripMargin)),
+
+    // ---- q574: vacuum EXECUTION + the named time-travel failure mode --------------
+    // q555 planned; this lane executes: vacuum at horizon 3 publishes
+    // the watermark, then physically deletes the two compacted-away
+    // segments (verified gone from the filesystem). Afterwards the
+    // latest snapshot is bit-identical (vacuum must be invisible to
+    // live readers), and a time-travel read BELOW the horizon fails
+    // with the protocol's NAMED error — VersionVacuumedException, the
+    // retention story told at the resolution layer — never a parquet
+    // FileNotFound from deep inside a scan.
+    QueryDef("q574_txn_vacuum_execute",
+      (s, d) => {
+        val root = Scratch.dir(s, d) + "/txn_q574"
+        QueriesRound10.buildHistory(s, d, root)
+        val res = TxnLog.vacuum(s, root, horizon = 3L)
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val stillPresent = res.removed
+          .count(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+        val namedError =
+          try { TxnLog.snapshot(s, root, Some(2L)); 0L }
+          catch { case _: TxnLog.VersionVacuumedException => 1L }
+        val (snap, _, nSegs) = TxnLog.snapshot(s, root)
+        snap.agg(count(lit(1)).as("rows_live"), sum("cents").as("sum_cents"))
+          .select(lit(res.removed.size).as("n_removed_segments"),
+            lit(stillPresent).as("n_removed_still_present"),
+            col("rows_live"), col("sum_cents"),
+            lit(nSegs).as("n_live_segments"),
+            lit(namedError).as("vacuumed_read_named_error"))
+      },
+      // vacuum at horizon 3 removes exactly the two pre-compaction
+      // segments (keys ≡ 0,1 live on in seg_c); live = keys ≡ 0,1,2
+      Some("""SELECT CAST(2 AS INTEGER) AS n_removed_segments,
+        |  CAST(0 AS INTEGER) AS n_removed_still_present,
+        |  CAST(count(*) AS BIGINT) AS rows_live,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  CAST(2 AS INTEGER) AS n_live_segments,
+        |  CAST(1 AS BIGINT) AS vacuumed_read_named_error
+        |FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)""".stripMargin))
+  )
+}

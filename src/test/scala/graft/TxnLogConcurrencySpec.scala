@@ -106,4 +106,45 @@ class TxnLogConcurrencySpec extends SparkSpec {
       }
     }
   }
+
+  test("8 overlapping writers: one winner per contested path, zero lost updates") {
+    // the HIGHEST-contention mode of the OccProbe ledger, pinned as an
+    // invariant: all 8 writers fight over the same 5 hot paths from a
+    // pinned-stale base — exactly one writer may own each path, every
+    // loser must abort with the named conflict error (never publish),
+    // and every WINNER's action must survive into the final fold
+    // (zero lost updates under maximum contention).
+    val t = freshTable()
+    val seed = s"$t/seg_seed"
+    spark.range(1).coalesce(1).write.parquet(seed)
+    assert(TxnLog.tryCommit(spark, t, 1L, "seed", Seq(Action("add", seed))))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val landed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val aborted = new java.util.concurrent.atomic.AtomicInteger(0)
+    try {
+      val futures = for (w <- 1 to 8; i <- 1 to 5) yield {
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            try {
+              TxnLog.commitWithRetry(spark, t, s"racer_$w",
+                Seq(Action("add", s"$t/hot_$i")), maxAttempts = 256,
+                baseVersion = Some(1L))
+              landed.incrementAndGet()
+            } catch {
+              case _: IllegalStateException => aborted.incrementAndGet()
+            }
+        })
+      }
+      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+    assert(landed.get == 5 && aborted.get == 35,
+      s"expected one winner per hot path: landed=${landed.get} aborted=${aborted.get}")
+    val cs = TxnLog.commits(spark, t)
+    // contiguous log, exactly 6 commits (seed + 5 winners), and every
+    // hot path live exactly once — no lost update, no double-publish
+    assert(cs.map(_.version) == (1L to 6L))
+    val live = TxnLog.liveFiles(cs)
+    assert(live.toSet == (1 to 5).map(i => s"$t/hot_$i").toSet + seed,
+      s"fold lost or duplicated a winner: $live")
+  }
 }
