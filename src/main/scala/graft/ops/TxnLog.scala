@@ -188,21 +188,71 @@ object TxnLog {
     * checkpoint read path O(suffix) instead of O(all commits). A
     * year-old table with a checkpoint reads two tiny files, not ten
     * thousand. */
+  /** One listing of the log directory: (txn versions → paths, sorted;
+    * checkpoint versions present BY NAME, sorted). */
+  private def listLog(s: SparkSession, table: String)
+      : (Seq[(Long, Path)], Seq[Long]) = {
+    val dir = logDir(table)
+    val fs = hfs(s, dir)
+    if (!fs.exists(dir)) return (Seq.empty, Seq.empty)
+    val names = fs.listStatus(dir).map(_.getPath)
+    (names.filter(_.getName.matches("\\d{20}\\.txn"))
+      .map(p => p.getName.stripSuffix(".txn").toLong -> p)
+      .sortBy(_._1).toSeq,
+      names.map(_.getName).filter(_.matches("\\d{20}\\.ckpt"))
+        .map(_.stripSuffix(".ckpt").toLong).sorted.toSeq)
+  }
+
+  /** The log's history floor: 0 = full history; F > 0 = commit bodies
+    * 1..F were retention-deleted ([[truncateLog]]) and the checkpoint
+    * at F is the only anchor — reads below F are impossible. A listing
+    * whose first txn is v > 1 WITHOUT a checkpoint at v-1 is treated
+    * as a gap (an in-flight publish on an eventually-listing store),
+    * not a truncation. */
+  private def logFloorOf(txns: Seq[(Long, Path)], ckpts: Seq[Long]): Long =
+    txns.headOption match {
+      case Some((v, _)) if v > 1L && ckpts.contains(v - 1L) => v - 1L
+      case Some(_) => 0L
+      case None => ckpts.lastOption.getOrElse(0L)
+    }
+
+  def logFloor(s: SparkSession, table: String): Long = {
+    val (txns, ckpts) = listLog(s, table)
+    logFloorOf(txns, ckpts)
+  }
+
+  /** Read at a version whose commit history was retention-deleted:
+    * the named failure mode of [[truncateLog]] — distinct from
+    * [[VersionVacuumedException]] (there the DATA is gone; here the
+    * LOG below the floor is). */
+  class LogTruncatedException(table: String, requested: Long, floor: Long)
+    extends RuntimeException(
+      s"version $requested of $table is below the log's history floor " +
+        s"$floor: commits 1..$floor were retention-deleted and survive " +
+        s"only as the checkpoint at $floor — read at or above it")
+
   def commits(s: SparkSession, table: String,
               asOf: Option[Long] = None,
               fromVersion: Long = 0L): Seq[Commit] = {
     val dir = logDir(table)
     val fs = hfs(s, dir)
-    if (!fs.exists(dir)) return Seq.empty
+    val (txns, ckpts) = listLog(s, table)
+    if (txns.isEmpty) return Seq.empty
     val cap = asOf.getOrElse(Long.MaxValue)
-    val files = fs.listStatus(dir).map(_.getPath)
-      .filter(_.getName.matches("\\d{20}\\.txn"))
-      .map(p => p.getName.stripSuffix(".txn").toLong -> p)
-      .filter(_._1 <= cap)
-      .sortBy(_._1)
-    // stop before the first gap: versions must run 1, 2, 3, …
+    // contiguity anchor: version 1, or the truncation floor + 1 when
+    // the head's predecessor is a checkpoint (see logFloorOf). A fold
+    // that starts at a floor is only correct on top of that
+    // checkpoint's base — so a caller that did NOT come through the
+    // checkpoint path (fromVersion below the floor) must get the named
+    // error, never a silently-partial fold.
+    val floor = logFloorOf(txns, ckpts)
+    if (txns.head._1 > 1L && floor == 0L) return Seq.empty // listing gap
+    if (fromVersion < floor)
+      throw new LogTruncatedException(table, fromVersion + 1, floor)
+    val files = txns.filter(_._1 <= cap)
+    val start = floor + 1L
     val contiguous = files.zipWithIndex
-      .takeWhile { case ((v, _), i) => v == i + 1L }
+      .takeWhile { case ((v, _), i) => v == start + i }
       .map(_._1)
       .filter(_._1 > fromVersion) // bodies below the bound never open
     contiguous.map { case (v, p) =>
@@ -286,18 +336,17 @@ object TxnLog {
 
   /** Highest committed contiguous version (0 = empty table).
     * Listing-only: the version is a property of the file NAMES, so no
-    * commit body is ever opened — O(1) reads however long the log. */
+    * commit body is ever opened — O(1) reads however long the log.
+    * Truncation-aware: the contiguous run anchors at the history
+    * floor's checkpoint when commits below it were retention-deleted. */
   def currentVersion(s: SparkSession, table: String): Long = {
-    val dir = logDir(table)
-    val fs = hfs(s, dir)
-    if (!fs.exists(dir)) return 0L
-    val versions = fs.listStatus(dir).map(_.getPath.getName)
-      .filter(_.matches("\\d{20}\\.txn"))
-      .map(_.stripSuffix(".txn").toLong)
-      .sorted
-    versions.zipWithIndex
-      .takeWhile { case (v, i) => v == i + 1L }
-      .lastOption.map(_._1).getOrElse(0L)
+    val (txns, ckpts) = listLog(s, table)
+    val floor = logFloorOf(txns, ckpts)
+    if (txns.isEmpty) return floor // fully-truncated log: the ckpt IS the head
+    if (txns.head._1 > 1L && floor == 0L) return 0L // listing gap
+    txns.map(_._1).zipWithIndex
+      .takeWhile { case (v, i) => v == floor + 1L + i }
+      .lastOption.map(_._1).getOrElse(floor)
   }
 
   /** Snapshot-isolation read at `asOf` (None = latest): one log
@@ -305,6 +354,16 @@ object TxnLog {
     * immutable segments. Returns (frame, versionRead, nLiveSegments). */
   def snapshot(s: SparkSession, table: String,
                asOf: Option[Long] = None): (DataFrame, Long, Int) = {
+    val floor = logFloor(s, table)
+    if (floor > 0L) {
+      // truncated log: a full-log fold no longer exists. Reads below
+      // the floor get the named error; reads at/above it ride the
+      // checkpoint base transparently.
+      if (asOf.exists(_ < floor))
+        throw new LogTruncatedException(table, asOf.get, floor)
+      val (df, v, n, _) = snapshotViaCheckpoint(s, table, asOf)
+      return (df, v, n)
+    }
     val cs = commits(s, table, asOf)
     require(cs.nonEmpty, s"no commits at or before $asOf in $table")
     val v = cs.last.version
@@ -323,10 +382,25 @@ object TxnLog {
     * at the same version write identical bytes, and a torn checkpoint
     * is detected by its trailer line and ignored. */
   def writeCheckpoint(s: SparkSession, table: String, upTo: Long): Unit = {
-    val cs = commits(s, table, Some(upTo))
-    require(cs.nonEmpty && cs.last.version == upTo,
-      s"cannot checkpoint at $upTo: log only reaches ${cs.lastOption.map(_.version)}")
-    val live = liveFiles(cs)
+    // floor-aware: on a truncated log the fold starts from the anchor
+    // checkpoint (full-log commits() would rightly refuse)
+    val floor = logFloor(s, table)
+    val live = if (floor == 0L) {
+      val cs = commits(s, table, Some(upTo))
+      require(cs.nonEmpty && cs.last.version == upTo,
+        s"cannot checkpoint at $upTo: log only reaches ${cs.lastOption.map(_.version)}")
+      liveFiles(cs)
+    } else {
+      if (upTo < floor) throw new LogTruncatedException(table, upTo, floor)
+      val base = latestCheckpoint(s, table, upTo).getOrElse(
+        throw new IllegalStateException(
+          s"history floor $floor of $table has no readable checkpoint"))
+      val suffix = commits(s, table, Some(upTo), fromVersion = base.version)
+      require(suffix.lastOption.map(_.version).getOrElse(base.version) == upTo,
+        s"cannot checkpoint at $upTo: log only reaches " +
+          s"${suffix.lastOption.map(_.version).getOrElse(base.version)}")
+      liveFiles(base +: suffix)
+    }
     val dir = logDir(table)
     val fs = hfs(s, dir)
     val out = fs.create(new Path(dir, f"$upTo%020d.ckpt"), true)
@@ -378,8 +452,14 @@ object TxnLog {
                             asOf: Option[Long] = None)
       : (DataFrame, Long, Int, Long) = {
     val cap = asOf.getOrElse(currentVersion(s, table))
+    val floor = logFloor(s, table)
+    if (cap < floor) throw new LogTruncatedException(table, cap, floor)
     latestCheckpoint(s, table, cap) match {
       case None =>
+        // floor > 0 implies the floor checkpoint must be readable — a
+        // torn anchor would otherwise recurse through snapshot()
+        if (floor > 0L) throw new IllegalStateException(
+          s"history floor $floor of $table has no readable checkpoint")
         val (df, v, n) = snapshot(s, table, asOf)
         (df, v, n, 0L)
       case Some(base) =>
@@ -448,7 +528,16 @@ object TxnLog {
     * the removable set, and a reader that resolved BEFORE the publish
     * scans immutable files the vacuum does not touch. */
   def vacuum(s: SparkSession, table: String, horizon: Long): VacuumResult = {
-    val cs = commits(s, table)
+    // floor-aware: on a truncated log the action fold rides the anchor
+    // checkpoint (whose synthetic adds land at the floor version)
+    val floor = logFloor(s, table)
+    val cs = if (floor == 0L) commits(s, table)
+      else {
+        val base = latestCheckpoint(s, table, Long.MaxValue).getOrElse(
+          throw new IllegalStateException(
+            s"history floor $floor of $table has no readable checkpoint"))
+        base +: commits(s, table, fromVersion = base.version)
+      }
     require(cs.nonEmpty && horizon >= 1 && horizon <= cs.last.version,
       s"vacuum horizon $horizon outside committed range 1..${cs.lastOption.map(_.version).getOrElse(0L)}")
     val dir = logDir(table)
@@ -459,6 +548,71 @@ object TxnLog {
     val removable = vacuumPlan(cs, horizon)
     removable.foreach(p => fs.delete(new Path(p), true))
     VacuumResult(horizon, removable)
+  }
+
+  /** Small-file compaction plan over the CURRENT live set: segments
+    * smaller than half the largest live segment are binned (sorted by
+    * path for determinism, first-fit up to `maxPerBin`) — each bin is
+    * one rewrite commit (remove members, add merged). The relative
+    * threshold makes the plan scale-factor-stable: "small" means small
+    * against THIS table's own big segments, not an absolute byte count
+    * that flips with SF. Listing-only planning (file sizes come from
+    * the same FileSystem metadata a real OPTIMIZE reads); the caller
+    * executes each bin and commits via [[commitWithRetry]], so a
+    * concurrent writer touching a binned segment aborts the compaction
+    * instead of losing data (the OCC path-conflict rule). */
+  def compactionPlan(s: SparkSession, table: String,
+                     maxPerBin: Int = 8): Seq[Seq[String]] = {
+    val floor = logFloor(s, table)
+    val cs = if (floor == 0L) commits(s, table)
+      else {
+        val base = latestCheckpoint(s, table, Long.MaxValue).getOrElse(
+          throw new IllegalStateException(
+            s"history floor $floor of $table has no readable checkpoint"))
+        base +: commits(s, table, fromVersion = base.version)
+      }
+    val live = liveFiles(cs)
+    if (live.isEmpty) return Seq.empty
+    val fs = hfs(s, new Path(table))
+    val sizes = live.map { p =>
+      p -> fs.getContentSummary(new Path(p)).getLength
+    }
+    val maxSize = sizes.map(_._2).max
+    val small = sizes.filter(_._2 < maxSize / 2).map(_._1).sorted
+    if (small.size < 2) Seq.empty // nothing worth merging
+    else small.grouped(maxPerBin).filter(_.size >= 2).toSeq
+  }
+
+  case class TruncateResult(floor: Long, deletedCommits: Int)
+
+  /** Log RETENTION: physically delete the commit bodies a checkpoint
+    * has already folded — the third lifecycle deleter beside segment
+    * [[vacuum]] (old DATA) and checkpointing (derived summaries). The
+    * O(N) residue the TxnProbe measured in checkpoint resolution is
+    * the directory LISTING of old .txn files; this removes it, keeping
+    * a decade-old table's log directory O(suffix since last
+    * checkpoint) however many commits it ever saw.
+    *
+    * Anchors at the NEWEST COMPLETE checkpoint (validated by parsing
+    * it — a torn checkpoint must never become the only history
+    * anchor), deletes every .txn at or below it, and relies on the
+    * [[logFloorOf]] rule so readers distinguish a truncated log
+    * (first txn's predecessor is a checkpoint → anchor there) from a
+    * listing gap (no checkpoint → see an empty log). Reads below the
+    * floor fail with [[LogTruncatedException]]; reads at or above it
+    * are unaffected (snapshot() transparently rides the checkpoint).
+    * Time travel below the floor is the price of retention — exactly
+    * the trade public table formats document for log cleanup. */
+  def truncateLog(s: SparkSession, table: String): TruncateResult = {
+    val anchor = latestCheckpoint(s, table, Long.MaxValue).getOrElse(
+      throw new IllegalStateException(
+        s"cannot truncate $table: no complete checkpoint to anchor the floor"))
+    val dir = logDir(table)
+    val fs = hfs(s, dir)
+    val (txns, _) = listLog(s, table)
+    val doomed = txns.filter(_._1 <= anchor.version)
+    doomed.foreach { case (_, p) => fs.delete(p, false) }
+    TruncateResult(anchor.version, doomed.size)
   }
 
   /** Checkpoint-every-N policy: write a checkpoint when the head has
@@ -492,18 +646,29 @@ object TxnLog {
     *   - add-only commit: every row of the added segments is an insert
     *   - remove-only commit: every row of the removed segments is a
     *     delete
-    *   - add+remove (rewrite: compaction, copy-on-write delete/update):
-    *     the NET row diff — adds anti-join removes on `idCols` gives
-    *     inserts, removes anti-join adds gives deletes; a pure
-    *     compaction nets to zero changes, which is the reader-visible
-    *     proof compaction is invisible (the q570 contract)
-    * Returns (changes with _change_type ∈ insert|delete and
-    * _commit_version columns, segments opened). */
+    *   - add+remove (rewrite: compaction, copy-on-write
+    *     delete/update/merge): the NET row diff — exceptAll in both
+    *     directions strips every byte-identical row (a pure compaction
+    *     nets to zero changes, the reader-visible proof compaction is
+    *     invisible — the q570 contract), then each surviving row is
+    *     classified by whether its IDENTITY persists on the other
+    *     side: same `idCols` present → an update (`update_pre` the old
+    *     row, `update_post` the new one, the Delta CDF convention);
+    *     absent → a plain insert/delete
+    * Requires every column exceptAll-comparable (exact types — the
+    * segment schemas here are BIGINT/VARCHAR; float payloads would
+    * need an epsilon diff instead).
+    * Returns (changes with _change_type ∈
+    * insert|delete|update_pre|update_post and _commit_version columns,
+    * segments opened). */
   def changeFeed(s: SparkSession, table: String, fromV: Long, toV: Long,
                  idCols: Seq[String]): (DataFrame, Int) = {
     import org.apache.spark.sql.functions.lit
     require(fromV < toV, s"empty CDF range ($fromV, $toV]")
-    val suffix = commits(s, table, Some(toV)).filter(_.version > fromV)
+    // fromVersion = fromV: bodies at or below the range start are never
+    // opened, and a range reaching below a truncated log's floor gets
+    // the named error instead of a silently-partial feed
+    val suffix = commits(s, table, Some(toV), fromVersion = fromV)
     require(suffix.nonEmpty && suffix.last.version == toV,
       s"log does not reach $toV past $fromV in $table")
     var opened = 0
@@ -518,13 +683,25 @@ object TxnLog {
         case (true, false) => tag(s.read.parquet(adds: _*), "insert")
         case (false, true) => tag(s.read.parquet(removes: _*), "delete")
         case (true, true) =>
+          import org.apache.spark.sql.functions.{col, when}
           val a = s.read.parquet(adds: _*)
           val r = s.read.parquet(removes: _*)
-          tag(a.join(r.select(idCols.map(org.apache.spark.sql.functions.col): _*),
-              idCols, "left_anti"), "insert")
-            .unionAll(tag(r.join(
-              a.select(idCols.map(org.apache.spark.sql.functions.col): _*),
-              idCols, "left_anti"), "delete"))
+          // classify each surviving diff row by identity persistence:
+          // ONE left join against the other side's distinct ids (never
+          // two passes over the diff)
+          def classify(diff: DataFrame, other: DataFrame,
+                       persists: String, alone: String): DataFrame = {
+            val ids = other.select(idCols.map(col): _*).distinct()
+              .withColumn("__m", lit(1))
+            diff.join(ids, idCols, "left")
+              .withColumn("_change_type",
+                when(col("__m").isNull, lit(alone)).otherwise(lit(persists)))
+              .withColumn("_commit_version", lit(c.version))
+              .select(diff.columns.map(col) :+ col("_change_type") :+
+                col("_commit_version"): _*)
+          }
+          classify(a.exceptAll(r), r, "update_post", "insert")
+            .unionAll(classify(r.exceptAll(a), a, "update_pre", "delete"))
         case (false, false) =>
           s.emptyDataFrame // metadata-only commit: no row changes
       }
@@ -556,8 +733,9 @@ object TxnLog {
       if (tryCommit(s, table, v, writer, actions))
         return CommitResult(v, attempt)
       // lost: somebody owns v (and possibly more). Conflict-check
-      // every commit that landed since our base before rebasing.
-      val landed = commits(s, table).filter(_.version > base)
+      // every commit that landed since our base before rebasing —
+      // fromVersion = base: older bodies are irrelevant AND never open
+      val landed = commits(s, table, fromVersion = base)
       val clash = landed.flatMap(_.actions.map(_.path)).toSet.intersect(mine)
       if (clash.nonEmpty)
         throw new IllegalStateException(

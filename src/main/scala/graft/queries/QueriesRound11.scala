@@ -183,6 +183,217 @@ object QueriesRound11 {
         |    AS sum_cents,
         |  CAST(2 AS INTEGER) AS n_live_segments,
         |  CAST(1 AS BIGINT) AS vacuumed_read_named_error
-        |FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)""".stripMargin))
+        |FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)""".stripMargin)),
+
+    // ---- q575: log retention — truncate folded commit bodies ----------------------
+    // The third lifecycle deleter beside vacuum (old data) and
+    // checkpoints (derived summaries): once a checkpoint has folded a
+    // prefix of the log, the commit BODIES below it are pure history —
+    // TxnLog.truncateLog deletes them, the reader anchors at the
+    // floor's checkpoint (the logFloor rule distinguishes a truncated
+    // log from a listing gap by the checkpoint at head-1), and a read
+    // below the floor fails with the named LogTruncatedException. The
+    // lane runs the WHOLE lifecycle: 8 ingest commits, policy
+    // checkpoints every 4, truncate (floor 8, zero .txn left), then a
+    // 9th commit (a delete of segment 0) lands on the truncated log
+    // and the head read folds checkpoint + suffix correctly — pinned
+    // by the oracle's membership predicate.
+    QueryDef("q575_txn_log_retention",
+      (s, d) => {
+        val root = Scratch.dir(s, d) + "/txn_q575"
+        reset(s, root)
+        val base = orders(s, d).select(col("o_orderkey"),
+          col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        val segs = (0 to 7).map { i =>
+          val p = s"$root/seg_$i"
+          base.where(col("o_orderkey") % 8 === i)
+            .coalesce(1).write.parquet(p)
+          require(TxnLog.tryCommit(s, root, i + 1L, "ingest",
+            Seq(Action("add", p))))
+          TxnLog.checkpointIfDue(s, root, every = 4)
+          p
+        }
+        val trunc = TxnLog.truncateLog(s, root)
+        val retentionError =
+          try { TxnLog.snapshot(s, root, Some(3L)); 0L }
+          catch { case _: TxnLog.LogTruncatedException => 1L }
+        // life after retention: a delete commit lands at v9 and the
+        // head read folds checkpoint(8) + suffix(9)
+        require(TxnLog.commitWithRetry(s, root, "deleter",
+          Seq(Action("remove", segs.head))).version == 9L)
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val txnLeft = fs.listStatus(
+          new org.apache.hadoop.fs.Path(root, "_txnlog"))
+          .map(_.getPath.getName).count(_.endsWith(".txn"))
+        val (snap, ver, nSegs) = TxnLog.snapshot(s, root)
+        snap.agg(count(lit(1)).as("rows_live"), sum("cents").as("sum_cents"))
+          .select(lit(trunc.floor).as("floor"),
+            lit(trunc.deletedCommits).as("n_deleted_commits"),
+            lit(retentionError).as("below_floor_named_error"),
+            lit(txnLeft).as("n_txn_files_left"),
+            lit(ver).as("head_version"), lit(nSegs).as("n_live_segments"),
+            col("rows_live"), col("sum_cents"))
+      },
+      Some("""SELECT CAST(8 AS BIGINT) AS floor,
+        |  CAST(8 AS INTEGER) AS n_deleted_commits,
+        |  CAST(1 AS BIGINT) AS below_floor_named_error,
+        |  CAST(1 AS INTEGER) AS n_txn_files_left,
+        |  CAST(9 AS BIGINT) AS head_version,
+        |  CAST(7 AS INTEGER) AS n_live_segments,
+        |  CAST(count(*) AS BIGINT) AS rows_live,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders WHERE o_orderkey % 8 != 0""".stripMargin)),
+
+    // ---- q576: MERGE (copy-on-write update) with stats-pruned rewrite --------------
+    // The write-side op every lakehouse grew after CDF: update rows
+    // matching a predicate WITHOUT rewriting the table. Planning reads
+    // only the LOG (q569's stats-in-manifest: the update predicate
+    // [150k$, 180k$) intersects exactly one band segment's [min, max] —
+    // 3 of 4 segments pruned without a file listing); execution
+    // rewrites that one segment copy-on-write and commits remove+add
+    // with REFRESHED stats; audit derives the row-level changes from
+    // the commit via the CDF's update classification (update_pre /
+    // update_post pairs with identity preserved), so the oracle pins
+    // the updated-row count, the exact cents delta, and that the
+    // final table equals predicate-applied original — end to end from
+    // one hash gate.
+    QueryDef("q576_txn_merge_update",
+      (s, d) => {
+        val root = Scratch.dir(s, d) + "/txn_q576"
+        reset(s, root)
+        val base = orders(s, d).select(col("o_orderkey"),
+          col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+          .withColumn("band", expr("least(CAST(cents div 7500000 AS INT), 3)"))
+        val stats = TxnLog.segmentStats(base, "band", Seq("cents"))
+        (0 to 3).foreach { bnd =>
+          val bandStats = stats.getOrElse(bnd, throw new IllegalStateException(
+            s"q576: price band $bnd is empty at this scale factor"))
+          val p = s"$root/seg_band$bnd"
+          base.where(col("band") === bnd).drop("band")
+            .coalesce(1).write.parquet(p)
+          require(TxnLog.tryCommit(s, root, bnd + 1L, "ingest",
+            Seq(Action("add", p, bandStats))))
+        }
+        // MERGE: cents in [15.0M, 18.0M) and o_orderkey % 10 = 3 get
+        // +555 cents. Touched segments from the LOG alone.
+        val (lo, hi, delta) = (15000000L, 18000000L, 555L)
+        val live = TxnLog.liveActions(TxnLog.commits(s, root))
+        val touched = live.filter(_.stats.get("cents")
+          .exists { case (mn, mx) => mn < hi && mx >= lo })
+        require(touched.size == 1, s"expected 1 touched band segment")
+        val old = s.read.parquet(touched.map(_.path): _*)
+        val cond = col("cents") >= lo && col("cents") < hi &&
+          col("o_orderkey") % 10 === 3
+        val merged = old.withColumn("cents",
+          when(cond, col("cents") + delta).otherwise(col("cents")))
+        val newPath = s"$root/seg_band_merged"
+        merged.coalesce(1).write.parquet(newPath)
+        // refreshed stats: the writer knows its own min/max (the
+        // documented driver-side commit-metadata pull)
+        val mm = merged.agg(min("cents"), max("cents")).head
+        val rc = TxnLog.commitWithRetry(s, root, "merger",
+          touched.map(a => Action("remove", a.path)) :+
+            Action("add", newPath, Map("cents" -> (mm.getLong(0), mm.getLong(1)))))
+        // audit: row-level changes derived from the rewrite commit
+        val (chg, _) = TxnLog.changeFeed(s, root, 4L, rc.version,
+          Seq("o_orderkey"))
+        val pre = chg.where(col("_change_type") === "update_pre")
+          .agg(count(lit(1)).as("n_pre"), sum("cents").as("c_pre"))
+        val post = chg.where(col("_change_type") === "update_post")
+          .agg(count(lit(1)).as("n_post"), sum("cents").as("c_post"))
+        val other = chg.where(
+          !col("_change_type").isin("update_pre", "update_post"))
+          .agg(count(lit(1)).as("n_other"))
+        val (snap, _, nSegs) = TxnLog.snapshot(s, root)
+        post.crossJoin(pre).crossJoin(other)
+          .crossJoin(snap.agg(count(lit(1)).as("rows_head"),
+            sum("cents").as("sum_cents_head")))
+          .select(lit(touched.size).as("n_touched_segments"),
+            lit(live.size - touched.size).as("n_pruned_from_log"),
+            col("n_post").as("n_updated"),
+            (coalesce(col("c_post"), lit(0L)) -
+              coalesce(col("c_pre"), lit(0L))).as("cents_delta"),
+            col("n_other").as("n_non_update_changes"),
+            lit(nSegs).as("n_live_segments"),
+            col("rows_head"), col("sum_cents_head"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |upd AS (SELECT count(*) AS n FROM o
+        |  WHERE cents >= 15000000 AND cents < 18000000
+        |    AND o_orderkey % 10 = 3)
+        |SELECT CAST(1 AS INTEGER) AS n_touched_segments,
+        |  CAST(3 AS INTEGER) AS n_pruned_from_log,
+        |  CAST(upd.n AS BIGINT) AS n_updated,
+        |  CAST(upd.n * 555 AS BIGINT) AS cents_delta,
+        |  CAST(0 AS BIGINT) AS n_non_update_changes,
+        |  CAST(4 AS INTEGER) AS n_live_segments,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM o) AS rows_head,
+        |  (SELECT CAST(sum(cents) AS BIGINT) FROM o) + upd.n * 555
+        |    AS sum_cents_head
+        |FROM upd""".stripMargin)),
+
+    // ---- q577: OPTIMIZE — small-file compaction policy, invisible by CDF -----------
+    // The operational sibling of q570's compaction commit: a PLANNER
+    // (TxnLog.compactionPlan — listing-only, relative threshold:
+    // "small" = under half this table's largest live segment, so the
+    // plan is scale-factor-stable) bins the 6 small ingest segments
+    // into one rewrite commit; execution merges and commits them via
+    // the OCC path (a concurrent writer on a binned segment would
+    // abort the compaction, not lose data). Invisibility is PROVEN,
+    // not asserted: the CDF across the compaction commit nets to zero
+    // row changes (in-frame count, oracle-pinned), and the head
+    // aggregate equals the full table.
+    QueryDef("q577_txn_auto_compaction",
+      (s, d) => {
+        val root = Scratch.dir(s, d) + "/txn_q577"
+        reset(s, root)
+        val base = orders(s, d).select(col("o_orderkey"),
+          col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        val big = s"$root/seg_big"
+        base.where(col("o_orderkey") % 32 >= 6)
+          .coalesce(1).write.parquet(big)
+        require(TxnLog.tryCommit(s, root, 1L, "ingest",
+          Seq(Action("add", big))))
+        (0 to 5).foreach { i =>
+          val p = s"$root/seg_small$i"
+          base.where(col("o_orderkey") % 32 === i)
+            .coalesce(1).write.parquet(p)
+          require(TxnLog.tryCommit(s, root, i + 2L, "ingest",
+            Seq(Action("add", p))))
+        }
+        val preHead = TxnLog.currentVersion(s, root) // 7
+        val plan = TxnLog.compactionPlan(s, root)
+        plan.zipWithIndex.foreach { case (bin, k) =>
+          val merged = s"$root/seg_merged$k"
+          s.read.parquet(bin: _*).coalesce(1).write.parquet(merged)
+          TxnLog.commitWithRetry(s, root, "optimizer",
+            bin.map(Action("remove", _)) :+ Action("add", merged))
+        }
+        val head = TxnLog.currentVersion(s, root)
+        val (chg, _) = TxnLog.changeFeed(s, root, preHead, head,
+          Seq("o_orderkey"))
+        val (snap, _, nSegs) = TxnLog.snapshot(s, root)
+        snap.agg(count(lit(1)).as("rows_live"), sum("cents").as("sum_cents"))
+          .crossJoin(chg.agg(count(lit(1)).as("n_cdf_changes")))
+          .select(lit(plan.size).as("n_bins"),
+            lit(plan.map(_.size).sum).as("n_compacted_segments"),
+            col("n_cdf_changes"), lit(nSegs).as("n_live_segments"),
+            col("rows_live"), col("sum_cents"))
+      },
+      Some("""SELECT CAST(1 AS INTEGER) AS n_bins,
+        |  CAST(6 AS INTEGER) AS n_compacted_segments,
+        |  CAST(0 AS BIGINT) AS n_cdf_changes,
+        |  CAST(2 AS INTEGER) AS n_live_segments,
+        |  CAST(count(*) AS BIGINT) AS rows_live,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders""".stripMargin))
   )
 }

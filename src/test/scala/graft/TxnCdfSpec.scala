@@ -71,6 +71,32 @@ class TxnCdfSpec extends SparkSpec {
       s"wrong row-level diff: del=$del ins=$ins")
   }
 
+  test("copy-on-write update surfaces as update_pre/update_post pairs") {
+    val t = freshTable()
+    def writeKv(name: String, rows: Seq[(Long, Long)]): String = {
+      val p = s"$t/$name"
+      spark.createDataFrame(rows).toDF("id", "v")
+        .coalesce(1).write.parquet(p)
+      p
+    }
+    val a = writeKv("a", Seq(1L -> 10L, 2L -> 20L, 3L -> 30L))
+    TxnLog.tryCommit(spark, t, 1L, "w", Seq(Action("add", a)))
+    // rewrite: id 2's payload changes, id 3 is deleted, id 9 appears
+    val a2 = writeKv("a2", Seq(1L -> 10L, 2L -> 21L, 9L -> 90L))
+    TxnLog.tryCommit(spark, t, 2L, "w",
+      Seq(Action("remove", a), Action("add", a2)))
+    val (chg, _) = TxnLog.changeFeed(spark, t, 1L, 2L, Seq("id"))
+    def rows(tp: String) = chg.where(col("_change_type") === tp)
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    assert(rows("update_pre") == Seq(2L -> 20L), "old image of the update")
+    assert(rows("update_post") == Seq(2L -> 21L), "new image of the update")
+    assert(rows("delete") == Seq(3L -> 30L))
+    assert(rows("insert") == Seq(9L -> 90L))
+    // the unchanged row (id 1) must not appear at all
+    assert(chg.count() == 4L)
+  }
+
   test("property: CDF equals snapshot diff over randomized histories") {
     val rnd = new scala.util.Random(1111)
     for (trial <- 1 to 4) {

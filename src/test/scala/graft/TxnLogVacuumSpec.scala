@@ -103,6 +103,61 @@ class TxnLogVacuumSpec extends SparkSpec {
     assert(TxnLog.snapshot(spark, t)._1.count() == 3L)
   }
 
+  test("log retention: truncation deletes folded bodies, reads anchor at the floor") {
+    val t = freshTable()
+    (1 to 25).foreach { i =>
+      val p = writeSeg(t, s"s$i", Seq(i.toLong))
+      TxnLog.tryCommit(spark, t, i.toLong, "w", Seq(Action("add", p)))
+      TxnLog.checkpointIfDue(spark, t, every = 10)
+    }
+    val res = TxnLog.truncateLog(spark, t)
+    assert(res.floor == 20L && res.deletedCommits == 20)
+    // bodies 1..20 physically gone; 21..25 remain
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val left = fs.listStatus(new org.apache.hadoop.fs.Path(t, "_txnlog"))
+      .map(_.getPath.getName).filter(_.endsWith(".txn"))
+      .map(_.stripSuffix(".txn").toLong).sorted.toSeq
+    assert(left == (21L to 25L), s"wrong survivors: $left")
+    // head and reads at/above the floor are unaffected
+    assert(TxnLog.currentVersion(spark, t) == 25L)
+    assert(TxnLog.snapshot(spark, t)._1.count() == 25L)
+    assert(TxnLog.snapshot(spark, t, Some(22L))._1.count() == 22L)
+    assert(TxnLog.snapshot(spark, t, Some(20L))._1.count() == 20L) // = floor
+    // below the floor: the NAMED retention error, on both paths
+    intercept[TxnLog.LogTruncatedException] {
+      TxnLog.snapshot(spark, t, Some(19L))
+    }
+    intercept[TxnLog.LogTruncatedException] {
+      TxnLog.snapshotViaCheckpoint(spark, t, Some(19L))
+    }
+    // a full-log fold no longer exists — refuse loudly, never return a
+    // silently-partial commit list
+    intercept[TxnLog.LogTruncatedException] { TxnLog.commits(spark, t) }
+    // a CDF range reaching below the floor refuses too; one above works
+    intercept[TxnLog.LogTruncatedException] {
+      TxnLog.changeFeed(spark, t, 5L, 25L, Seq("id"))
+    }
+    assert(TxnLog.changeFeed(spark, t, 20L, 25L, Seq("id"))._1.count() == 5L)
+    // life goes on: new commits land, the NEXT checkpoint folds from
+    // the anchor, and a second truncation advances the floor
+    (26 to 30).foreach { i =>
+      val p = writeSeg(t, s"s$i", Seq(i.toLong))
+      TxnLog.tryCommit(spark, t, i.toLong, "w", Seq(Action("add", p)))
+      TxnLog.checkpointIfDue(spark, t, every = 10)
+    }
+    assert(TxnLog.snapshot(spark, t)._1.count() == 30L)
+    val res2 = TxnLog.truncateLog(spark, t)
+    assert(res2.floor == 30L && res2.deletedCommits == 10)
+    // fully-truncated edge: zero .txn files — the checkpoint IS the head
+    assert(TxnLog.currentVersion(spark, t) == 30L)
+    assert(TxnLog.snapshot(spark, t)._1.count() == 30L)
+    // and the table still accepts commits after full truncation
+    val p31 = writeSeg(t, "s31", Seq(31L))
+    assert(TxnLog.tryCommit(spark, t, 31L, "w", Seq(Action("add", p31))))
+    assert(TxnLog.snapshot(spark, t)._1.count() == 31L)
+  }
+
   test("checkpoint-every-N policy: due exactly every N commits, resolution O(N)") {
     val t = freshTable()
     val every = 10
