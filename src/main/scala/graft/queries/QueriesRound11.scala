@@ -394,6 +394,68 @@ object QueriesRound11 {
         |  CAST(count(*) AS BIGINT) AS rows_live,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |    AS sum_cents
-        |FROM orders""".stripMargin))
+        |FROM orders""".stripMargin)),
+
+    // ---- q578: STREAMING manifest tailing (lane #35) -------------------------------
+    // The read-side twin of q552's streaming writer: a CDC consumer
+    // tails the commit LOG as a file stream (a lakehouse manifest IS a
+    // directory of tiny text files — this is how streaming ingestion
+    // from a table format discovers work). The log's action lines
+    // arrive as a genuine text readStream (version recovered from
+    // input_file_name, the commit protocol's name-carries-version
+    // design paying off in the streaming plan); the fold — last action
+    // per path wins, adds survive — runs on the streamed frame and
+    // must agree with the batch resolution EXACTLY (the in-frame
+    // symmetric-difference count is oracle-pinned to zero), on a
+    // history that exercises all three commit shapes: appends, a
+    // compaction, and a delete.
+    QueryDef("q578_streaming_manifest_tail",
+      (s, d) => {
+        val root = Scratch.dir(s, d) + "/txn_q578"
+        val (_, _, _, dd) = QueriesRound10.buildHistory(s, d, root)
+        // v5: a delete commit retires seg_d — live set becomes {seg_c}
+        require(TxnLog.commitWithRetry(s, root, "deleter",
+          Seq(Action("remove", dd))).version == 5L)
+        val acts = graft.streaming.Sessions.runTextStreamToBatch(s,
+          s"$root/_txnlog",
+          transform = st => st
+            .withColumn("version", regexp_extract(input_file_name(),
+              "(\\d{20})\\.txn", 1).cast("long"))
+            .where(col("value").rlike("^(add|remove)\t"))
+            .select(col("version"),
+              split(col("value"), "\t").getItem(0).as("kind"),
+              split(col("value"), "\t").getItem(1).as("path")),
+          globFilter = Some("*.txn"), shufflePartitions = Some(4))
+        // fold on the STREAMED frame: last action per path wins
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("path").orderBy(col("version").desc)
+        val liveStream = acts.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1 && col("kind") === "add")
+          .select("path")
+        // batch resolution of the same log (the reference fold)
+        val liveBatch = TxnLog.liveFiles(TxnLog.commits(s, root))
+        val liveBatchDf = s.createDataFrame(
+          liveBatch.map(Tuple1(_))).toDF("path")
+        val mismatch = liveStream.exceptAll(liveBatchDf)
+          .unionAll(liveBatchDf.exceptAll(liveStream))
+          .agg(count(lit(1)).as("n_fold_mismatch"))
+        val audit = acts.agg(count(lit(1)).as("n_actions_streamed"),
+          countDistinct(col("version")).as("n_commits_streamed"))
+        val data = s.read.parquet(liveBatch: _*)
+          .agg(count(lit(1)).as("rows_live"), sum("cents").as("sum_cents"))
+        audit.crossJoin(mismatch)
+          .crossJoin(liveStream.agg(count(lit(1)).as("n_live_segments")))
+          .crossJoin(data)
+      },
+      // 5 commits / 7 action lines (2 adds, compaction remove+remove+
+      // add, add, remove); live after v5 = {seg_c} = keys ≡ 0,1 (mod 4)
+      Some("""SELECT CAST(7 AS BIGINT) AS n_actions_streamed,
+        |  CAST(5 AS BIGINT) AS n_commits_streamed,
+        |  CAST(0 AS BIGINT) AS n_fold_mismatch,
+        |  CAST(1 AS BIGINT) AS n_live_segments,
+        |  CAST(count(*) AS BIGINT) AS rows_live,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders WHERE o_orderkey % 4 IN (0, 1)""".stripMargin))
   )
 }

@@ -149,6 +149,37 @@ object Sessions {
     spark.table(name)
   }
 
+  /** [[runStreamToBatch]] over a TEXT file stream (the commit-log
+    * tailing runner behind q578: a lakehouse manifest is a directory
+    * of tiny text files, and CDC consumers tail exactly that). Same
+    * contract: AvailableNow bounds the run, the memory-sink table
+    * returns as a batch frame. */
+  def runTextStreamToBatch(spark: org.apache.spark.sql.SparkSession,
+                           sourceDir: String,
+                           transform: DataFrame => DataFrame,
+                           globFilter: Option[String] = None,
+                           outputMode: String = "append",
+                           shufflePartitions: Option[Int] = None): DataFrame = {
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      shufflePartitions.foreach(p =>
+        spark.conf.set("spark.sql.shuffle.partitions", p.toString))
+      val reader = spark.readStream
+      globFilter.foreach(g => reader.option("pathGlobFilter", g))
+      val stream = reader.text(sourceDir)
+      transform(stream).writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try q.awaitTermination()
+    finally q.stop()
+    spark.table(name)
+  }
+
   /** [[runStreamToBatch]] for a CUSTOM DataSourceV2 streaming source
     * (by format name + options) instead of a file source — the runner
     * behind the q425 device-capture lane. Same contract: the
