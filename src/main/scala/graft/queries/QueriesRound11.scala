@@ -456,6 +456,133 @@ object QueriesRound11 {
         |  CAST(count(*) AS BIGINT) AS rows_live,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |    AS sum_cents
-        |FROM orders WHERE o_orderkey % 4 IN (0, 1)""".stripMargin))
+        |FROM orders WHERE o_orderkey % 4 IN (0, 1)""".stripMargin)),
+
+    // ---- q579: shallow clone — zero-copy table fork through the log ----------------
+    // CLONE TABLE without copying a byte: the clone's v1 commit ADDS
+    // the source's live segment paths (segments are immutable, so two
+    // logs can safely reference one file — the public shallow-clone
+    // design). The lane pins the three contract points: the clone
+    // reads identically to the source at clone time; a write to the
+    // clone (an appended segment) is invisible to the source (heads
+    // diverge 2 vs 4); and the shared bytes are audited (2 of the
+    // clone's 3 live segments live under the SOURCE's directory).
+    QueryDef("q579_txn_shallow_clone",
+      (s, d) => {
+        val root = Scratch.dir(s, d) + "/txn_q579"
+        reset(s, root)
+        val src = s"$root/src"
+        val cln = s"$root/clone"
+        QueriesRound10.buildHistory(s, d, src)
+        // zero-copy fork: one commit referencing the source's live set
+        val srcLive = TxnLog.liveFiles(TxnLog.commits(s, src))
+        require(TxnLog.tryCommit(s, cln, 1L, "cloner",
+          srcLive.map(TxnLog.Action("add", _))))
+        // the clone evolves independently: append keys ≡ 3 (mod 4)
+        val e = s"$cln/seg_e"
+        orders(s, d).select(col("o_orderkey"),
+            col("o_orderstatus").as("status"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+          .where(col("o_orderkey") % 4 === 3)
+          .coalesce(1).write.parquet(e)
+        require(TxnLog.commitWithRetry(s, cln, "writer",
+          Seq(Action("add", e))).version == 2L)
+        val (cSnap, cVer, cSegs) = TxnLog.snapshot(s, cln)
+        val (sSnap, sVer, sSegs) = TxnLog.snapshot(s, src)
+        val shared = TxnLog.liveFiles(TxnLog.commits(s, cln))
+          .count(_.startsWith(s"$src/"))
+        cSnap.agg(count(lit(1)).as("clone_rows"),
+            sum("cents").as("clone_cents"))
+          .crossJoin(sSnap.agg(count(lit(1)).as("src_rows")))
+          .select(col("clone_rows"), col("clone_cents"), col("src_rows"),
+            lit(shared).as("n_shared_segments"),
+            lit(cSegs).as("clone_segments"), lit(sSegs).as("src_segments"),
+            lit(cVer).as("clone_head"), lit(sVer).as("src_head"))
+      },
+      // clone = src live (keys ≡ 0,1,2) + its own append (≡ 3) = ALL
+      // orders; src stays at keys ≡ 0,1,2 and head 4
+      Some("""SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders) AS clone_rows,
+        |  (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) FROM orders) AS clone_cents,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |     WHERE o_orderkey % 4 IN (0, 1, 2)) AS src_rows,
+        |  CAST(2 AS INTEGER) AS n_shared_segments,
+        |  CAST(3 AS INTEGER) AS clone_segments,
+        |  CAST(2 AS INTEGER) AS src_segments,
+        |  CAST(2 AS BIGINT) AS clone_head,
+        |  CAST(4 AS BIGINT) AS src_head""".stripMargin)),
+
+    // ---- q580: hard purge — right-to-be-forgotten against time travel --------------
+    // The operational truth every lakehouse documents: DELETE is a
+    // logical operation (old segments still hold the rows for time
+    // travel) — a GDPR-grade purge is copy-on-write delete THEN vacuum
+    // to the deleting version. The lane deletes the keys ≡ 7 (mod
+    // 1000) from every segment that contains them (stats CANNOT prune
+    // a scattered key — all 4 band segments rewrite, the honest
+    // opposite of q576), vacuums at the delete version, and pins all
+    // three erasure guarantees: the purged rows are gone from the
+    // head, the pre-delete version is UNREADABLE (named vacuum error,
+    // 1 in the output), and the pre-delete segment FILES are
+    // physically deleted (0 still present).
+    QueryDef("q580_txn_hard_purge",
+      (s, d) => {
+        val root = Scratch.dir(s, d) + "/txn_q580"
+        reset(s, root)
+        val base = orders(s, d).select(col("o_orderkey"),
+          col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+          .withColumn("band", expr("least(CAST(cents div 7500000 AS INT), 3)"))
+        val stats = TxnLog.segmentStats(base, "band", Seq("cents"))
+        (0 to 3).foreach { bnd =>
+          val bandStats = stats.getOrElse(bnd, throw new IllegalStateException(
+            s"q580: price band $bnd is empty at this scale factor"))
+          val p = s"$root/seg_band$bnd"
+          base.where(col("band") === bnd).drop("band")
+            .coalesce(1).write.parquet(p)
+          require(TxnLog.tryCommit(s, root, bnd + 1L, "ingest",
+            Seq(Action("add", p, bandStats))))
+        }
+        // copy-on-write delete of the purged identity across EVERY
+        // segment (key-scattered — stats cannot prune), ONE commit
+        val live = TxnLog.liveActions(TxnLog.commits(s, root))
+        val purgeCond = col("o_orderkey") % 1000 === 7
+        val rewrites = live.zipWithIndex.map { case (a, i) =>
+          val np = s"$root/seg_purged$i"
+          s.read.parquet(a.path).where(!purgeCond)
+            .coalesce(1).write.parquet(np)
+          (a.path, np)
+        }
+        val rc = TxnLog.commitWithRetry(s, root, "purger",
+          rewrites.map(r => Action("remove", r._1)) ++
+            rewrites.map(r => Action("add", r._2)))
+        // the purge is only REAL after vacuum at the deleting version
+        val vac = TxnLog.vacuum(s, root, horizon = rc.version)
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val stillPresent = vac.removed
+          .count(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+        val preDeleteReadError =
+          try { TxnLog.snapshot(s, root, Some(rc.version - 1)); 0L }
+          catch { case _: TxnLog.VersionVacuumedException => 1L }
+        val (snap, _, _) = TxnLog.snapshot(s, root)
+        snap.agg(count(lit(1)).as("rows_after"),
+            sum(purgeCond.cast("long")).as("purged_still_visible"),
+            sum("cents").as("sum_cents_after"))
+          .select(col("rows_after"), col("purged_still_visible"),
+            col("sum_cents_after"),
+            lit(vac.removed.size).as("n_files_purged"),
+            lit(stillPresent).as("n_purged_files_still_present"),
+            lit(preDeleteReadError).as("pre_delete_read_named_error"))
+      },
+      Some("""SELECT
+        |  CAST(count(*) AS BIGINT) AS rows_after,
+        |  CAST(0 AS BIGINT) AS purged_still_visible,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents_after,
+        |  CAST(4 AS INTEGER) AS n_files_purged,
+        |  CAST(0 AS INTEGER) AS n_purged_files_still_present,
+        |  CAST(1 AS BIGINT) AS pre_delete_read_named_error
+        |FROM orders WHERE o_orderkey % 1000 != 7""".stripMargin))
   )
 }
