@@ -1238,4 +1238,79 @@ object Dedup {
     Checkpoints.free(cand)
     materialized
   }
+
+  /** Two-level GLOBAL DENSE RANK over a BIGINT key: dense_rank ==
+    * row_number over the DISTINCT key set, so rank the distinct keys
+    * with [[Relational.twoLevelRowNumber]] (no global sort, no
+    * single-partition window) and join back. `coarseWidth` buckets the
+    * key domain for the offset pass — size it so occupied buckets stay
+    * in the low thousands (the offset window is a global window over
+    * one row per OCCUPIED bucket). */
+  def twoLevelDenseRank(df: DataFrame, keyCol: String, outCol: String,
+                        coarseWidth: Long): DataFrame = {
+    val keys = df.select(col(keyCol)).distinct()
+    val ranked = Relational.twoLevelRowNumber(keys, keyCol, coarseWidth, outCol)
+    df.join(ranked, Seq(keyCol))
+  }
+
+  /** Suffix-array RANKS by prefix doubling — the index under
+    * suffix-array exact-substring dedup (the Lee et al. family; the
+    * n-gram-window lanes approximate what this computes exactly).
+    * Every suffix of every document's first `maxLen` characters gets
+    * its GLOBAL dense rank in suffix-sort order, in ceil(log2(maxLen))
+    * bounded rounds:
+    *
+    *   rank_1(i)  = dense rank of the single character at i
+    *   rank_2h(i) = dense rank of the pair (rank_h(i), rank_h(i+h)),
+    *                missing second half → 0 (a shorter suffix is a
+    *                prefix of the longer and sorts FIRST)
+    *
+    * Each round is one equi-join (the h-shift) plus one two-level
+    * dense rank — never a corpus×corpus comparison, never a global
+    * sort; per-round frames localCheckpoint (the loop discipline: the
+    * next round references its input twice). Equal (capped) suffixes
+    * — exact duplicate tails across documents — share a rank in both
+    * engines, which is exactly the dedup signal. The pair key folds
+    * into one BIGINT (rank * 2^20 + rank2 — valid while the suffix
+    * count stays under 2^20 per the require; at larger corpora widen
+    * the fold, the algorithm is unchanged). At 100 TB the round count
+    * grows log(maxLen) and each round is one shuffle of O(total
+    * suffix positions) short rows — the standard distributed SA
+    * construction cost.
+    *
+    * Base case uses `ascii()` (the first character's numeric value):
+    * exact for the single-byte range, where codepoint order == UTF-8
+    * byte order == both engines' binary string collation. A corpus
+    * with multibyte text would need a codepoint-safe base rank (the
+    * doubling above it is encoding-agnostic). */
+  def suffixArrayRanks(df: DataFrame, idCol: String, textCol: String,
+                       maxLen: Int): DataFrame = {
+    val t = df.select(col(idCol).as("doc_id"),
+      substring(col(textCol), 1, maxLen).as("__t"))
+    var ranks = t
+      .select(col("doc_id"), col("__t"),
+        explode(expr("sequence(1, length(__t))")).as("pos"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        ascii(expr("substring(__t, pos, 1)")).cast("long").as("__key"))
+    ranks = twoLevelDenseRank(ranks, "__key", "r", 64L)
+      .select("doc_id", "pos", "r").localCheckpoint()
+    val n = ranks.count() // the fold-width gate (and a round barrier)
+    require(n < (1L << 20),
+      s"suffix count $n overflows the 2^20 pair fold — widen the fold")
+    var h = 1L
+    while (h < maxLen) {
+      val shifted = ranks.select(col("doc_id"),
+        (col("pos") - h).as("pos"), col("r").as("__r2"))
+      val paired = ranks.join(shifted, Seq("doc_id", "pos"), "left")
+        .withColumn("__key",
+          col("r") * (1L << 20) + coalesce(col("__r2"), lit(0L)))
+      val old = ranks
+      ranks = twoLevelDenseRank(paired, "__key", "__nr", 1L << 26)
+        .select(col("doc_id"), col("pos"), col("__nr").as("r"))
+        .localCheckpoint()
+      Checkpoints.free(old)
+      h *= 2
+    }
+    ranks.select(col("doc_id"), col("pos"), col("r").as("suffix_rank"))
+  }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+
+/** Pins [[Dedup.suffixArrayRanks]] against a brute-force suffix sort
+  * computed in plain Scala — the oracle lane (q581) proves engine
+  * agreement at corpus size; this spec proves the ALGORITHM on inputs
+  * chosen to hit the doubling recursion's edges: repeated substrings
+  * (rank ties deep into the rounds), one doc a prefix of another
+  * (the sentinel path), single-char docs, and cross-doc exact
+  * duplicate tails (the dedup signal: shared ranks).
+  */
+class SuffixArraySpec extends SparkSpec {
+
+  private def brute(docs: Seq[(Long, String)], maxLen: Int)
+      : Map[(Long, Long), Long] = {
+    val sfx = for {
+      (id, text) <- docs
+      t = text.take(maxLen)
+      p <- 1 to t.length
+    } yield ((id, p.toLong), t.substring(p - 1))
+    val order = sfx.map(_._2).distinct.sorted.zipWithIndex
+      .map { case (s, i) => s -> (i + 1L) }.toMap
+    sfx.map { case (k, s) => k -> order(s) }.toMap
+  }
+
+  private def run(docs: Seq[(Long, String)], maxLen: Int): Unit = {
+    val df = spark.createDataFrame(docs).toDF("doc_id", "text")
+    val got = Dedup.suffixArrayRanks(df, "doc_id", "text", maxLen)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val want = brute(docs, maxLen)
+    assert(got == want,
+      s"ranks diverge:\n got=${got.toSeq.sorted}\nwant=${want.toSeq.sorted}")
+  }
+
+  test("repeated substrings: ties must persist exactly as long as the text does") {
+    run(Seq(1L -> "abababab", 2L -> "babababa"), 16)
+  }
+
+  test("prefix docs: the sentinel orders the shorter suffix first") {
+    run(Seq(1L -> "abcabc", 2L -> "abc", 3L -> "ab"), 8)
+  }
+
+  test("cross-doc duplicate tails share ranks (the dedup signal)") {
+    val docs = Seq(1L -> "xxhello world", 2L -> "yyhello world",
+      3L -> "zzgoodbye")
+    run(docs, 16)
+    // the shared tail "hello world" (and every suffix of it) must
+    // collide: docs 1 and 2 share exactly those 11 suffix ranks
+    val df = spark.createDataFrame(docs).toDF("doc_id", "text")
+    val ranks = Dedup.suffixArrayRanks(df, "doc_id", "text", 16)
+    val shared = ranks.groupBy("suffix_rank")
+      .agg(countDistinct("doc_id").as("nd"))
+      .where(col("nd") > 1).count()
+    assert(shared == 11L, s"expected 11 shared-tail ranks, got $shared")
+  }
+
+  test("single chars and the round boundary (maxLen not a power of two)") {
+    run(Seq(1L -> "a", 2L -> "b", 3L -> "ba"), 3)
+    run(Seq(1L -> "mississippi", 2L -> "missing"), 11)
+  }
+}
