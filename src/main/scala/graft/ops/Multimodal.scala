@@ -792,6 +792,113 @@ object Multimodal {
     * with no shuffle. The fake "resized" payload is a truncated,
     * size-proportional slice so downstream size accounting is
     * testable. */
+  // --- tar shard walk (the WebDataset container) -------------------------
+
+  case class TarEntry(name: String, size: Long, flag: Int)
+  case class TarWalk(valid: Boolean, err: String, n_entries: Long,
+                     entries: Seq[TarEntry])
+
+  /** Deterministic ustar writer for fixtures: standard 512-byte
+    * headers (octal sizes, space-seeded checksum, "ustar" magic),
+    * content padded to the block, two zero blocks as the terminator —
+    * the format WebDataset shards use (reference behavior: POSIX.1
+    * ustar, public spec). mtime pinned to 0 so identical inputs give
+    * identical bytes. */
+  def makeTar(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    entries.foreach { case (name, data) =>
+      val h = new Array[Byte](512)
+      val nb = name.getBytes("UTF-8")
+      System.arraycopy(nb, 0, h, 0, math.min(nb.length, 100))
+      def oct(v: Long, off: Int, len: Int): Unit = {
+        val s = java.lang.Long.toOctalString(v)
+        val pad = ("0" * (len - 1 - s.length)) + s
+        System.arraycopy(pad.getBytes("UTF-8"), 0, h, off, len - 1)
+        h(off + len - 1) = 0
+      }
+      oct(420, 100, 8) // mode 0644
+      oct(0, 108, 8); oct(0, 116, 8)
+      oct(data.length.toLong, 124, 12)
+      oct(0, 136, 12) // mtime 0: determinism over realism
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum seed
+      h(156) = '0' // regular file
+      System.arraycopy("ustar".getBytes("UTF-8"), 0, h, 257, 5)
+      h(262) = 0
+      System.arraycopy("00".getBytes("UTF-8"), 0, h, 263, 2)
+      val sum = h.map(_ & 0xff).sum
+      val cs = java.lang.Long.toOctalString(sum.toLong)
+      System.arraycopy((("0" * (6 - cs.length)) + cs).getBytes("UTF-8"),
+        0, h, 148, 6)
+      h(154) = 0; h(155) = ' '
+      out.write(h)
+      out.write(data)
+      val rem = data.length % 512
+      if (rem != 0) out.write(new Array[Byte](512 - rem))
+    }
+    out.write(new Array[Byte](1024))
+    out.toByteArray
+  }
+
+  /** Walk a tar shard's headers without touching entry payloads:
+    * validate magic + checksum per header (the checksum is the
+    * byte-sum of the header with the checksum field read as spaces —
+    * the public ustar rule), read the octal size, skip the padded
+    * content. Errors are DATA (the corrupt-record posture every
+    * binary walk here takes): bad magic / checksum mismatch /
+    * truncated content return valid=false with a named err and
+    * whatever entries parsed before the fault — a poisoned shard must
+    * never fail the task. Byte-level walks are the one place a UDF is
+    * inherent (the established repo rule). */
+  def tarWalkBytes(b: Array[Byte]): TarWalk = {
+    val entries = scala.collection.mutable.ListBuffer.empty[TarEntry]
+    if (b == null) return TarWalk(valid = false, "null", 0L, Seq.empty)
+    var off = 0
+    var sawEnd = false
+    while (!sawEnd && off + 512 <= b.length) {
+      val allZero = (off until off + 512).forall(b(_) == 0)
+      if (allZero) { sawEnd = true }
+      else {
+        if (!(b(off + 257) == 'u' && b(off + 258) == 's' &&
+            b(off + 259) == 't' && b(off + 260) == 'a' &&
+            b(off + 261) == 'r'))
+          return TarWalk(valid = false, "bad_magic", entries.size.toLong,
+            entries.toSeq)
+        def octAt(o: Int, len: Int): Long = {
+          val s = new String(b, off + o, len, "UTF-8")
+            .takeWhile(c => c >= '0' && c <= '7')
+          if (s.isEmpty) 0L else java.lang.Long.parseLong(s, 8)
+        }
+        val stored = octAt(148, 8)
+        var sum = 0L
+        var i = 0
+        while (i < 512) {
+          sum += (if (i >= 148 && i < 156) ' '.toInt
+                  else b(off + i) & 0xff)
+          i += 1
+        }
+        if (sum != stored)
+          return TarWalk(valid = false, "bad_checksum",
+            entries.size.toLong, entries.toSeq)
+        val name = new String(b, off, 100, "UTF-8").takeWhile(_ != 0)
+        val size = octAt(124, 12)
+        entries += TarEntry(name, size, b(off + 156) - '0')
+        val padded = ((size + 511L) / 512L) * 512L
+        if (off + 512L + padded > b.length)
+          return TarWalk(valid = false, "truncated",
+            entries.size.toLong, entries.toSeq)
+        off += 512 + padded.toInt
+      }
+    }
+    if (!sawEnd)
+      return TarWalk(valid = false, "no_terminator",
+        entries.size.toLong, entries.toSeq)
+    TarWalk(valid = true, "", entries.size.toLong, entries.toSeq)
+  }
+
+  /** Column form of [[tarWalkBytes]]. */
+  def tarWalk: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf(tarWalkBytes _)
+
   def resizeStub(content: Column, targetW: Int, targetH: Int): Column = {
     // fake output size scales with target area; capped by the input
     val outLen = least(length(content), lit(targetW * targetH / 8 + 16))

@@ -113,6 +113,68 @@ object QueriesRound11b {
         |    AS n_duplicate_suffixes FROM rk)
         |SELECT dist.lcp_lo, dist.n_pairs, audit.max_lcp,
         |  dups.n_duplicate_suffixes
-        |FROM dist, audit, dups ORDER BY dist.lcp_lo""".stripMargin))
+        |FROM dist, audit, dups ORDER BY dist.lcp_lo""".stripMargin)),
+
+    // ---- q583: tar shard walk — the WebDataset container -----------------------------
+    // Training corpora ship as tar shards of (key.txt, key.cls,
+    // key.bin…) entries — the WebDataset convention — and the ingest
+    // side must LIST a shard without reading payloads: walk the
+    // 512-byte ustar headers (magic + space-seeded checksum + octal
+    // size), skip padded content, quarantine poisoned shards as data
+    // (every 13th shard here is truncated mid-entry and must surface
+    // as a named error row, never a task failure). Shards synthesize
+    // deterministically per doc (3 entries with doc-derived sizes), so
+    // the oracle mirrors the synthesis arithmetic: per-extension entry
+    // counts and payload byte sums over exactly the valid shards, plus
+    // the corruption ledger.
+    QueryDef("q583_tar_shard_walk",
+      (s, d) => {
+        val mk = udf { (id: Long) =>
+          def content(n: Int) =
+            Array.tabulate[Byte](n)(i => ((id + i) % 251).toByte)
+          val full = graft.ops.Multimodal.makeTar(Seq(
+            (s"$id.txt", content((5 + id % 7).toInt)),
+            (s"$id.cls", content(1)),
+            (s"$id.bin", content((1 + id % 29).toInt))))
+          if (id % 13 == 0) full.take(600) else full
+        }
+        val walked = documents(s, d)
+          .select(col("doc_id"), mk(col("doc_id")).as("b"))
+          .withColumn("w", graft.ops.Multimodal.tarWalk(col("b")))
+        val good = walked.where(col("w.valid"))
+          .select(explode(col("w.entries")).as("e"))
+          .select(expr("substring_index(e.name, '.', -1)").as("ext"),
+            col("e.size").as("sz"))
+        val audit = walked.agg(count(lit(1)).as("n_shards"),
+          sum((!col("w.valid")).cast("long")).as("n_bad_shards"),
+          sum((col("w.err") === "truncated").cast("long"))
+            .as("n_truncated"))
+        good.groupBy("ext")
+          .agg(count(lit(1)).as("n_entries"), sum("sz").as("sum_bytes"))
+          .crossJoin(audit)
+          .orderBy("ext")
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents),
+        |v AS (SELECT doc_id, 5 + doc_id % 7 AS txt_sz, 1 AS cls_sz,
+        |    1 + doc_id % 29 AS bin_sz
+        |  FROM ids WHERE doc_id % 13 != 0),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_shards,
+        |    CAST(sum(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_bad_shards,
+        |    CAST(sum(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_truncated
+        |  FROM ids)
+        |SELECT e.ext, e.n_entries, e.sum_bytes,
+        |  a.n_shards, a.n_bad_shards, a.n_truncated
+        |FROM (
+        |  SELECT 'bin' AS ext, CAST(count(*) AS BIGINT) AS n_entries,
+        |    CAST(sum(bin_sz) AS BIGINT) AS sum_bytes FROM v
+        |  UNION ALL
+        |  SELECT 'cls', CAST(count(*) AS BIGINT),
+        |    CAST(sum(cls_sz) AS BIGINT) FROM v
+        |  UNION ALL
+        |  SELECT 'txt', CAST(count(*) AS BIGINT),
+        |    CAST(sum(txt_sz) AS BIGINT) FROM v) e, a
+        |ORDER BY e.ext""".stripMargin))
   )
 }

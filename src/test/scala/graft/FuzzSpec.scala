@@ -90,6 +90,42 @@ class FuzzSpec extends AnyFunSuite {
     assertTotal("parseMp4Boxes", base, Multimodal.parseMp4Boxes)
   }
 
+  test("tarWalkBytes never throws on mutated bytes") {
+    val base = Multimodal.makeTar(Seq(
+      ("a.txt", Array.tabulate[Byte](37)(_.toByte)),
+      ("b.bin", Array.tabulate[Byte](700)(i => (i % 120).toByte)),
+      ("c.cls", Array[Byte](1))))
+    assertTotal("tarWalkBytes", base, Multimodal.tarWalkBytes)
+  }
+
+  test("tar round-trip and named corruption errors") {
+    val entries = Seq(
+      ("0.txt", Array.tabulate[Byte](9)(_.toByte)),
+      ("0.cls", Array[Byte](5)),
+      ("0.bin", Array.tabulate[Byte](513)(i => (i % 7).toByte)))
+    val tar = Multimodal.makeTar(entries)
+    val w = Multimodal.tarWalkBytes(tar)
+    assert(w.valid && w.err == "" && w.n_entries == 3)
+    assert(w.entries.map(e => (e.name, e.size)) ==
+      entries.map(e => (e._1, e._2.length.toLong)))
+    // checksum corruption at the FIRST header: named error, no entries
+    val bad = tar.clone(); bad(0) = (bad(0) ^ 0x01).toByte
+    val wb = Multimodal.tarWalkBytes(bad)
+    assert(!wb.valid && wb.err == "bad_checksum" && wb.n_entries == 0)
+    // truncation mid-third-entry's CONTENT (header intact): the walk
+    // lists the header, then names the fault
+    val wt = Multimodal.tarWalkBytes(tar.take(2048 + 512 + 100))
+    assert(!wt.valid && wt.err == "truncated" && wt.n_entries == 3,
+      s"got ${wt.err}/${wt.n_entries}")
+    // truncation mid-header: the walk cannot even list it
+    val wh = Multimodal.tarWalkBytes(tar.take(512 + 512 + 100))
+    assert(!wh.valid && wh.err == "no_terminator" && wh.n_entries == 1,
+      s"got ${wh.err}/${wh.n_entries}")
+    // missing terminator blocks
+    val wnt = Multimodal.tarWalkBytes(tar.dropRight(1024))
+    assert(!wnt.valid && wnt.err == "no_terminator" && wnt.n_entries == 3)
+  }
+
   test("cross-format confusion: every parser accepts every OTHER format's bytes as data") {
     val inputs = Seq(
       Multimodal.makeWav(8000, 1, Array.fill[Short](64)(7)),
@@ -101,6 +137,7 @@ class FuzzSpec extends AnyFunSuite {
       Multimodal.parseWavHeader(b)
       Multimodal.parseImageHeader(b)
       Multimodal.parseMp4Boxes(b)
+      Multimodal.tarWalkBytes(b)
     }
   }
 }
