@@ -1260,7 +1260,9 @@ object Dedup {
     * its GLOBAL dense rank in suffix-sort order, in ceil(log2(maxLen))
     * bounded rounds:
     *
-    *   rank_1(i)  = dense rank of the single character at i
+    *   rank_8(i)  = dense rank of the 8-char prefix at i (folded into
+    *                one 63-bit integer key — see the base-case note
+    *                in the body)
     *   rank_2h(i) = dense rank of the pair (rank_h(i), rank_h(i+h)),
     *                missing second half → 0 (a shorter suffix is a
     *                prefix of the longer and sorts FIRST)
@@ -1278,26 +1280,38 @@ object Dedup {
     * suffix positions) short rows — the standard distributed SA
     * construction cost.
     *
-    * Base case uses `ascii()` (the first character's numeric value):
-    * exact for the single-byte range, where codepoint order == UTF-8
-    * byte order == both engines' binary string collation. A corpus
-    * with multibyte text would need a codepoint-safe base rank (the
+    * Base case uses `ascii()` (each character's numeric value): exact
+    * for the single-byte range, where codepoint order == UTF-8 byte
+    * order == both engines' binary string collation. A corpus with
+    * multibyte text would need a codepoint-safe base rank (the
     * doubling above it is encoding-agnostic). */
   def suffixArrayRanks(df: DataFrame, idCol: String, textCol: String,
                        maxLen: Int): DataFrame = {
     val t = df.select(col(idCol).as("doc_id"),
       substring(col(textCol), 1, maxLen).as("__t"))
+    // base case covers EIGHT chars, not one: the first 8 single-byte
+    // chars fold into one 63-bit key (char i weighted 2^(8·(7−i));
+    // positions past the end contribute ascii('') = 0, so a shorter
+    // suffix zero-pads and sorts first — the same sentinel rule the
+    // doubling uses). Order of the fold == lexicographic order of the
+    // 8-char prefix, so the dense rank is identical to 3 rounds of
+    // 1-char doubling at a third of the shuffles (measured 7.6 s →
+    // see SCALING.md). Single-byte text only, per the note below.
+    val baseKey = (0 until 8).map(i =>
+        ascii(expr(s"substring(__t, pos + $i, 1)")).cast("long") *
+          (1L << (8 * (7 - i))))
+      .reduce(_ + _)
     var ranks = t
       .select(col("doc_id"), col("__t"),
         explode(expr("sequence(1, length(__t))")).as("pos"))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        ascii(expr("substring(__t, pos, 1)")).cast("long").as("__key"))
-    ranks = twoLevelDenseRank(ranks, "__key", "r", 64L)
+        baseKey.as("__key"))
+    ranks = twoLevelDenseRank(ranks, "__key", "r", 1L << 44)
       .select("doc_id", "pos", "r").localCheckpoint()
     val n = ranks.count() // the fold-width gate (and a round barrier)
     require(n < (1L << 20),
       s"suffix count $n overflows the 2^20 pair fold — widen the fold")
-    var h = 1L
+    var h = 8L
     while (h < maxLen) {
       val shifted = ranks.select(col("doc_id"),
         (col("pos") - h).as("pos"), col("r").as("__r2"))
