@@ -1287,8 +1287,13 @@ object Dedup {
     * doubling above it is encoding-agnostic). */
   def suffixArrayRanks(df: DataFrame, idCol: String, textCol: String,
                        maxLen: Int): DataFrame = {
+    // empty texts contribute no suffixes — and MUST be filtered before
+    // the explode: Spark's sequence(1, 0) is [1, 0] (step defaults to
+    // -1 when start > stop), which would fabricate two phantom
+    // positions per empty doc and shift every dense rank above them
     val t = df.select(col(idCol).as("doc_id"),
       substring(col(textCol), 1, maxLen).as("__t"))
+      .where(length(col("__t")) > 0)
     // base case covers EIGHT chars, not one: the first 8 single-byte
     // chars fold into one 63-bit key (char i weighted 2^(8·(7−i));
     // positions past the end contribute ascii('') = 0, so a shorter

@@ -178,48 +178,54 @@ object TxnLog {
     won
   }
 
-  /** Read the commit log up to (and including) `asOf`, in version
-    * order, stopping at the first gap (contiguity rule above). One
-    * listing = one consistent snapshot of the log.
+  /** ONE directory listing's view of the log — every resolution path
+    * derives all its decisions (floor, head, vacuum horizon, commit
+    * set) from a single [[logState]] call, so one read cannot mix two
+    * log states (the listing IS the snapshot-isolation boundary).
     *
-    * `fromVersion` is the checkpoint lower bound: versions ≤ it are
-    * verified present in the LISTING (contiguity still holds) but
-    * their bodies are never opened — that is what makes the
-    * checkpoint read path O(suffix) instead of O(all commits). A
-    * year-old table with a checkpoint reads two tiny files, not ten
-    * thousand. */
-  /** One listing of the log directory: (txn versions → paths, sorted;
-    * checkpoint versions present BY NAME, sorted). */
-  private def listLog(s: SparkSession, table: String)
-      : (Seq[(Long, Path)], Seq[Long]) = {
-    val dir = logDir(table)
-    val fs = hfs(s, dir)
-    if (!fs.exists(dir)) return (Seq.empty, Seq.empty)
-    val names = fs.listStatus(dir).map(_.getPath)
-    (names.filter(_.getName.matches("\\d{20}\\.txn"))
-      .map(p => p.getName.stripSuffix(".txn").toLong -> p)
-      .sortBy(_._1).toSeq,
-      names.map(_.getName).filter(_.matches("\\d{20}\\.ckpt"))
-        .map(_.stripSuffix(".ckpt").toLong).sorted.toSeq)
-  }
-
-  /** The log's history floor: 0 = full history; F > 0 = commit bodies
-    * 1..F were retention-deleted ([[truncateLog]]) and the checkpoint
-    * at F is the only anchor — reads below F are impossible. A listing
-    * whose first txn is v > 1 WITHOUT a checkpoint at v-1 is treated
-    * as a gap (an in-flight publish on an eventually-listing store),
-    * not a truncation. */
-  private def logFloorOf(txns: Seq[(Long, Path)], ckpts: Seq[Long]): Long =
-    txns.headOption match {
+    * floor: 0 = full history; F > 0 = commit bodies 1..F were
+    * retention-deleted ([[truncateLog]]) and the checkpoint at F is
+    * the only anchor — reads below F are impossible. A listing whose
+    * first txn is v > 1 WITHOUT a checkpoint at v-1 is a gap (an
+    * in-flight publish on an eventually-listing store), not a
+    * truncation.
+    *
+    * head: highest contiguous committed version, anchored at the
+    * floor — a property of file NAMES alone, no body reads. */
+  private case class LogState(txns: Seq[(Long, Path)], ckpts: Seq[Long],
+                              vacHorizon: Long) {
+    lazy val floor: Long = txns.headOption match {
       case Some((v, _)) if v > 1L && ckpts.contains(v - 1L) => v - 1L
       case Some(_) => 0L
       case None => ckpts.lastOption.getOrElse(0L)
     }
-
-  def logFloor(s: SparkSession, table: String): Long = {
-    val (txns, ckpts) = listLog(s, table)
-    logFloorOf(txns, ckpts)
+    lazy val head: Long = {
+      if (txns.isEmpty) floor // fully-truncated: the ckpt IS the head
+      else if (txns.head._1 > 1L && floor == 0L) 0L // listing gap
+      else txns.map(_._1).zipWithIndex
+        .takeWhile { case (v, i) => v == floor + 1L + i }
+        .lastOption.map(_._1).getOrElse(floor)
+    }
   }
+
+  private def logState(s: SparkSession, table: String): LogState = {
+    val dir = logDir(table)
+    val fs = hfs(s, dir)
+    if (!fs.exists(dir)) return LogState(Seq.empty, Seq.empty, 0L)
+    val names = fs.listStatus(dir).map(_.getPath)
+    LogState(
+      names.filter(_.getName.matches("\\d{20}\\.txn"))
+        .map(p => p.getName.stripSuffix(".txn").toLong -> p)
+        .sortBy(_._1).toSeq,
+      names.map(_.getName).filter(_.matches("\\d{20}\\.ckpt"))
+        .map(_.stripSuffix(".ckpt").toLong).sorted.toSeq,
+      names.map(_.getName).filter(_.matches("_vacuum_\\d{20}\\.mark"))
+        .map(_.stripPrefix("_vacuum_").stripSuffix(".mark").toLong)
+        .foldLeft(0L)(math.max))
+  }
+
+  def logFloor(s: SparkSession, table: String): Long =
+    logState(s, table).floor
 
   /** Read at a version whose commit history was retention-deleted:
     * the named failure mode of [[truncateLog]] — distinct from
@@ -231,24 +237,44 @@ object TxnLog {
         s"$floor: commits 1..$floor were retention-deleted and survive " +
         s"only as the checkpoint at $floor — read at or above it")
 
+  /** Read the commit log up to (and including) `asOf`, in version
+    * order, stopping at the first gap (contiguity rule above). One
+    * listing = one consistent snapshot of the log.
+    *
+    * `fromVersion` is the checkpoint lower bound: versions ≤ it are
+    * verified present in the LISTING (contiguity still holds) but
+    * their bodies are never opened — that is what makes the
+    * checkpoint read path O(suffix) instead of O(all commits). A
+    * year-old table with a checkpoint reads two tiny files, not ten
+    * thousand. */
   def commits(s: SparkSession, table: String,
               asOf: Option[Long] = None,
-              fromVersion: Long = 0L): Seq[Commit] = {
+              fromVersion: Long = 0L): Seq[Commit] =
+    commitsFrom(s, table, logState(s, table), asOf, fromVersion)
+
+  /** [[commits]] against an already-taken [[LogState]] — the form the
+    * resolution paths use so one read never mixes two log states. */
+  private def commitsFrom(s: SparkSession, table: String, st: LogState,
+                          asOf: Option[Long],
+                          fromVersion: Long): Seq[Commit] = {
     val dir = logDir(table)
     val fs = hfs(s, dir)
-    val (txns, ckpts) = listLog(s, table)
-    if (txns.isEmpty) return Seq.empty
-    val cap = asOf.getOrElse(Long.MaxValue)
     // contiguity anchor: version 1, or the truncation floor + 1 when
-    // the head's predecessor is a checkpoint (see logFloorOf). A fold
-    // that starts at a floor is only correct on top of that
+    // the head's predecessor is a checkpoint (see LogState.floor). A
+    // fold that starts at a floor is only correct on top of that
     // checkpoint's base — so a caller that did NOT come through the
     // checkpoint path (fromVersion below the floor) must get the named
-    // error, never a silently-partial fold.
-    val floor = logFloorOf(txns, ckpts)
-    if (txns.head._1 > 1L && floor == 0L) return Seq.empty // listing gap
+    // error, never a silently-partial fold. The floor check runs
+    // BEFORE the empty-listing exit: a FULLY-truncated log (zero .txn,
+    // checkpoint-only — q575's end state) must also refuse a full-log
+    // fold instead of silently reporting an empty table.
+    val txns = st.txns
+    val floor = st.floor
     if (fromVersion < floor)
       throw new LogTruncatedException(table, fromVersion + 1, floor)
+    if (txns.isEmpty) return Seq.empty
+    val cap = asOf.getOrElse(Long.MaxValue)
+    if (txns.head._1 > 1L && floor == 0L) return Seq.empty // listing gap
     val files = txns.filter(_._1 <= cap)
     val start = floor + 1L
     val contiguous = files.zipWithIndex
@@ -339,36 +365,33 @@ object TxnLog {
     * commit body is ever opened — O(1) reads however long the log.
     * Truncation-aware: the contiguous run anchors at the history
     * floor's checkpoint when commits below it were retention-deleted. */
-  def currentVersion(s: SparkSession, table: String): Long = {
-    val (txns, ckpts) = listLog(s, table)
-    val floor = logFloorOf(txns, ckpts)
-    if (txns.isEmpty) return floor // fully-truncated log: the ckpt IS the head
-    if (txns.head._1 > 1L && floor == 0L) return 0L // listing gap
-    txns.map(_._1).zipWithIndex
-      .takeWhile { case (v, i) => v == floor + 1L + i }
-      .lastOption.map(_._1).getOrElse(floor)
-  }
+  def currentVersion(s: SparkSession, table: String): Long =
+    logState(s, table).head
 
   /** Snapshot-isolation read at `asOf` (None = latest): one log
     * listing, then a plain distributed parquet scan of the resolved
     * immutable segments. Returns (frame, versionRead, nLiveSegments). */
   def snapshot(s: SparkSession, table: String,
                asOf: Option[Long] = None): (DataFrame, Long, Int) = {
-    val floor = logFloor(s, table)
-    if (floor > 0L) {
+    // ONE listing decides floor, head, vacuum horizon AND the fold —
+    // the resolution cannot mix two log states (and pays one listing,
+    // not the 4-6 a per-helper re-list would cost on the path the
+    // TxnProbe identified listing as the dominant residue of)
+    val st = logState(s, table)
+    if (st.floor > 0L) {
       // truncated log: a full-log fold no longer exists. Reads below
       // the floor get the named error; reads at/above it ride the
       // checkpoint base transparently.
-      if (asOf.exists(_ < floor))
-        throw new LogTruncatedException(table, asOf.get, floor)
-      val (df, v, n, _) = snapshotViaCheckpoint(s, table, asOf)
+      if (asOf.exists(_ < st.floor))
+        throw new LogTruncatedException(table, asOf.get, st.floor)
+      val (df, v, n, _) = snapshotViaCheckpointFrom(s, table, st, asOf)
       return (df, v, n)
     }
-    val cs = commits(s, table, asOf)
+    val cs = commitsFrom(s, table, st, asOf, 0L)
     require(cs.nonEmpty, s"no commits at or before $asOf in $table")
     val v = cs.last.version
-    val hz = vacuumHorizon(s, table)
-    if (v < hz) throw new VersionVacuumedException(table, v, hz)
+    if (v < st.vacHorizon)
+      throw new VersionVacuumedException(table, v, st.vacHorizon)
     val files = liveFiles(cs)
     (s.read.parquet(files: _*), v, files.size)
   }
@@ -382,24 +405,28 @@ object TxnLog {
     * at the same version write identical bytes, and a torn checkpoint
     * is detected by its trailer line and ignored. */
   def writeCheckpoint(s: SparkSession, table: String, upTo: Long): Unit = {
-    // floor-aware: on a truncated log the fold starts from the anchor
-    // checkpoint (full-log commits() would rightly refuse)
+    // ALWAYS fold from the newest usable checkpoint at or below
+    // `upTo`, not just on truncated logs: the every-N policy otherwise
+    // re-opens all N commit bodies at the Nth checkpoint — O(head)
+    // per checkpoint, O(head²/every) cumulative, the exact cost
+    // checkpoints exist to remove. The ckpt-fold ≡ full-fold identity
+    // is the property TxnLogConcurrencySpec pins at every version.
     val floor = logFloor(s, table)
-    val live = if (floor == 0L) {
-      val cs = commits(s, table, Some(upTo))
-      require(cs.nonEmpty && cs.last.version == upTo,
-        s"cannot checkpoint at $upTo: log only reaches ${cs.lastOption.map(_.version)}")
-      liveFiles(cs)
-    } else {
-      if (upTo < floor) throw new LogTruncatedException(table, upTo, floor)
-      val base = latestCheckpoint(s, table, upTo).getOrElse(
-        throw new IllegalStateException(
-          s"history floor $floor of $table has no readable checkpoint"))
-      val suffix = commits(s, table, Some(upTo), fromVersion = base.version)
-      require(suffix.lastOption.map(_.version).getOrElse(base.version) == upTo,
-        s"cannot checkpoint at $upTo: log only reaches " +
-          s"${suffix.lastOption.map(_.version).getOrElse(base.version)}")
-      liveFiles(base +: suffix)
+    if (upTo < floor) throw new LogTruncatedException(table, upTo, floor)
+    val live = latestCheckpoint(s, table, upTo) match {
+      case Some(base) =>
+        val suffix = commits(s, table, Some(upTo), fromVersion = base.version)
+        require(suffix.lastOption.map(_.version).getOrElse(base.version) == upTo,
+          s"cannot checkpoint at $upTo: log only reaches " +
+            s"${suffix.lastOption.map(_.version).getOrElse(base.version)}")
+        liveFiles(base +: suffix)
+      case None =>
+        if (floor > 0L) throw new IllegalStateException(
+          s"history floor $floor of $table has no readable checkpoint")
+        val cs = commits(s, table, Some(upTo))
+        require(cs.nonEmpty && cs.last.version == upTo,
+          s"cannot checkpoint at $upTo: log only reaches ${cs.lastOption.map(_.version)}")
+        liveFiles(cs)
     }
     val dir = logDir(table)
     val fs = hfs(s, dir)
@@ -414,16 +441,22 @@ object TxnLog {
   /** Greatest complete checkpoint at or below `asOf`, as a synthetic
     * base commit (version, add-actions), or None. */
   private def latestCheckpoint(s: SparkSession, table: String,
-                               asOf: Long): Option[Commit] = {
-    val dir = logDir(table)
-    val fs = hfs(s, dir)
-    if (!fs.exists(dir)) return None
-    fs.listStatus(dir).map(_.getPath)
-      .filter(_.getName.matches("\\d{20}\\.ckpt"))
-      .map(p => p.getName.stripSuffix(".ckpt").toLong -> p)
-      .filter(_._1 <= asOf)
-      .sortBy(-_._1)
+                               asOf: Long): Option[Commit] =
+    latestCheckpointFrom(s, table, logState(s, table).ckpts, asOf)
+
+  /** [[latestCheckpoint]] against candidate versions from an
+    * already-taken listing (checkpoint BODIES still open fresh — they
+    * are immutable once complete, so that read needs no coordination
+    * with the listing). */
+  private def latestCheckpointFrom(s: SparkSession, table: String,
+                                   ckpts: Seq[Long],
+                                   asOf: Long): Option[Commit] = {
+    val fs = hfs(s, logDir(table))
+    ckpts
+      .filter(_ <= asOf)
+      .sortBy(-_)
       .iterator
+      .map(v => v -> new Path(logDir(table), f"$v%020d.ckpt"))
       .map { case (v, p) =>
         val in = fs.open(p)
         val text =
@@ -450,26 +483,36 @@ object TxnLog {
     * checkpointVersion: 0 = none used). */
   def snapshotViaCheckpoint(s: SparkSession, table: String,
                             asOf: Option[Long] = None)
+      : (DataFrame, Long, Int, Long) =
+    snapshotViaCheckpointFrom(s, table, logState(s, table), asOf)
+
+  private def snapshotViaCheckpointFrom(s: SparkSession, table: String,
+                                        st: LogState, asOf: Option[Long])
       : (DataFrame, Long, Int, Long) = {
-    val cap = asOf.getOrElse(currentVersion(s, table))
-    val floor = logFloor(s, table)
-    if (cap < floor) throw new LogTruncatedException(table, cap, floor)
-    latestCheckpoint(s, table, cap) match {
+    val cap = asOf.getOrElse(st.head)
+    if (cap < st.floor) throw new LogTruncatedException(table, cap, st.floor)
+    latestCheckpointFrom(s, table, st.ckpts, cap) match {
       case None =>
         // floor > 0 implies the floor checkpoint must be readable — a
-        // torn anchor would otherwise recurse through snapshot()
-        if (floor > 0L) throw new IllegalStateException(
-          s"history floor $floor of $table has no readable checkpoint")
-        val (df, v, n) = snapshot(s, table, asOf)
-        (df, v, n, 0L)
+        // torn anchor would otherwise loop back through snapshot()
+        if (st.floor > 0L) throw new IllegalStateException(
+          s"history floor ${st.floor} of $table has no readable checkpoint")
+        val cs = commitsFrom(s, table, st, asOf, 0L)
+        require(cs.nonEmpty, s"no commits at or before $asOf in $table")
+        val v = cs.last.version
+        if (v < st.vacHorizon)
+          throw new VersionVacuumedException(table, v, st.vacHorizon)
+        val files = liveFiles(cs)
+        (s.read.parquet(files: _*), v, files.size, 0L)
       case Some(base) =>
         // fromVersion = the checkpoint: bodies at or below it are never
         // opened — this path reads O(suffix) commit files, full stop
-        val suffix = commits(s, table, Some(cap), fromVersion = base.version)
+        val suffix = commitsFrom(s, table, st, Some(cap),
+          fromVersion = base.version)
         val files = liveFiles(base +: suffix)
         val v = suffix.lastOption.map(_.version).getOrElse(base.version)
-        val hz = vacuumHorizon(s, table)
-        if (v < hz) throw new VersionVacuumedException(table, v, hz)
+        if (v < st.vacHorizon)
+          throw new VersionVacuumedException(table, v, st.vacHorizon)
         (s.read.parquet(files: _*), v, files.size, base.version)
     }
   }
@@ -490,15 +533,8 @@ object TxnLog {
     * name-encoded watermark files. The horizon lives in the file NAME,
     * never the body — creation is atomic, nothing can tear, and
     * monotonicity is a max over the listing. */
-  def vacuumHorizon(s: SparkSession, table: String): Long = {
-    val dir = logDir(table)
-    val fs = hfs(s, dir)
-    if (!fs.exists(dir)) return 0L
-    fs.listStatus(dir).map(_.getPath.getName)
-      .filter(_.matches("_vacuum_\\d{20}\\.mark"))
-      .map(_.stripPrefix("_vacuum_").stripSuffix(".mark").toLong)
-      .foldLeft(0L)(math.max)
-  }
+  def vacuumHorizon(s: SparkSession, table: String): Long =
+    logState(s, table).vacHorizon
 
   /** Segments physically removable at retention `horizon`: a segment
     * is referenced by some retained version (>= horizon) iff its
@@ -563,6 +599,7 @@ object TxnLog {
     * instead of losing data (the OCC path-conflict rule). */
   def compactionPlan(s: SparkSession, table: String,
                      maxPerBin: Int = 8): Seq[Seq[String]] = {
+    require(maxPerBin >= 2, s"a compaction bin needs >= 2 members, got $maxPerBin")
     val floor = logFloor(s, table)
     val cs = if (floor == 0L) commits(s, table)
       else {
@@ -580,7 +617,16 @@ object TxnLog {
     val maxSize = sizes.map(_._2).max
     val small = sizes.filter(_._2 < maxSize / 2).map(_._1).sorted
     if (small.size < 2) Seq.empty // nothing worth merging
-    else small.grouped(maxPerBin).filter(_.size >= 2).toSeq
+    else {
+      // a trailing singleton folds into the previous bin (true
+      // first-fit): dropping it would leave one segment that NO
+      // repeated OPTIMIZE could ever compact — the plan must converge,
+      // so the last bin may carry maxPerBin + 1 members instead
+      val groups = small.grouped(maxPerBin).toSeq
+      if (groups.length >= 2 && groups.last.size == 1)
+        groups.dropRight(2) :+ (groups(groups.length - 2) ++ groups.last)
+      else groups.filter(_.size >= 2)
+    }
   }
 
   case class TruncateResult(floor: Long, deletedCommits: Int)
@@ -609,9 +655,28 @@ object TxnLog {
         s"cannot truncate $table: no complete checkpoint to anchor the floor"))
     val dir = logDir(table)
     val fs = hfs(s, dir)
-    val (txns, _) = listLog(s, table)
-    val doomed = txns.filter(_._1 <= anchor.version)
-    doomed.foreach { case (_, p) => fs.delete(p, false) }
+    // log retention >= data retention (the public formats' rule, and
+    // why): the remove actions below the anchor are the ONLY record
+    // that their segments are deletable — truncating before vacuuming
+    // them would orphan those files forever (no API could ever find
+    // them again), and a later "hard purge" would silently fail its
+    // physical-deletion guarantee. Refuse unless every pre-anchor
+    // removable segment is already off the disk.
+    val floor = logFloor(s, table)
+    val cs = if (floor == 0L) commits(s, table)
+      else anchor +: commits(s, table, fromVersion = anchor.version)
+    val pending = vacuumPlan(cs, anchor.version)
+      .filter(p => fs.exists(new Path(p)))
+    require(pending.isEmpty,
+      s"cannot truncate $table: ${pending.size} removed segments below " +
+        s"the anchor are not yet vacuumed (vacuum(horizon = " +
+        s"${anchor.version}) first): ${pending.take(3).mkString(", ")}")
+    val doomed = logState(s, table).txns.filter(_._1 <= anchor.version)
+    // delete NEWEST-first: a reader listing mid-truncation then sees a
+    // contiguous prefix 1..k (a valid HISTORICAL snapshot — the same
+    // graceful degradation an eventually-consistent listing gives),
+    // never a headless fragment it would misread as an empty log
+    doomed.sortBy(-_._1).foreach { case (_, p) => fs.delete(p, false) }
     TruncateResult(anchor.version, doomed.size)
   }
 

@@ -65,6 +65,7 @@ object QueriesRound11b {
           "text", MaxLen)
         val sfx = documents(s, d).select(col("doc_id"),
             substring(col("text"), 1, MaxLen).as("__t"))
+          .where(length(col("__t")) > 0) // sequence(1,0)=[1,0] hazard
           .select(col("doc_id"),
             explode(expr("sequence(1, length(__t))")).as("p"), col("__t"))
           .select(col("doc_id"), col("p").cast("long").as("pos"),

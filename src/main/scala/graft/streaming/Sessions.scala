@@ -104,8 +104,38 @@ object Sessions {
         col("session_window.end").as("window_end"),
         col("utterance_start"), col("utterance_end"), col("n_words"), col("text"))
 
-  /** Windowed event counts with late-data tolerance — the generic
-    * streaming aggregation (tumbling window + watermark). */
+  /** Shared lifecycle for every run-to-batch variant below: memory
+    * sink under a fresh name, AvailableNow trigger, await, return the
+    * sink table as a batch frame.
+    * Stateful-operator cost is dominated by per-STATE-STORE overhead
+    * (one store per shuffle partition per stateful operator side, each
+    * with snapshot/commit bookkeeping per micro-batch), not by rows —
+    * measured 8.3 s -> 2.9 s on the stream-stream join by going
+    * 32 -> 4 stores. The partition count is fixed into the query at
+    * start, so it is set around start() and restored after; on a real
+    * cluster size it to rate x interval state volume instead. */
+  private def runToBatch(spark: org.apache.spark.sql.SparkSession,
+                         reader: org.apache.spark.sql.SparkSession => DataFrame,
+                         transform: DataFrame => DataFrame,
+                         outputMode: String,
+                         shufflePartitions: Option[Int]): DataFrame = {
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      shufflePartitions.foreach(p =>
+        spark.conf.set("spark.sql.shuffle.partitions", p.toString))
+      transform(reader(spark)).writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try q.awaitTermination()
+    finally q.stop()
+    spark.table(name)
+  }
+
   /** Run a streaming aggregation over a bounded file source to
     * completion and return the final result as a batch DataFrame:
     * `readStream` → transform → complete-mode memory sink →
@@ -121,33 +151,12 @@ object Sessions {
                        transform: DataFrame => DataFrame,
                        globFilter: Option[String] = None,
                        outputMode: String = "complete",
-                       shufflePartitions: Option[Int] = None): DataFrame = {
-    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    // stateful-operator cost is dominated by per-STATE-STORE overhead
-    // (one store per shuffle partition per stateful operator side, each
-    // with snapshot/commit bookkeeping per micro-batch), not by rows —
-    // measured 8.3 s -> 2.9 s on the stream-stream join by going
-    // 32 -> 4 stores. The partition count is fixed into the query at
-    // start, so it is set around start() and restored after; on a real
-    // cluster size it to rate x interval state volume instead.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      shufflePartitions.foreach(p =>
-        spark.conf.set("spark.sql.shuffle.partitions", p.toString))
-      val reader = spark.readStream.schema(schema)
+                       shufflePartitions: Option[Int] = None): DataFrame =
+    runToBatch(spark, { sp =>
+      val reader = sp.readStream.schema(schema)
       globFilter.foreach(g => reader.option("pathGlobFilter", g))
-      val stream = reader.parquet(sourceDir)
-      transform(stream).writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode(outputMode)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    try q.awaitTermination()
-    finally q.stop()
-    spark.table(name)
-  }
+      reader.parquet(sourceDir)
+    }, transform, outputMode, shufflePartitions)
 
   /** [[runStreamToBatch]] over a TEXT file stream (the commit-log
     * tailing runner behind q578: a lakehouse manifest is a directory
@@ -159,26 +168,12 @@ object Sessions {
                            transform: DataFrame => DataFrame,
                            globFilter: Option[String] = None,
                            outputMode: String = "append",
-                           shufflePartitions: Option[Int] = None): DataFrame = {
-    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      shufflePartitions.foreach(p =>
-        spark.conf.set("spark.sql.shuffle.partitions", p.toString))
-      val reader = spark.readStream
+                           shufflePartitions: Option[Int] = None): DataFrame =
+    runToBatch(spark, { sp =>
+      val reader = sp.readStream
       globFilter.foreach(g => reader.option("pathGlobFilter", g))
-      val stream = reader.text(sourceDir)
-      transform(stream).writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode(outputMode)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    try q.awaitTermination()
-    finally q.stop()
-    spark.table(name)
-  }
+      reader.text(sourceDir)
+    }, transform, outputMode, shufflePartitions)
 
   /** [[runStreamToBatch]] for a CUSTOM DataSourceV2 streaming source
     * (by format name + options) instead of a file source — the runner
@@ -192,24 +187,10 @@ object Sessions {
                              options: Map[String, String],
                              transform: DataFrame => DataFrame,
                              outputMode: String = "complete",
-                             shufflePartitions: Option[Int] = None): DataFrame = {
-    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      shufflePartitions.foreach(p =>
-        spark.conf.set("spark.sql.shuffle.partitions", p.toString))
-      val stream = spark.readStream.format(format).options(options).load()
-      transform(stream).writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode(outputMode)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    try q.awaitTermination()
-    finally q.stop()
-    spark.table(name)
-  }
+                             shufflePartitions: Option[Int] = None): DataFrame =
+    runToBatch(spark,
+      _.readStream.format(format).options(options).load(),
+      transform, outputMode, shufflePartitions)
 
   def windowedCounts(events: DataFrame, tsCol: String, valueCol: String,
                      window: String = "10 minutes",

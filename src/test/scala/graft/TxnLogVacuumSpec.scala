@@ -158,6 +158,49 @@ class TxnLogVacuumSpec extends SparkSpec {
     assert(TxnLog.snapshot(spark, t)._1.count() == 31L)
   }
 
+  test("fully-truncated log: full-log folds refuse, reads and writes still work") {
+    val t = freshTable()
+    (1 to 5).foreach { i =>
+      val p = writeSeg(t, s"s$i", Seq(i.toLong))
+      TxnLog.tryCommit(spark, t, i.toLong, "w", Seq(Action("add", p)))
+    }
+    TxnLog.writeCheckpoint(spark, t, 5L)
+    val res = TxnLog.truncateLog(spark, t)
+    assert(res.floor == 5L && res.deletedCommits == 5)
+    // ZERO .txn files left: a plain commits() fold would silently
+    // report an empty table — it must throw the named error instead
+    // (the review finding: the empty-listing exit ran before the
+    // floor guard)
+    intercept[TxnLog.LogTruncatedException] { TxnLog.commits(spark, t) }
+    assert(TxnLog.currentVersion(spark, t) == 5L)
+    assert(TxnLog.snapshot(spark, t)._1.count() == 5L)
+    val p6 = writeSeg(t, "s6", Seq(6L))
+    assert(TxnLog.commitWithRetry(spark, t, "w",
+      Seq(Action("add", p6))).version == 6L)
+    assert(TxnLog.snapshot(spark, t)._1.count() == 6L)
+  }
+
+  test("truncation refuses while removed segments await vacuum (no orphans)") {
+    val t = freshTable()
+    val a = writeSeg(t, "a", Seq(1L, 2L))
+    TxnLog.tryCommit(spark, t, 1L, "w", Seq(Action("add", a)))
+    // copy-on-write rewrite retires a — its remove action is now the
+    // ONLY record that a is deletable
+    val a2 = writeSeg(t, "a2", Seq(1L))
+    TxnLog.tryCommit(spark, t, 2L, "w",
+      Seq(Action("remove", a), Action("add", a2)))
+    TxnLog.writeCheckpoint(spark, t, 2L)
+    // truncating now would orphan a forever: refuse with a clear error
+    val e = intercept[IllegalArgumentException] { TxnLog.truncateLog(spark, t) }
+    assert(e.getMessage.contains("not yet vacuumed"))
+    // vacuum first, then truncation proceeds
+    val vac = TxnLog.vacuum(spark, t, horizon = 2L)
+    assert(vac.removed == Seq(a))
+    val res = TxnLog.truncateLog(spark, t)
+    assert(res.floor == 2L && res.deletedCommits == 2)
+    assert(TxnLog.snapshot(spark, t)._1.count() == 1L)
+  }
+
   test("checkpoint-every-N policy: due exactly every N commits, resolution O(N)") {
     val t = freshTable()
     val every = 10
