@@ -1253,6 +1253,38 @@ object Dedup {
     df.join(ranked, Seq(keyCol))
   }
 
+  /** Global DENSE RANK over the COMPOSITE key `(aCol, bCol)` in
+    * lexicographic order — no packing of the two components into one
+    * integer, so there is NO width ceiling (the r11 suffix-array fold
+    * packed `a * 2^20 + b` and hard-stopped at 2^20 distinct ranks;
+    * this replaces it). Decomposition over the DISTINCT pair set:
+    *
+    *   rank(a, b) = #{distinct pairs with first component < a}   (offset)
+    *              + position of b among a's own distinct pairs   (within)
+    *
+    * The offset is an exclusive [[Relational.twoLevelCumSum]] over the
+    * per-`a` distinct-pair histogram (one row per distinct `a` — never
+    * the pairs themselves), and the within-position is a
+    * [[Relational.twoLevelRowNumberBy]] partitioned by `a` — two-level
+    * on BOTH axes, so even the adversarial corpus where one `a` holds
+    * millions of distinct continuations (every doc sharing one h-char
+    * prefix) never serializes a group through one task. Both columns
+    * must be non-negative BIGINTs (dense ranks are). */
+  def compositeDenseRank(df: DataFrame, aCol: String, bCol: String,
+                         outCol: String, aWidth: Long,
+                         bWidth: Long): DataFrame = {
+    val keys = df.select(col(aCol), col(bCol)).distinct()
+    val within = Relational.twoLevelRowNumberBy(keys, aCol, bCol, bWidth,
+      "__within")
+    val hist = keys.groupBy(col(aCol)).agg(count(lit(1)).as("__c"))
+    val offs = Relational.twoLevelCumSum(hist, aCol, "__c", aWidth)
+      .select(col(aCol), (col("cum") - col("__c")).as("__off"))
+    val ranked = within.join(offs, Seq(aCol))
+      .withColumn(outCol, col("__within") + col("__off"))
+      .drop("__within", "__off")
+    df.join(ranked, Seq(aCol, bCol))
+  }
+
   /** Suffix-array RANKS by prefix doubling — the index under
     * suffix-array exact-substring dedup (the Lee et al. family; the
     * n-gram-window lanes approximate what this computes exactly).
@@ -1272,28 +1304,52 @@ object Dedup {
     * sort; per-round frames localCheckpoint (the loop discipline: the
     * next round references its input twice). Equal (capped) suffixes
     * — exact duplicate tails across documents — share a rank in both
-    * engines, which is exactly the dedup signal. The pair key folds
-    * into one BIGINT (rank * 2^20 + rank2 — valid while the suffix
-    * count stays under 2^20 per the require; at larger corpora widen
-    * the fold, the algorithm is unchanged). At 100 TB the round count
-    * grows log(maxLen) and each round is one shuffle of O(total
-    * suffix positions) short rows — the standard distributed SA
-    * construction cost.
+    * engines, which is exactly the dedup signal. The pair rank has NO
+    * suffix-count ceiling (the r11 form packed `rank * 2^20 + rank2`
+    * into one BIGINT and ABORTED past 2^20 positions): each round
+    * ranks the pair `(rank, rank2)` either by packing it into one
+    * BIGINT at the EXACT width `n+1` (collision-free and
+    * order-preserving because rank ≤ n and rank2 ≤ n — valid while
+    * `(n+1)² < 2^63`, i.e. up to ~3.0 BILLION distinct ranks), or —
+    * past that — by [[compositeDenseRank]] over the two-column key,
+    * which packs nothing and has no bound at all. The switch is
+    * per-round and automatic; both representations produce identical
+    * ranks (pinned in DedupSpec), so nothing ever aborts — SCALING.md
+    * carries the sf1 rows (3.2M positions, where the r11 gate threw)
+    * for BOTH paths. At 100 TB the round count grows log(maxLen) and
+    * each round is one shuffle of O(total suffix positions) short
+    * rows — the standard distributed SA construction cost.
     *
     * Base case uses `ascii()` (each character's numeric value): exact
     * for the single-byte range, where codepoint order == UTF-8 byte
-    * order == both engines' binary string collation. A corpus with
-    * multibyte text would need a codepoint-safe base rank (the
-    * doubling above it is encoding-agnostic). */
+    * order == both engines' binary string collation. A codepoint above
+    * 127 would silently overflow its byte lane in the 8-char fold and
+    * MIS-RANK, so the fold raises a named per-row error instead —
+    * multibyte corpora fail loudly, never wrong (a codepoint-safe base
+    * rank is the extension point; the doubling above the base is
+    * encoding-agnostic). */
   def suffixArrayRanks(df: DataFrame, idCol: String, textCol: String,
-                       maxLen: Int): DataFrame = {
+                       maxLen: Int, forceComposite: Boolean = false)
+      : DataFrame = {
     // empty texts contribute no suffixes — and MUST be filtered before
     // the explode: Spark's sequence(1, 0) is [1, 0] (step defaults to
     // -1 when start > stop), which would fabricate two phantom
     // positions per empty doc and shift every dense rank above them
+    // single-byte gate, priced per DOC not per position: a codepoint
+    // past 127 would overflow its byte lane in the 8-char base fold
+    // and silently corrupt every rank above it, so raise the named
+    // error row-local here (one regex pass over ≤ maxLen chars per
+    // doc — guarding inside the per-position fold itself was measured
+    // 34% slower at sf0.1)
     val t = df.select(col(idCol).as("doc_id"),
       substring(col(textCol), 1, maxLen).as("__t"))
       .where(length(col("__t")) > 0)
+      .withColumn("__t", when(col("__t").rlike("[^\\x00-\\x7F]"),
+        raise_error(concat(lit("suffixArrayRanks: non-ASCII codepoint in "),
+          col("doc_id").cast("string"),
+          lit(" — the 8-char base fold is single-byte only")))
+          .cast("string"))
+        .otherwise(col("__t")))
     // base case covers EIGHT chars, not one: the first 8 single-byte
     // chars fold into one 63-bit key (char i weighted 2^(8·(7−i));
     // positions past the end contribute ascii('') = 0, so a shorter
@@ -1313,19 +1369,39 @@ object Dedup {
         baseKey.as("__key"))
     ranks = twoLevelDenseRank(ranks, "__key", "r", 1L << 44)
       .select("doc_id", "pos", "r").localCheckpoint()
-    val n = ranks.count() // the fold-width gate (and a round barrier)
-    require(n < (1L << 20),
-      s"suffix count $n overflows the 2^20 pair fold — widen the fold")
     var h = 8L
     while (h < maxLen) {
       val shifted = ranks.select(col("doc_id"),
         (col("pos") - h).as("pos"), col("r").as("__r2"))
       val paired = ranks.join(shifted, Seq("doc_id", "pos"), "left")
-        .withColumn("__key",
-          col("r") * (1L << 20) + coalesce(col("__r2"), lit(0L)))
+        .withColumn("__r2", coalesce(col("__r2"), lit(0L)))
       val old = ranks
-      ranks = twoLevelDenseRank(paired, "__key", "__nr", 1L << 26)
-        .select(col("doc_id"), col("pos"), col("__nr").as("r"))
+      // distinct-rank count this round (== max: ranks are dense,
+      // 1-based) — a cheap partial-agg job over the checkpointed frame
+      // that picks the pair-rank representation
+      val nRanks = ranks.agg(max(col("r"))).head.getLong(0)
+      // (n+1)² < 2^63 ⇔ n ≤ 3 037 000 498: the exact-width pack is
+      // collision-free and order-preserving up to ~3.0e9 distinct
+      // ranks per round; past it the composite two-column rank packs
+      // nothing and is unbounded. Identical ranks either way (pinned
+      // in DedupSpec) — the representation switches, nothing aborts.
+      val packed = !forceComposite && nRanks <= 3037000498L
+      ranks = (if (packed) {
+        val w = nRanks + 1L
+        // coarse buckets sized off the occupied key domain (≤ n·(n+2))
+        // so the offset frame stays ~2k rows at any corpus size
+        val coarse = math.max(1L, nRanks * (nRanks + 2L) / 2048L)
+        twoLevelDenseRank(
+          paired.withColumn("__key", col("r") * w + col("__r2")),
+          "__key", "__nr", coarse)
+      } else {
+        // ranks are dense in [1, n] (and __r2 in [0, n]): 2^13-wide
+        // buckets keep both offset frames in the low thousands
+        // through ~10M distinct ranks and degrade gracefully (bigger
+        // offset frames, never a wider-than-bucket task) beyond
+        compositeDenseRank(paired, "r", "__r2", "__nr",
+          aWidth = 1L << 13, bWidth = 1L << 13)
+      }).select(col("doc_id"), col("pos"), col("__nr").as("r"))
         .localCheckpoint()
       Checkpoints.free(old)
       h *= 2

@@ -287,6 +287,38 @@ object Relational {
       .drop("__g", "__w", "__off")
   }
 
+  /** [[twoLevelRowNumber]] WITHIN partitions: 1-based positions in
+    * `keyCol` order inside each `partCol` group, with NO per-group
+    * single-task window — the primitive a composite-key dense rank
+    * needs when one group could hold millions of rows (a window
+    * partitioned only by `partCol` would serialize that whole group
+    * through one task; this never builds a structure bigger than one
+    * group's OCCUPIED-bucket list). Same decomposition as the global
+    * form, one level down: rows bucket into coarse `keyCol div width`
+    * ranges; positions inside a (group, range) come from a PARTITIONED
+    * window, and each range's starting offset is a per-group exclusive
+    * prefix sum over the O(keyDomain/width) per-range counts. The
+    * offsets frame (one row per occupied (group, range)) joins back on
+    * its natural key — a plain shuffle join, not a broadcast: across
+    * many groups it can be as large as the distinct-group count.
+    *
+    * `keyCol` values must be distinct WITHIN each group. */
+  def twoLevelRowNumberBy(df: DataFrame, partCol: String, keyCol: String,
+                          coarseWidth: Long, outCol: String): DataFrame = {
+    require(coarseWidth >= 1, s"coarseWidth must be positive, got $coarseWidth")
+    val hg = df.withColumn("__g", expr(s"$keyCol div ${coarseWidth}L"))
+    val wIn = Window.partitionBy(partCol, "__g").orderBy(keyCol)
+    val within = hg.withColumn("__w", row_number().over(wIn).cast("long"))
+    val wPre = Window.partitionBy(partCol).orderBy("__g")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hg.groupBy(partCol, "__g").agg(count(lit(1)).as("__gt"))
+      .select(col(partCol), col("__g"),
+        coalesce(sum("__gt").over(wPre), lit(0L)).as("__off"))
+    within.join(offsets, Seq(partCol, "__g"))
+      .withColumn(outCol, col("__w") + col("__off"))
+      .drop("__g", "__w", "__off")
+  }
+
   /** Two-level GLOBAL RANK over `(scoreCol DESC, idCol ASC)` WITHOUT a
     * single-partition window of the data — the retrieval-ranking shape
     * (RRF fusion, leaderboards) where [[twoLevelRowNumber]]'s

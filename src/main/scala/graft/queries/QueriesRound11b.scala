@@ -16,11 +16,13 @@ object QueriesRound11b {
 
     // ---- q581: suffix-array ranks by prefix doubling -------------------------------
     // Every suffix of every document's first 64 characters gets its
-    // GLOBAL dense rank in suffix-sort order — built in 6 bounded
-    // doubling rounds (rank of first 2h chars = dense rank of the
-    // (rank_h(i), rank_h(i+h)) pair; one equi-join + one two-level
-    // dense rank per round, no global sort, no single-partition
-    // window, per-round localCheckpoints). The oracle computes the
+    // GLOBAL dense rank in suffix-sort order — built in 3 bounded
+    // doubling rounds over the 8-char base fold (rank of first 2h
+    // chars = dense rank of the (rank_h(i), rank_h(i+h)) pair — a
+    // composite-key two-level dense rank, no integer packing, no
+    // suffix-count ceiling; one equi-join + one rank pass per round,
+    // no global sort, no single-partition window, per-round
+    // localCheckpoints). The oracle computes the
     // SAME ranks the direct way — sort all suffix strings — so the
     // hash gate pins the entire doubling recursion: a single
     // mis-ranked pair anywhere shifts every dense rank above it.

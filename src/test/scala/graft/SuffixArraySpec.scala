@@ -61,4 +61,41 @@ class SuffixArraySpec extends SparkSpec {
     run(Seq(1L -> "a", 2L -> "b", 3L -> "ba"), 3)
     run(Seq(1L -> "mississippi", 2L -> "missing"), 11)
   }
+
+  test("composite pair rank == exact-width packed rank (the >3e9 path)") {
+    // the representation switch must be invisible: forceComposite
+    // replays every doubling round through compositeDenseRank (the
+    // unbounded two-column path a >3-billion-rank round takes) and
+    // must reproduce the packed path's ranks bit for bit
+    val docs = Seq(1L -> "abracadabra alakazam", 2L -> "abracadabra!",
+      3L -> "cadabra cadabra", 4L -> "zz")
+    val df = spark.createDataFrame(docs).toDF("doc_id", "text")
+    val packed = Dedup.suffixArrayRanks(df, "doc_id", "text", 32)
+      .orderBy("doc_id", "pos").collect().toSeq
+    val composite = Dedup
+      .suffixArrayRanks(df, "doc_id", "text", 32, forceComposite = true)
+      .orderBy("doc_id", "pos").collect().toSeq
+    assert(packed == composite,
+      s"representation switch changed ranks:\n$packed\nvs\n$composite")
+    // and the composite path is still the BRUTE-correct answer
+    val got = composite.map(r => ((r.getLong(0), r.getLong(1)),
+      r.getLong(2))).toMap
+    assert(got == brute(docs, 32))
+  }
+
+  test("non-ASCII input fails loudly, never mis-ranks (single-byte gate)") {
+    // a codepoint past 127 would overflow its lane in the 8-char base
+    // fold and silently corrupt every rank above it — the fold must
+    // raise the named error instead
+    val df = spark.createDataFrame(Seq(1L -> "plain", 2L -> "café au lait"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.suffixArrayRanks(df, "doc_id", "text", 16).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("single-byte only")),
+      s"expected the named non-ASCII error, got: ${messages(e)}")
+  }
 }
