@@ -1408,4 +1408,95 @@ object Dedup {
     }
     ranks.select(col("doc_id"), col("pos"), col("r").as("suffix_rank"))
   }
+
+  /** The EXACT Lee et al. substring dedup, end to end: strike every
+    * span of `minRepeat`+ characters that occurs MORE THAN ONCE in the
+    * corpus (anywhere — other docs or overlapping in the same doc),
+    * reassemble each document's remainder in order. The n-gram-window
+    * lanes (q170/q172) and the fixed-grid segment strike (q180)
+    * approximate this; here the repeated-span inventory comes from the
+    * suffix-array index itself ([[suffixArrayRanks]] + the LCP of
+    * SA-ADJACENT suffixes), so the strike is exact over each doc's
+    * first `maxLen` chars:
+    *
+    *   rep(i) = longest prefix of suffix i occurring elsewhere
+    *          = max(LCP with SA-prev, LCP with SA-next,
+    *                full capped length when the rank is shared)
+    *
+    * — the standard SA identity: all occurrences of a repeated prefix
+    * are CONTIGUOUS in suffix order, so only the two neighbors matter,
+    * and the neighbor join is `rank = rank + 1` (dense ranks — no sort,
+    * no row_number pass). A position j is struck iff some i ≤ j <
+    * i + rep(i) with rep(i) ≥ `minRepeat` covers it; the cover explode
+    * is bounded by `maxLen` per position and collapses via distinct.
+    * Reassembly is a per-doc fold over ≤ `maxLen` chars (array_sort +
+    * concat — bounded by the cap, never a global sort). Every stage is
+    * O(positions) rows shuffled on (doc, pos) or rank keys — the
+    * whole pipeline inherits the SA construction's scale posture.
+    *
+    * Returns one row per non-empty doc: (doc_id, kept_text, n_kept,
+    * n_struck). */
+  def saStrikeReassemble(df: DataFrame, idCol: String, textCol: String,
+                         maxLen: Int, minRepeat: Int): DataFrame = {
+    require(minRepeat >= 2 && minRepeat <= maxLen,
+      s"minRepeat $minRepeat outside 2..$maxLen")
+    val docs = df.select(col(idCol).as("doc_id"),
+        substring(col(textCol), 1, maxLen).as("__t"))
+      .where(length(col("__t")) > 0) // sequence(1,0)=[1,0] hazard
+      .localCheckpoint() // exploded three ways below
+    val ranks = suffixArrayRanks(df, idCol, textCol, maxLen)
+    val sfx = docs
+      .select(col("doc_id"),
+        explode(expr("sequence(1, length(__t))")).as("p"), col("__t"))
+      .select(col("doc_id"), col("p").cast("long").as("pos"),
+        expr(s"substring(__t, p, $maxLen)").as("sfx"),
+        (length(col("__t")) - col("p") + 1).cast("long").as("slen"))
+    val rs = ranks.join(sfx, Seq("doc_id", "pos"))
+    // one representative string per rank (rank ↔ capped suffix is a
+    // bijection), consumed by BOTH sides of the neighbor join
+    val repsFr = rs.select(col("suffix_rank").as("r"), col("sfx"))
+      .dropDuplicates("r").localCheckpoint()
+    val lcpNext = repsFr.select(col("r"), col("sfx").as("sa"))
+      .join(repsFr.select((col("r") - 1).as("r"), col("sfx").as("sb")),
+        Seq("r"))
+      .withColumn("lcp", expr(s"""aggregate(sequence(1, $maxLen), 0,
+        |(acc, k) -> CASE WHEN acc = k - 1
+        |  AND substring(sa, k, 1) != ''
+        |  AND substring(sa, k, 1) = substring(sb, k, 1)
+        |THEN k ELSE acc END)""".stripMargin).cast("long"))
+      .select(col("r"), col("lcp"))
+    val dupCnt = ranks.groupBy(col("suffix_rank"))
+      .agg(count(lit(1)).as("__c"))
+    val rep = rs
+      .join(lcpNext.withColumnRenamed("r", "suffix_rank")
+        .withColumnRenamed("lcp", "__ln"), Seq("suffix_rank"), "left")
+      .join(lcpNext.select((col("r") + 1).as("suffix_rank"),
+        col("lcp").as("__lp")), Seq("suffix_rank"), "left")
+      .join(dupCnt, Seq("suffix_rank"))
+      .withColumn("replen", greatest(
+        coalesce(col("__ln"), lit(0L)), coalesce(col("__lp"), lit(0L)),
+        when(col("__c") > 1, col("slen")).otherwise(lit(0L))))
+    // struck coverage: bounded explode (replen <= maxLen), distinct
+    val cov = rep.where(col("replen") >= minRepeat)
+      .select(col("doc_id"),
+        explode(expr("sequence(pos, pos + replen - 1)")).as("j"))
+      .distinct()
+    val chars = docs
+      .select(col("doc_id"),
+        explode(expr("sequence(1, length(__t))")).as("p"), col("__t"))
+      .select(col("doc_id"), col("p").cast("long").as("j"),
+        expr("substring(__t, p, 1)").as("ch"))
+    val rebuilt = chars.join(cov, Seq("doc_id", "j"), "left_anti")
+      .groupBy("doc_id")
+      .agg(concat_ws("", expr(
+          "transform(array_sort(collect_list(struct(j, ch))), x -> x.ch)"))
+          .as("kept_text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col("doc_id"), length(col("__t")).cast("long").as("__n"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n") - coalesce(col("n_kept"), lit(0L))).as("n_struck"))
+  }
 }
