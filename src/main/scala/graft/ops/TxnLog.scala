@@ -564,15 +564,21 @@ object TxnLog {
     * the removable set, and a reader that resolved BEFORE the publish
     * scans immutable files the vacuum does not touch. */
   def vacuum(s: SparkSession, table: String, horizon: Long): VacuumResult = {
-    // floor-aware: on a truncated log the action fold rides the anchor
-    // checkpoint (whose synthetic adds land at the floor version)
+    // floor-aware: on a truncated log the action fold rides the FLOOR
+    // checkpoint (whose synthetic adds land at the floor version) —
+    // NEVER a newer one: a checkpoint folds removes away, so anchoring
+    // at the newest would blind the plan to every remove in
+    // (floor, newestCkpt] and silently leak those segments forever
+    // (and let a later truncate delete their only remove records).
+    // All commit bodies above the floor exist by the truncation rule,
+    // so the floor anchor loses nothing.
     val floor = logFloor(s, table)
     val cs = if (floor == 0L) commits(s, table)
       else {
-        val base = latestCheckpoint(s, table, Long.MaxValue).getOrElse(
+        val base = latestCheckpoint(s, table, floor).getOrElse(
           throw new IllegalStateException(
             s"history floor $floor of $table has no readable checkpoint"))
-        base +: commits(s, table, fromVersion = base.version)
+        base +: commits(s, table, fromVersion = floor)
       }
     require(cs.nonEmpty && horizon >= 1 && horizon <= cs.last.version,
       s"vacuum horizon $horizon outside committed range 1..${cs.lastOption.map(_.version).getOrElse(0L)}")
@@ -662,9 +668,21 @@ object TxnLog {
     // them again), and a later "hard purge" would silently fail its
     // physical-deletion guarantee. Refuse unless every pre-anchor
     // removable segment is already off the disk.
+    // the orphan-guard fold anchors at the FLOOR checkpoint, not the
+    // (possibly newer) truncation anchor: removes in (floor, anchor]
+    // are folded AWAY by the anchor checkpoint, and missing them here
+    // would pass the guard with unvacuumed removed segments below the
+    // new floor — then delete their only remove records, permanently
+    // orphaning the files and silently breaking the hard-purge (q580)
+    // guarantee
     val floor = logFloor(s, table)
     val cs = if (floor == 0L) commits(s, table)
-      else anchor +: commits(s, table, fromVersion = anchor.version)
+      else {
+        val base = latestCheckpoint(s, table, floor).getOrElse(
+          throw new IllegalStateException(
+            s"history floor $floor of $table has no readable checkpoint"))
+        base +: commits(s, table, fromVersion = floor)
+      }
     val pending = vacuumPlan(cs, anchor.version)
       .filter(p => fs.exists(new Path(p)))
     require(pending.isEmpty,

@@ -201,6 +201,45 @@ class TxnLogVacuumSpec extends SparkSpec {
     assert(TxnLog.snapshot(spark, t)._1.count() == 1L)
   }
 
+  test("remove AFTER truncation stays visible to vacuum past a newer checkpoint") {
+    // the r11 hole: on a truncated log, vacuum and the truncation
+    // orphan guard anchored their fold at the NEWEST checkpoint — but
+    // a checkpoint folds removes AWAY, so a remove landing in
+    // (floor, newestCkpt] became invisible: vacuum silently never
+    // deleted the segment, the guard passed anyway, and the next
+    // truncation deleted the only remove record — a permanent orphan
+    // and a silently broken hard-purge. The fold must anchor at the
+    // FLOOR checkpoint (every body above the floor exists).
+    val t = freshTable()
+    val (_, _, c, d) = history(t)
+    TxnLog.writeCheckpoint(spark, t, 4L)
+    TxnLog.vacuum(spark, t, horizon = 4L) // clears the v3 compaction's a+b
+    assert(TxnLog.truncateLog(spark, t).floor == 4L)
+    // CoW delete ABOVE the floor: v5 rewrites d → e (remove at v5)
+    val e5 = writeSeg(t, "e", Seq(7L))
+    TxnLog.tryCommit(spark, t, 5L, "w",
+      Seq(Action("remove", d), Action("add", e5)))
+    // a NEWER checkpoint lands above the floor and folds the remove away
+    assert(TxnLog.checkpointIfDue(spark, t, every = 1).contains(5L))
+    // truncating now must REFUSE: d is removed-but-unvacuumed
+    val refuse = intercept[IllegalArgumentException] {
+      TxnLog.truncateLog(spark, t)
+    }
+    assert(refuse.getMessage.contains("not yet vacuumed"),
+      s"guard blind to the post-truncation remove: ${refuse.getMessage}")
+    // and vacuum must SEE the remove despite the newer checkpoint
+    val vac = TxnLog.vacuum(spark, t, horizon = 5L)
+    assert(vac.removed == Seq(d), s"vacuum blind past the floor: $vac")
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(d)), "d leaked")
+    // now truncation proceeds and the surviving table is intact
+    assert(TxnLog.truncateLog(spark, t).floor == 5L)
+    val (snap, ver, _) = TxnLog.snapshot(spark, t)
+    assert(ver == 5L && snap.count() == 3L) // {1,2} from c + {7} from e
+    assert(fs.exists(new org.apache.hadoop.fs.Path(c)))
+  }
+
   test("checkpoint-every-N policy: due exactly every N commits, resolution O(N)") {
     val t = freshTable()
     val every = 10
