@@ -47,14 +47,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TxnLog {
 
-  /** One file-level action inside a commit. `kind` ∈ add | remove.
-    * `stats` optionally carries the segment's column zone maps
+  /** One file-level action inside a commit. `kind` ∈ add | remove |
+    * dv. `stats` optionally carries the segment's column zone maps
     * (name → (min, max) as longs) INSIDE the commit — so a reader can
     * prune segments from the LOG ALONE, without listing or opening a
     * single data file (manifest-level pruning, the public
-    * Iceberg/Delta stats-in-metadata design). */
+    * Iceberg/Delta stats-in-metadata design).
+    *
+    * `dv` is the MERGE-ON-READ delete (the public deletion-vector
+    * design): `path` is a parquet sidecar holding the CUMULATIVE
+    * deleted rows of the base segment named by `ref` — the segment is
+    * NOT rewritten; readers subtract the sidecar at scan time. A newer
+    * dv on the same segment SUPERSEDES the older one (each dv carries
+    * the full deleted-row set, so the active state is one sidecar per
+    * segment, never a chain). Zone-map stats on the base add remain
+    * valid BOUNDS under row deletes (deletes only shrink a segment's
+    * min/max range, never widen it). */
   case class Action(kind: String, path: String,
-                    stats: Map[String, (Long, Long)] = Map.empty)
+                    stats: Map[String, (Long, Long)] = Map.empty,
+                    ref: String = "")
 
   case class Commit(version: Long, writer: String, actions: Seq[Action])
 
@@ -90,6 +101,12 @@ object TxnLog {
     actions.foreach { a =>
       require(!a.path.exists(c => c == '\t' || c == '\n' || c == '\r'),
         s"segment path contains a log delimiter (tab/newline): '${a.path}'")
+      require(!a.ref.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"dv base-segment path contains a log delimiter: '${a.ref}'")
+      require(a.ref.isEmpty || a.kind == "dv",
+        s"ref is only meaningful on dv actions, got '${a.kind}'")
+      require(a.kind != "dv" || a.ref.nonEmpty,
+        "a dv action must name its base segment via ref")
       a.stats.keys.foreach(c =>
         require(!c.exists(ch => ":,\t\n\r".contains(ch)),
           s"stats column name contains a log delimiter (:,\\t): '$c'"))
@@ -117,7 +134,12 @@ object TxnLog {
             else a.stats.toSeq.sortBy(_._1)
               .map { case (c, (lo, hi)) => s"$c:$lo:$hi" }
               .mkString("\t", ",", "")
-          s"${a.kind}\t${a.path}$st"
+          // ref is field 4 — an empty stats field holds its slot so
+          // old parsers (≤3 fields) and new lines stay one format
+          val rf =
+            if (a.ref.isEmpty) ""
+            else (if (a.stats.isEmpty) "\t\t" else "\t") + a.ref
+          s"${a.kind}\t${a.path}$st$rf"
         }).mkString("", "\n", "\n")
       out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } finally out.close()
@@ -303,24 +325,55 @@ object TxnLog {
               val p = f.split(":"); p(0) -> (p(1).toLong, p(2).toLong)
             }.toMap
           else Map.empty[String, (Long, Long)]
-        Action(a(0), a(1), stats)
+        Action(a(0), a(1), stats, ref = if (a.length > 3) a(3) else "")
       })
     }.toSeq
   }
 
-  /** Live segment paths after folding `cs` in version order (stable
-    * insertion order — deterministic read plans). */
-  def liveFiles(cs: Seq[Commit]): Seq[String] = {
-    val live = new java.util.LinkedHashSet[String]()
+  /** Live table state after folding `cs` in version order (stable
+    * insertion order — deterministic read plans): each live segment
+    * path with its ACTIVE deletion-vector sidecar, if any. A `dv`
+    * action requires its base segment live and supersedes any earlier
+    * dv on the same segment; a `remove` retires the segment AND its
+    * dv association. */
+  def liveState(cs: Seq[Commit]): Seq[(String, Option[String])] = {
+    val live = new java.util.LinkedHashMap[String, Option[String]]()
     cs.foreach(_.actions.foreach { a =>
       a.kind match {
-        case "add" => live.add(a.path)
+        case "add" => live.put(a.path, None)
         case "remove" => live.remove(a.path)
+        case "dv" =>
+          require(live.containsKey(a.ref),
+            s"dv sidecar ${a.path} references non-live segment ${a.ref}")
+          live.put(a.ref, Some(a.path)) // keeps insertion order
         case k => throw new IllegalArgumentException(s"unknown action $k")
       }
     })
     import scala.jdk.CollectionConverters._
     live.asScala.toSeq
+  }
+
+  /** Live segment paths after folding `cs` in version order (stable
+    * insertion order — deterministic read plans). */
+  def liveFiles(cs: Seq[Commit]): Seq[String] = liveState(cs).map(_._1)
+
+  /** Distributed scan of a resolved live state: segments without a dv
+    * read as ONE multi-path parquet relation (bit-identical plan to
+    * the pre-dv read — the common case pays nothing); each dv'd
+    * segment subtracts its sidecar with a multiset exceptAll (the
+    * merge-on-READ: no segment is ever rewritten) and unions in. */
+  private def readLive(s: SparkSession,
+                       state: Seq[(String, Option[String])]): DataFrame = {
+    if (state.forall(_._2.isEmpty)) s.read.parquet(state.map(_._1): _*)
+    else {
+      val plain = state.collect { case (p, None) => p }
+      val parts =
+        (if (plain.nonEmpty) Seq(s.read.parquet(plain: _*)) else Seq.empty) ++
+          state.collect { case (p, Some(dv)) =>
+            s.read.parquet(p).exceptAll(s.read.parquet(dv))
+          }
+      parts.reduce(_ unionAll _)
+    }
   }
 
   /** Write-time segment zone maps: (min, max) of each stats column per
@@ -353,6 +406,11 @@ object TxnLog {
       a.kind match {
         case "add" => live.put(a.path, a)
         case "remove" => live.remove(a.path)
+        case "dv" => // the base add (and its zone maps) stays live:
+          // row deletes only SHRINK a segment's min/max range, so the
+          // stats remain valid pruning bounds under merge-on-read
+          require(live.containsKey(a.ref),
+            s"dv sidecar ${a.path} references non-live segment ${a.ref}")
         case k => throw new IllegalArgumentException(s"unknown action $k")
       }
     })
@@ -392,8 +450,8 @@ object TxnLog {
     val v = cs.last.version
     if (v < st.vacHorizon)
       throw new VersionVacuumedException(table, v, st.vacHorizon)
-    val files = liveFiles(cs)
-    (s.read.parquet(files: _*), v, files.size)
+    val state = liveState(cs)
+    (readLive(s, state), v, state.size)
   }
 
   /** Write a log CHECKPOINT at `upTo`: the resolved live-segment set
@@ -419,20 +477,26 @@ object TxnLog {
         require(suffix.lastOption.map(_.version).getOrElse(base.version) == upTo,
           s"cannot checkpoint at $upTo: log only reaches " +
             s"${suffix.lastOption.map(_.version).getOrElse(base.version)}")
-        liveFiles(base +: suffix)
+        liveState(base +: suffix)
       case None =>
         if (floor > 0L) throw new IllegalStateException(
           s"history floor $floor of $table has no readable checkpoint")
         val cs = commits(s, table, Some(upTo))
         require(cs.nonEmpty && cs.last.version == upTo,
           s"cannot checkpoint at $upTo: log only reaches ${cs.lastOption.map(_.version)}")
-        liveFiles(cs)
+        liveState(cs)
     }
     val dir = logDir(table)
     val fs = hfs(s, dir)
     val out = fs.create(new Path(dir, f"$upTo%020d.ckpt"), true)
     try {
-      val body = (s"ckpt\t$upTo" +: live.map(p => s"live\t$p") :+ "end")
+      // each live segment line, immediately followed by its active dv
+      // association (fold order matters: the dv line requires its
+      // segment already live in the synthetic replay)
+      val lines = live.flatMap { case (p, dvo) =>
+        s"live\t$p" +: dvo.map(dv => s"dv\t$p\t$dv").toSeq
+      }
+      val body = (s"ckpt\t$upTo" +: lines :+ "end")
         .mkString("", "\n", "\n")
       out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } finally out.close()
@@ -471,7 +535,15 @@ object TxnLog {
         if (lines.headOption.exists(_ == s"ckpt\t$v") &&
           lines.lastOption.contains("end"))
           Some(Commit(v, "ckpt",
-            lines.tail.dropRight(1).map(l => Action("add", l.split("\t")(1)))))
+            lines.tail.dropRight(1).map { l =>
+              val f = l.split("\t")
+              f(0) match {
+                case "live" => Action("add", f(1))
+                case "dv" => Action("dv", f(2), ref = f(1))
+                case k => throw new IllegalArgumentException(
+                  s"unknown checkpoint line kind '$k' in $p")
+              }
+            }))
         else None // torn checkpoint: skip it, older ones still work
       }
       .collectFirst { case Some(c) => c }
@@ -502,18 +574,18 @@ object TxnLog {
         val v = cs.last.version
         if (v < st.vacHorizon)
           throw new VersionVacuumedException(table, v, st.vacHorizon)
-        val files = liveFiles(cs)
-        (s.read.parquet(files: _*), v, files.size, 0L)
+        val state = liveState(cs)
+        (readLive(s, state), v, state.size, 0L)
       case Some(base) =>
         // fromVersion = the checkpoint: bodies at or below it are never
         // opened — this path reads O(suffix) commit files, full stop
         val suffix = commitsFrom(s, table, st, Some(cap),
           fromVersion = base.version)
-        val files = liveFiles(base +: suffix)
+        val state = liveState(base +: suffix)
         val v = suffix.lastOption.map(_.version).getOrElse(base.version)
         if (v < st.vacHorizon)
           throw new VersionVacuumedException(table, v, st.vacHorizon)
-        (s.read.parquet(files: _*), v, files.size, base.version)
+        (readLive(s, state), v, state.size, base.version)
     }
   }
 
@@ -544,14 +616,41 @@ object TxnLog {
     * One O(actions) pass — never the O(versions²) per-version live-set
     * fold. */
   def vacuumPlan(cs: Seq[Commit], horizon: Long): Seq[String] = {
-    // (path -> (kind, version)) of each path's LATEST action
+    // (path -> (kind, version)) of each SEGMENT path's LATEST action;
+    // dv sidecars tracked per base segment in landing order
     val latest = new java.util.LinkedHashMap[String, (String, Long)]()
-    cs.foreach(c => c.actions.foreach(a =>
-      latest.put(a.path, (a.kind, c.version))))
+    val dvsBySeg = new java.util.LinkedHashMap[
+      String, scala.collection.mutable.ListBuffer[(String, Long)]]()
+    cs.foreach(c => c.actions.foreach { a =>
+      if (a.kind == "dv") {
+        var buf = dvsBySeg.get(a.ref)
+        if (buf == null) {
+          buf = scala.collection.mutable.ListBuffer.empty[(String, Long)]
+          dvsBySeg.put(a.ref, buf)
+        }
+        buf += ((a.path, c.version))
+      } else latest.put(a.path, (a.kind, c.version))
+    })
     import scala.jdk.CollectionConverters._
-    latest.asScala.collect {
+    val segs = latest.asScala.collect {
       case (path, ("remove", v)) if v <= horizon => path
     }.toSeq
+    // a dv sidecar is referenced by some retained version (>= horizon)
+    // iff it is the ACTIVE dv of a version >= horizon: dv_i is active
+    // for [v_i, v_{i+1}) — removable iff superseded at <= horizon, or
+    // its base segment was removed at <= horizon (then every dv of
+    // that segment goes with it)
+    val dvs = dvsBySeg.asScala.flatMap { case (seg, buf) =>
+      val list = buf.toList
+      val segGone = latest.asScala.get(seg)
+        .collect { case ("remove", v) if v <= horizon => true }
+        .getOrElse(false)
+      if (segGone) list.map(_._1)
+      else list.zip(list.tail).collect {
+        case ((dvPath, _), (_, vNext)) if vNext <= horizon => dvPath
+      }
+    }.toSeq
+    segs ++ dvs
   }
 
   case class VacuumResult(horizon: Long, removed: Seq[String])
@@ -751,24 +850,59 @@ object TxnLog {
     // fromVersion = fromV: bodies at or below the range start are never
     // opened, and a range reaching below a truncated log's floor gets
     // the named error instead of a silently-partial feed
-    val suffix = commits(s, table, Some(toV), fromVersion = fromV)
+    val st = logState(s, table)
+    val suffix = commitsFrom(s, table, st, Some(toV), fromVersion = fromV)
     require(suffix.nonEmpty && suffix.last.version == toV,
       s"log does not reach $toV past $fromV in $table")
+    // merge-on-read awareness: removes and dv deltas need the ACTIVE
+    // dv per segment AT fromV — resolved from the log (checkpoint +
+    // suffix, O(commits) driver-side metadata, never data) and ONLY
+    // when the range contains a remove or dv action; a pure-append
+    // tail (the streaming-ingest common case) pays zero extra reads
+    var dvState: Map[String, String] =
+      if (!suffix.exists(_.actions.exists(a =>
+          a.kind == "remove" || a.kind == "dv"))) Map.empty
+      else if (fromV == 0L) Map.empty
+      else {
+        val baseCs =
+          if (st.floor == 0L) commitsFrom(s, table, st, Some(fromV), 0L)
+          else latestCheckpointFrom(s, table, st.ckpts, fromV) match {
+            case Some(b) =>
+              b +: commitsFrom(s, table, st, Some(fromV), b.version)
+            case None => throw new IllegalStateException(
+              s"history floor ${st.floor} of $table has no readable checkpoint")
+          }
+        liveState(baseCs).collect { case (p, Some(dv)) => p -> dv }.toMap
+      }
     var opened = 0
     val perCommit = suffix.map { c =>
       val adds = c.actions.filter(_.kind == "add").map(_.path)
       val removes = c.actions.filter(_.kind == "remove").map(_.path)
+      val dvActs = c.actions.filter(_.kind == "dv")
       opened += adds.size + removes.size
       def tag(df: DataFrame, t: String) = df
         .withColumn("_change_type", lit(t))
         .withColumn("_commit_version", lit(c.version))
-      (adds.nonEmpty, removes.nonEmpty) match {
-        case (true, false) => tag(s.read.parquet(adds: _*), "insert")
-        case (false, true) => tag(s.read.parquet(removes: _*), "delete")
+      // a removed segment's rows MINUS its active dv: rows the dv had
+      // already deleted must not surface as deletes twice
+      def readRemoved(): DataFrame = {
+        if (removes.forall(p => !dvState.contains(p)))
+          s.read.parquet(removes: _*) // pre-dv plan, bit-identical
+        else removes.map { p =>
+          val seg = s.read.parquet(p)
+          dvState.get(p) match {
+            case Some(dv) => opened += 1; seg.exceptAll(s.read.parquet(dv))
+            case None => seg
+          }
+        }.reduce(_ unionAll _)
+      }
+      val addRemove = (adds.nonEmpty, removes.nonEmpty) match {
+        case (true, false) => Seq(tag(s.read.parquet(adds: _*), "insert"))
+        case (false, true) => Seq(tag(readRemoved(), "delete"))
         case (true, true) =>
           import org.apache.spark.sql.functions.{col, when}
           val a = s.read.parquet(adds: _*)
-          val r = s.read.parquet(removes: _*)
+          val r = readRemoved()
           // classify each surviving diff row by identity persistence:
           // ONE left join against the other side's distinct ids (never
           // two passes over the diff)
@@ -783,13 +917,27 @@ object TxnLog {
               .select(diff.columns.map(col) :+ col("_change_type") :+
                 col("_commit_version"): _*)
           }
-          classify(a.exceptAll(r), r, "update_post", "insert")
-            .unionAll(classify(r.exceptAll(a), a, "update_pre", "delete"))
-        case (false, false) =>
-          s.emptyDataFrame // metadata-only commit: no row changes
+          Seq(classify(a.exceptAll(r), r, "update_post", "insert")
+            .unionAll(classify(r.exceptAll(a), a, "update_pre", "delete")))
+        case (false, false) => Seq.empty
       }
+      // dv actions: the commit's row-level deletes are the DELTA —
+      // new sidecar minus the superseded one (each dv is cumulative)
+      val dvDeletes = dvActs.map { a =>
+        val newRows = s.read.parquet(a.path)
+        opened += 1
+        val delta = dvState.get(a.ref) match {
+          case Some(prev) =>
+            opened += 1; newRows.exceptAll(s.read.parquet(prev))
+          case None => newRows
+        }
+        dvState += (a.ref -> a.path)
+        tag(delta, "delete")
+      }
+      dvState --= removes // retired segments drop their association
+      addRemove ++ dvDeletes
     }
-    val nonEmpty = perCommit.filter(_.columns.nonEmpty)
+    val nonEmpty = perCommit.flatten
     require(nonEmpty.nonEmpty, s"no data actions in ($fromV, $toV] of $table")
     (nonEmpty.reduce(_ unionAll _), opened)
   }
@@ -805,7 +953,13 @@ object TxnLog {
                       actions: Seq[Action],
                       maxAttempts: Int = 10,
                       baseVersion: Option[Long] = None): CommitResult = {
-    val mine = actions.map(_.path).toSet
+    // a dv action touches its BASE segment too: a merge-on-read delete
+    // must conflict with a compaction or CoW rewrite of that segment
+    // (file-level OCC — they do not commute), so refs join the set
+    def touched(as: Seq[Action]): Set[String] =
+      as.flatMap(a => a.path +: (if (a.ref.nonEmpty) Seq(a.ref)
+                                 else Seq.empty)).toSet
+    val mine = touched(actions)
     var attempt = 0
     // `baseVersion` pins the snapshot the writer PREPARED against
     // (possibly stale — the contention path); default reads the head
@@ -819,7 +973,7 @@ object TxnLog {
       // every commit that landed since our base before rebasing —
       // fromVersion = base: older bodies are irrelevant AND never open
       val landed = commits(s, table, fromVersion = base)
-      val clash = landed.flatMap(_.actions.map(_.path)).toSet.intersect(mine)
+      val clash = landed.flatMap(c => touched(c.actions)).toSet.intersect(mine)
       if (clash.nonEmpty)
         throw new IllegalStateException(
           s"writer $writer conflicts on segments $clash at version ${base + 1}")
@@ -827,5 +981,58 @@ object TxnLog {
     }
     throw new IllegalStateException(
       s"writer $writer gave up after $maxAttempts attempts")
+  }
+
+  /** MERGE-ON-READ delete: remove every row matching `cond` WITHOUT
+    * rewriting a single segment — for each live segment whose
+    * still-visible rows match, write a NEW cumulative dv sidecar
+    * (previous sidecar rows + the new matches) and commit one `dv`
+    * action per touched segment. Untouched segments get no action at
+    * all (per-segment targeting — at 100 TB a point delete touches
+    * one segment's sidecar, not the table). The write cost is
+    * O(deleted rows), not O(segment): the trade against copy-on-write
+    * ([[changeFeed]]'s rewrite path) is deferred to readers, which
+    * subtract the sidecar per scan until OPTIMIZE rewrites — the
+    * public deletion-vector design. The per-segment probe loop is a
+    * driver-side loop over O(live segments) with one bounded job
+    * each, the same documented class as [[compactionPlan]] execution.
+    *
+    * Returns the commit result, or None when nothing matched (a no-op
+    * delete publishes no commit). */
+  def deleteWhereMoR(s: SparkSession, table: String, writer: String,
+                     cond: org.apache.spark.sql.Column)
+      : Option[CommitResult] = {
+    val st = logState(s, table)
+    val (cs, head) =
+      if (st.floor == 0L) {
+        val c = commitsFrom(s, table, st, None, 0L)
+        require(c.nonEmpty, s"cannot delete from empty table $table")
+        (c, c.last.version)
+      } else {
+        val base = latestCheckpointFrom(s, table, st.ckpts, st.floor)
+          .getOrElse(throw new IllegalStateException(
+            s"history floor ${st.floor} of $table has no readable checkpoint"))
+        val suf = commitsFrom(s, table, st, None, st.floor)
+        (base +: suf, suf.lastOption.map(_.version).getOrElse(st.floor))
+      }
+    val actions = liveState(cs).flatMap { case (seg, dvo) =>
+      val segDf = s.read.parquet(seg)
+      val visible = dvo
+        .map(dv => segDf.exceptAll(s.read.parquet(dv)))
+        .getOrElse(segDf)
+      val hits = visible.filter(cond)
+      if (hits.isEmpty) None
+      else {
+        val newDv = dvo
+          .map(dv => s.read.parquet(dv).unionAll(hits)).getOrElse(hits)
+        val dvPath = s"$table/_dv/${new Path(seg).getName}" +
+          s"_dv${stagingSeq.incrementAndGet()}"
+        newDv.coalesce(1).write.parquet(dvPath)
+        Some(Action("dv", dvPath, ref = seg))
+      }
+    }
+    if (actions.isEmpty) None
+    else Some(commitWithRetry(s, table, writer, actions,
+      baseVersion = Some(head)))
   }
 }

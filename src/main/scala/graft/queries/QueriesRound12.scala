@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.Tables._
-import graft.ops.Dedup
+import graft.ops.{Dedup, TxnLog}
+import graft.ops.TxnLog.Action
 import org.apache.spark.sql.functions._
 
 /** Round-12 batch: the suffix-array family composed END TO END (the
@@ -12,6 +13,12 @@ object QueriesRound12 {
 
   private val MaxLen = 64 // per-doc prefix cap (the q581/q582 bound)
   private val MinRepeat = 16 // strike spans repeated >= 16 chars
+
+  private def reset(s: org.apache.spark.sql.SparkSession,
+                    root: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -68,6 +75,98 @@ object QueriesRound12 {
         |SELECT d.doc_id, coalesce(agg.kept_text, '') AS kept_text,
         |  coalesce(agg.n_kept, 0) AS n_kept,
         |  CAST(length(d.t) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_struck
-        |FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin))
+        |FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- q586: merge-on-read delete ≡ copy-on-write, with zero rewrites --------------
+    // The deletion-vector design (q542 proved the SEMANTICS standalone;
+    // the log now speaks it): two identical 2-segment tables take the
+    // same DELETE — one copy-on-write (rewrite the hit segment), one
+    // merge-on-read (commit a dv sidecar, rewrite NOTHING). Pins: the
+    // readers agree row-for-row (symmetric exceptAll = 0); the MoR
+    // table's live segment PATHS are unchanged (0 rewritten) and only
+    // the hit segment carries a sidecar (per-segment targeting — the
+    // even-keys segment matched nothing and got no action); the MoR
+    // scan reads base segments + sidecar (3 input files vs CoW's 2);
+    // and both CDFs emit the SAME row-level deletes (dv delta ≡
+    // rewrite diff). At 100 TB this is the write-amplification story:
+    // a point delete costs O(deleted rows), not O(segment rewrite).
+    QueryDef("q586_txn_merge_on_read",
+      (s, d) => {
+        val root = Scratch.dir(s, d) + "/txn_q586"
+        reset(s, root)
+        val base = orders(s, d).select(col("o_orderkey"),
+          col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        def seg(t: String, name: String, df: org.apache.spark.sql.DataFrame)
+            : String = {
+          val p = s"$t/$name"
+          df.coalesce(1).write.parquet(p)
+          p
+        }
+        def build(t: String): (String, String) = {
+          val a = seg(t, "seg_a", base.where(col("o_orderkey") % 2 === 0))
+          require(TxnLog.tryCommit(s, t, 1L, "ingest", Seq(Action("add", a))))
+          val b = seg(t, "seg_b", base.where(col("o_orderkey") % 2 === 1))
+          require(TxnLog.tryCommit(s, t, 2L, "ingest", Seq(Action("add", b))))
+          (a, b)
+        }
+        val cow = s"$root/cow"
+        val mor = s"$root/mor"
+        val (_, cb) = build(cow)
+        val (ma, mb) = build(mor)
+        // the same delete, two execution strategies
+        val cb2 = seg(cow, "seg_b2",
+          s.read.parquet(cb).where(col("o_orderkey") % 8 =!= 1))
+        require(TxnLog.tryCommit(s, cow, 3L, "deleter",
+          Seq(Action("remove", cb), Action("add", cb2))))
+        require(TxnLog.deleteWhereMoR(s, mor, "deleter",
+          col("o_orderkey") % 8 === 1).exists(_.version == 3L))
+        // reader equivalence + the zero-rewrite plan audit
+        val (snapCow, _, nSegsCow) = TxnLog.snapshot(s, cow)
+        val (snapMor, _, nSegsMor) = TxnLog.snapshot(s, mor)
+        val readerMismatch = snapCow.exceptAll(snapMor)
+          .unionAll(snapMor.exceptAll(snapCow))
+          .agg(count(lit(1)).as("n_reader_mismatch"))
+        val morState = TxnLog.liveState(TxnLog.commits(s, mor))
+        val nRewritten = morState.map(_._1).count(p => p != ma && p != mb)
+        val nSidecars = morState.count(_._2.nonEmpty)
+        val dvOnB = morState.toMap.apply(mb).nonEmpty
+        val morInputs = snapMor.inputFiles.length
+        // CDF equivalence: dv delta ≡ rewrite diff, row for row
+        val (cdfCow, _) = TxnLog.changeFeed(s, cow, 2L, 3L, Seq("o_orderkey"))
+        val (cdfMor, _) = TxnLog.changeFeed(s, mor, 2L, 3L, Seq("o_orderkey"))
+        val cdfMismatch = cdfCow.exceptAll(cdfMor)
+          .unionAll(cdfMor.exceptAll(cdfCow))
+          .agg(count(lit(1)).as("n_cdf_mismatch"))
+        snapMor.agg(count(lit(1)).as("rows_live"),
+            sum("cents").as("sum_cents"))
+          .crossJoin(cdfMor.where(col("_change_type") === "delete")
+            .agg(count(lit(1)).as("n_deleted")))
+          .crossJoin(readerMismatch)
+          .crossJoin(cdfMismatch)
+          .select(col("rows_live"), col("sum_cents"), col("n_deleted"),
+            col("n_reader_mismatch"), col("n_cdf_mismatch"),
+            lit(nSegsCow).as("cow_segments"), lit(nSegsMor).as("mor_segments"),
+            lit(nRewritten).as("n_mor_rewritten"),
+            lit(nSidecars).as("n_dv_sidecars"),
+            lit(dvOnB).cast("int").as("dv_on_hit_segment"),
+            lit(morInputs).as("n_mor_input_files"))
+      },
+      Some("""SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |     WHERE o_orderkey % 8 != 1) AS rows_live,
+        |  (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |       AS BIGINT) FROM orders WHERE o_orderkey % 8 != 1)
+        |    AS sum_cents,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |     WHERE o_orderkey % 8 = 1) AS n_deleted,
+        |  CAST(0 AS BIGINT) AS n_reader_mismatch,
+        |  CAST(0 AS BIGINT) AS n_cdf_mismatch,
+        |  CAST(2 AS INTEGER) AS cow_segments,
+        |  CAST(2 AS INTEGER) AS mor_segments,
+        |  CAST(0 AS INTEGER) AS n_mor_rewritten,
+        |  CAST(1 AS INTEGER) AS n_dv_sidecars,
+        |  CAST(1 AS INTEGER) AS dv_on_hit_segment,
+        |  CAST(3 AS INTEGER) AS n_mor_input_files""".stripMargin))
   )
 }

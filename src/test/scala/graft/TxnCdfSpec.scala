@@ -104,18 +104,33 @@ class TxnCdfSpec extends SparkSpec {
       var nextId = 100L
       var live = Set.empty[Long]
       var v = 0L
-      // random add / rewrite commits over a growing id population
-      (1 to 6).foreach { i =>
-        v += 1
-        if (live.isEmpty || rnd.nextBoolean()) {
+      // random add / merge-on-read delete / rewrite commits over a
+      // growing id population — the rewrite branch also retires DV'd
+      // segments, covering the remove-after-dv double-count hazard
+      var i = 0
+      while (i < 7) {
+        i += 1
+        val roll = rnd.nextInt(3)
+        if (live.isEmpty || roll == 0) {
+          v += 1
           val ids = (1 to (1 + rnd.nextInt(4))).map { _ =>
             nextId += 1; nextId
           }
           val p = writeSeg(t, s"s$v", ids)
           TxnLog.tryCommit(spark, t, v, "w", Seq(Action("add", p)))
           live ++= ids
+        } else if (roll == 1) {
+          // merge-on-read delete of a random subset: no rewrite, one
+          // cumulative dv sidecar per touched segment
+          val dropped = live.filter(_ => rnd.nextInt(10) < 3)
+          TxnLog.deleteWhereMoR(spark, t, "mor",
+            col("id").isin(dropped.toSeq: _*)) match {
+            case Some(res) => v = res.version; live --= dropped
+            case None => i -= 1 // nothing matched: no commit, retry
+          }
         } else {
           // rewrite the WHOLE table: drop a random subset, add fresh ids
+          v += 1
           val dropped = live.filter(_ => rnd.nextBoolean())
           val added = (1 to (1 + rnd.nextInt(3))).map { _ =>
             nextId += 1; nextId
