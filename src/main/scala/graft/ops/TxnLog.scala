@@ -73,6 +73,16 @@ object TxnLog {
     * how many publish attempts it took (1 = no contention). */
   case class CommitResult(version: Long, attempts: Int)
 
+  /** Abort outcome of [[commitWithRetry]] — a true path conflict or
+    * attempt exhaustion. Carries the REAL publish count so a
+    * contention probe can account every tryCommit the loser burned
+    * before detecting the conflict (an aborted writer may have lost
+    * several version races first; counting it as one undercounts the
+    * contention tax). Subclasses IllegalStateException so existing
+    * abort handling is unchanged. */
+  class CommitConflictException(msg: String, val attempts: Int)
+    extends IllegalStateException(msg)
+
   private def logDir(table: String) = new Path(table, "_txnlog")
 
   private def versionFile(table: String, v: Long) =
@@ -975,12 +985,25 @@ object TxnLog {
       val landed = commits(s, table, fromVersion = base)
       val clash = landed.flatMap(c => touched(c.actions)).toSet.intersect(mine)
       if (clash.nonEmpty)
-        throw new IllegalStateException(
-          s"writer $writer conflicts on segments $clash at version ${base + 1}")
+        throw new CommitConflictException(
+          s"writer $writer conflicts on segments $clash at version ${base + 1}",
+          attempt)
       base = landed.lastOption.map(_.version).getOrElse(base)
+      // full-jitter exponential backoff before the re-publish (the
+      // public AWS backoff design): N racing writers otherwise stay
+      // SYNCHRONIZED — every loser re-reads and re-publishes against
+      // the same next version at the same instant, burning one wasted
+      // log read + publish per competitor per round (measured 4.4
+      // attempts/commit at 8 disjoint writers; SCALING.md carries the
+      // before/after). Uncontended commits never sleep (attempt 1
+      // returns above); the jitter draw is over [0, ceiling] so a
+      // lucky retrier still goes immediately.
+      val ceiling = math.min(100L, 1L << math.min(attempt + 1, 7))
+      Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+        .nextLong(ceiling + 1))
     }
-    throw new IllegalStateException(
-      s"writer $writer gave up after $maxAttempts attempts")
+    throw new CommitConflictException(
+      s"writer $writer gave up after $maxAttempts attempts", maxAttempts)
   }
 
   /** MERGE-ON-READ delete: remove every row matching `cond` WITHOUT

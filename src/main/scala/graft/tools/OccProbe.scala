@@ -60,9 +60,13 @@ object OccProbe {
               attempts.addAndGet(r.attempts.toLong)
               landed.incrementAndGet()
             } catch {
-              case _: IllegalStateException =>
+              case e: TxnLog.CommitConflictException =>
                 aborted.incrementAndGet()
-                attempts.incrementAndGet() // the losing publish
+                // the REAL publish count the loser burned — an abort
+                // may have lost several version races before its
+                // conflict surfaced; one flat increment undercounted
+                // the contention tax in conflicting mode
+                attempts.addAndGet(e.attempts.toLong)
             }
           }
         })

@@ -77,10 +77,25 @@ object TxnProbe {
       }
       def f(d: Double) = String.format(java.util.Locale.ROOT, "%.1f",
         Double.box(d))
+      // log retention closes the loop: the O(N) residue in checkpoint
+      // resolution is the directory LISTING of old .txn files —
+      // truncateLog deletes the bodies the checkpoint already folded,
+      // so the same reads must go ~flat afterwards (no removes were
+      // committed, so no vacuum gate applies)
+      TxnLog.truncateLog(spark, t)
+      val truncCkptMs = minOf3 {
+        val (_, v, _, ck) = TxnLog.snapshotViaCheckpoint(spark, t)
+        require(v == n.toLong && ck == n.toLong)
+      }
+      val truncHeadMs = minOf3 {
+        require(TxnLog.currentVersion(spark, t) == n.toLong)
+      }
       println(s"""{"probe":"txn_log_length","n_commits":$n,""" +
         s""""full_ms":${f(fullMs)},"ckpt_ms":${f(ckptMs)},""" +
         s""""head_ms":${f(headMs)},"build_ms":${f(buildMs)},""" +
-        s""""log_bodies_ms":${f(bodiesMs)},"log_suffix_ms":${f(suffixMs)}}""")
+        s""""log_bodies_ms":${f(bodiesMs)},"log_suffix_ms":${f(suffixMs)},""" +
+        s""""trunc_ckpt_ms":${f(truncCkptMs)},""" +
+        s""""trunc_head_ms":${f(truncHeadMs)}}""")
       org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(t))
     }
     spark.stop()
