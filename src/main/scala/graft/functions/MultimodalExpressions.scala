@@ -37,6 +37,32 @@ object MultimodalExprUtil {
       m.bits_per_sample, m.n_samples, m.duration_sec, m.valid))
   }
 
+  val tarWalkType: StructType = StructType(Seq(
+    StructField("valid", BooleanType, nullable = false),
+    StructField("err", StringType, nullable = false),
+    StructField("n_entries", LongType, nullable = false),
+    StructField("entries", ArrayType(StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("size", LongType, nullable = false),
+      StructField("flag", IntegerType, nullable = false),
+      StructField("offset", LongType, nullable = false))),
+      containsNull = false), nullable = false)))
+
+  def tarWalk(bytes: Array[Byte]): InternalRow = {
+    val w = graft.ops.Multimodal.tarWalkBytes(bytes)
+    val es = new Array[Any](w.entries.length)
+    var i = 0
+    w.entries.foreach { e =>
+      es(i) = new GenericInternalRow(Array[Any](
+        org.apache.spark.unsafe.types.UTF8String.fromString(e.name),
+        e.size, e.flag, e.offset))
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](w.valid,
+      org.apache.spark.unsafe.types.UTF8String.fromString(w.err),
+      w.n_entries, new GenericArrayData(es)))
+  }
+
   def patchStats(bytes: Array[Byte]): ArrayData = {
     val ps = graft.ops.Multimodal.patchStats32(bytes)
     val arr = new Array[Any](ps.length)
@@ -69,6 +95,35 @@ case class WavMetadataExpr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       c => s"graft.functions.MultimodalExprUtil.wavMeta($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_tar_walk(binary)` — ustar shard header walk as a native
+  * codegen expression: struct(valid, err, n_entries, entries) with
+  * per-entry payload offsets, errors-as-data (bad magic / checksum /
+  * truncation return valid=false with whatever parsed — a poisoned
+  * shard never fails the task). Same walker as the fuzzed
+  * [[graft.ops.Multimodal.tarWalkBytes]]; only the result assembly is
+  * Catalyst-native. */
+case class TarWalkExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_tar_walk expects binary, got ${other.sql}")
+  }
+
+  override def dataType: DataType = MultimodalExprUtil.tarWalkType
+  override def prettyName: String = "graft_tar_walk"
+
+  override def nullSafeEval(input: Any): Any =
+    MultimodalExprUtil.tarWalk(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MultimodalExprUtil.tarWalk($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -794,7 +794,10 @@ object Multimodal {
     * testable. */
   // --- tar shard walk (the WebDataset container) -------------------------
 
-  case class TarEntry(name: String, size: Long, flag: Int)
+  /** `offset` = first payload byte within the shard — so downstream
+    * extraction is a plain builtin `substring(shard, offset + 1,
+    * size)` on the binary column (codegen'd slice, no second walk). */
+  case class TarEntry(name: String, size: Long, flag: Int, offset: Long)
   case class TarWalk(valid: Boolean, err: String, n_entries: Long,
                      entries: Seq[TarEntry])
 
@@ -881,7 +884,7 @@ object Multimodal {
             entries.size.toLong, entries.toSeq)
         val name = new String(b, off, 100, "UTF-8").takeWhile(_ != 0)
         val size = octAt(124, 12)
-        entries += TarEntry(name, size, b(off + 156) - '0')
+        entries += TarEntry(name, size, b(off + 156) - '0', off + 512L)
         val padded = ((size + 511L) / 512L) * 512L
         if (off + 512L + padded > b.length)
           return TarWalk(valid = false, "truncated",
@@ -895,9 +898,16 @@ object Multimodal {
     TarWalk(valid = true, "", entries.size.toLong, entries.toSeq)
   }
 
-  /** Column form of [[tarWalkBytes]]. */
-  def tarWalk: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf(tarWalkBytes _)
+  /** Column form of [[tarWalkBytes]] — a native codegen expression
+    * (functions/MultimodalExpressions), not a UDF: shard listing runs
+    * once per shard on the ingest path, and the expression form keeps
+    * the plan inside whole-stage codegen with no encoder round trip
+    * (the r8 wavMetadata/patchStats discipline, extended to the tar
+    * walk per the r11 verdict). */
+  def tarWalk(shard: Column): Column =
+    org.apache.spark.sql.graftglue.GraftPlanApi.column(
+      graft.functions.TarWalkExpr(
+        org.apache.spark.sql.graftglue.GraftPlanApi.expression(shard)))
 
   def resizeStub(content: Column, targetW: Int, targetH: Int): Column = {
     // fake output size scales with target area; capped by the input

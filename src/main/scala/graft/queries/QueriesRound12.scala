@@ -77,6 +77,97 @@ object QueriesRound12 {
         |  CAST(length(d.t) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_struck
         |FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin)),
 
+    // ---- q585: WebDataset sample assembly — tar → multimodal sample table -----------
+    // The step after q583's shard LISTING: training ingest needs the
+    // SAMPLES. Each shard carries two samples in the WebDataset
+    // convention (`<key>.txt` + `<key>.cls` + `<key>.wav` → one
+    // training row); the walk's per-entry payload OFFSETS make
+    // extraction a builtin binary substring (codegen slice — the
+    // native tar expression never re-walks), the wav payload routes
+    // through the REAL RIFF parser, and completeness is enforced as
+    // data: a sample missing a part (every 7th shard omits sample b's
+    // wav) is quarantined, not dropped silently and never a task
+    // failure; truncated shards (every 13th) quarantine wholesale at
+    // the walk. The oracle mirrors the synthesis arithmetic — label
+    // sums, text lengths (digit-width-aware), wav sample counts — so
+    // the hash gate covers grouping, extraction, and routing at once.
+    QueryDef("q585_webdataset_assembly",
+      (s, d) => {
+        val mk = udf { (id: Long) =>
+          def txt(smp: String) =
+            s"doc $id sample $smp".getBytes("UTF-8")
+          def cls(v: Long) = Array(('0' + v.toInt).toByte)
+          val a = Seq(
+            (s"${id}a.txt", txt("a")),
+            (s"${id}a.cls", cls(id % 10)),
+            (s"${id}a.wav", graft.ops.Multimodal.makeWav(8000, 1,
+              new Array[Short]((id % 50).toInt + 10))))
+          val b = Seq(
+            (s"${id}b.txt", txt("b")),
+            (s"${id}b.cls", cls((id + 3) % 10))) ++
+            (if (id % 7 != 0) Seq((s"${id}b.wav",
+              graft.ops.Multimodal.makeWav(8000, 1,
+                new Array[Short]((id % 31).toInt + 5))))
+             else Seq.empty)
+          val full = graft.ops.Multimodal.makeTar(a ++ b)
+          if (id % 13 == 0) full.take(600) else full
+        }
+        val walked = documents(s, d)
+          .select(col("doc_id"), mk(col("doc_id")).as("b"))
+          .withColumn("w", graft.ops.Multimodal.tarWalk(col("b")))
+        val audit = walked.agg(count(lit(1)).as("n_shards"),
+          sum((!col("w.valid")).cast("long")).as("n_bad_shards"))
+        val entries = walked.where(col("w.valid"))
+          .select(col("doc_id"), col("b"), explode(col("w.entries")).as("e"))
+          .select(col("doc_id"),
+            expr("substring_index(e.name, '.', 1)").as("k"),
+            expr("substring_index(e.name, '.', -1)").as("ext"),
+            expr("substring(b, e.offset + 1, e.size)").as("payload"))
+        val samples = entries.groupBy("doc_id", "k").agg(
+          first(when(col("ext") === "txt", col("payload")), ignoreNulls = true)
+            .as("txt"),
+          first(when(col("ext") === "cls", col("payload")), ignoreNulls = true)
+            .as("cls"),
+          first(when(col("ext") === "wav", col("payload")), ignoreNulls = true)
+            .as("wav"))
+        val complete = samples.where(col("txt").isNotNull &&
+            col("cls").isNotNull && col("wav").isNotNull)
+          .withColumn("wm", graft.ops.Multimodal.wavMetadata(col("wav")))
+          .select(
+            col("cls").cast("string").cast("int").as("label"),
+            length(col("txt").cast("string")).cast("long").as("tc"),
+            col("wm.n_samples").as("ws"),
+            col("wm.valid").cast("long").as("wok"))
+        val quarantined = samples.where(col("txt").isNull ||
+          col("cls").isNull || col("wav").isNull)
+        complete.agg(count(lit(1)).as("n_complete"),
+            sum("label").as("sum_label"), sum("tc").as("sum_text_chars"),
+            sum("ws").as("sum_wav_samples"), sum("wok").as("n_wav_valid"))
+          .crossJoin(quarantined.agg(count(lit(1)).as("n_incomplete")))
+          .crossJoin(audit)
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents),
+        |v AS (SELECT doc_id FROM ids WHERE doc_id % 13 != 0),
+        |comp AS (
+        |  SELECT doc_id, doc_id % 10 AS label,
+        |    13 + length(CAST(doc_id AS VARCHAR)) AS tc,
+        |    doc_id % 50 + 10 AS ws FROM v
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id + 3) % 10,
+        |    13 + length(CAST(doc_id AS VARCHAR)),
+        |    doc_id % 31 + 5 FROM v WHERE doc_id % 7 != 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_complete,
+        |  CAST(sum(label) AS BIGINT) AS sum_label,
+        |  CAST(sum(tc) AS BIGINT) AS sum_text_chars,
+        |  CAST(sum(ws) AS BIGINT) AS sum_wav_samples,
+        |  CAST(count(*) AS BIGINT) AS n_wav_valid,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM v WHERE doc_id % 7 = 0)
+        |    AS n_incomplete,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ids) AS n_shards,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ids WHERE doc_id % 13 = 0)
+        |    AS n_bad_shards
+        |FROM comp""".stripMargin)),
+
     // ---- q586: merge-on-read delete ≡ copy-on-write, with zero rewrites --------------
     // The deletion-vector design (q542 proved the SEMANTICS standalone;
     // the log now speaks it): two identical 2-segment tables take the
