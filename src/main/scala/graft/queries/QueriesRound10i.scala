@@ -30,7 +30,8 @@ object QueriesRound10i {
   private val MaxPlanes = 12 // static plane expansion bound in the oracle
   private val MaxBucket = 128 // 4× target occupancy: degenerate-skew guard
   private val Degree = 12 // kNN-graph out-degree (r10: 6 — recall lift)
-  private val Beam = 12
+  private val Beam = 12 // beam FLOOR: the width is corpus-derived
+  private val MaxBeam = 128 // single-layer honesty cap (see beamForCorpus)
   private val Hops = 6
   private val K = 3 // final top-k
   private val Entry = 100L // fixed entry node (NSW convention)
@@ -72,6 +73,11 @@ object QueriesRound10i {
         val n = embeddings(s, d).count()
         val nPlanes = Similarity.planesForCorpus(n, TargetOcc,
           MinPlanes, MaxPlanes)
+        // beam derived from corpus size (the r12 fix: a fixed beam 12
+        // measured 10/12 recall at sf0.01 but 3/12 at sf0.1 — the
+        // search must widen as the graph grows; RECALL.md has the
+        // ladder) — floor 12, ceil(sqrt(n)), cap 128
+        val nBeam = Similarity.beamForCorpus(n, Beam, MaxBeam)
         val planes = Similarity.hyperplanes(nPlanes, QueriesSimilarity.Dim, Seed)
         def dotN(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
           GraftFunctions.dotNative(a, b)
@@ -173,7 +179,7 @@ object QueriesRound10i {
             .where(col("node") =!= col("query_id"))
             .distinct()
           val old = frontier
-          frontier = scoreTop(expanded, Beam).localCheckpoint()
+          frontier = scoreTop(expanded, nBeam).localCheckpoint()
           graft.ops.Checkpoints.free(old)
         }
         graft.ops.Checkpoints.free(edgesCk)
@@ -199,6 +205,7 @@ object QueriesRound10i {
             max(expr("CAST(round(bc * 10000) AS BIGINT)"))
               .as("brute_best_e4"))
           .withColumn("n_planes", lit(nPlanes))
+          .withColumn("beam_width", lit(nBeam))
           .crossJoin(broadcast(audit))
           .orderBy("query_id")
       },
@@ -228,9 +235,11 @@ object QueriesRound10i {
              |        DESC, c$h.node) AS rn
              |  FROM c$h JOIN bk n ON n.vec_id = c$h.node
              |    JOIN probes p ON p.vec_id = c$h.query_id)
-             |  WHERE rn <= $Beam)""".stripMargin
+             |  WHERE rn <= (SELECT bm FROM cfg))""".stripMargin
         }.mkString(",\n")
-        s"""WITH cfg AS (SELECT ($npCase) AS np
+        s"""WITH cfg AS (SELECT ($npCase) AS np,
+        |    LEAST($MaxBeam, GREATEST($Beam,
+        |      CAST(ceil(sqrt(n)) AS INTEGER))) AS bm
         |  FROM (SELECT count(*) AS n FROM embeddings)),
         |bk AS MATERIALIZED (SELECT vec_id, embedding,
         |    sqrt(${DuckSql.dot("embedding", "embedding", dim)}) AS nrm,
@@ -302,6 +311,7 @@ object QueriesRound10i {
         |  CAST(max(round(beam.c * 10000)) AS BIGINT) AS beam_best_e4,
         |  CAST(max(round(brute.c * 10000)) AS BIGINT) AS brute_best_e4,
         |  CAST((SELECT np FROM cfg) AS INTEGER) AS n_planes,
+        |  CAST((SELECT bm FROM cfg) AS INTEGER) AS beam_width,
         |  CAST((SELECT (SELECT count(*) FROM cap0)
         |    + (SELECT count(*) FROM cap1)) AS BIGINT) AS n_capped_buckets
         |FROM beam LEFT JOIN brute ON beam.query_id = brute.query_id
