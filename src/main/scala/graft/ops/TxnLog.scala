@@ -327,17 +327,22 @@ object TxnLog {
       val head = lines.head.split("\t")
       require(head(0) == "commit" && head(1).toLong == v,
         s"malformed commit file ${p.getName}")
-      Commit(v, head(2), lines.tail.map { l =>
-        val a = l.split("\t")
-        val stats =
-          if (a.length > 2 && a(2).nonEmpty)
-            a(2).split(",").map { f =>
-              val p = f.split(":"); p(0) -> (p(1).toLong, p(2).toLong)
-            }.toMap
-          else Map.empty[String, (Long, Long)]
-        Action(a(0), a(1), stats, ref = if (a.length > 3) a(3) else "")
-      })
+      Commit(v, head(2), lines.tail.map(parseActionLine))
     }.toSeq
+  }
+
+  /** One commit-body ACTION line → [[Action]] — the single parser
+    * under the batch log reader and the streaming manifest tail (the
+    * streamed lines are the same bytes the batch reader opens). */
+  def parseActionLine(l: String): Action = {
+    val a = l.split("\t")
+    val stats =
+      if (a.length > 2 && a(2).nonEmpty)
+        a(2).split(",").map { f =>
+          val p = f.split(":"); p(0) -> (p(1).toLong, p(2).toLong)
+        }.toMap
+      else Map.empty[String, (Long, Long)]
+    Action(a(0), a(1), stats, ref = if (a.length > 3) a(3) else "")
   }
 
   /** Live table state after folding `cs` in version order (stable
@@ -872,84 +877,110 @@ object TxnLog {
     var dvState: Map[String, String] =
       if (!suffix.exists(_.actions.exists(a =>
           a.kind == "remove" || a.kind == "dv"))) Map.empty
-      else if (fromV == 0L) Map.empty
-      else {
-        val baseCs =
-          if (st.floor == 0L) commitsFrom(s, table, st, Some(fromV), 0L)
-          else latestCheckpointFrom(s, table, st.ckpts, fromV) match {
-            case Some(b) =>
-              b +: commitsFrom(s, table, st, Some(fromV), b.version)
-            case None => throw new IllegalStateException(
-              s"history floor ${st.floor} of $table has no readable checkpoint")
-          }
-        liveState(baseCs).collect { case (p, Some(dv)) => p -> dv }.toMap
-      }
+      else dvStateAtFrom(s, table, st, fromV)
     var opened = 0
     val perCommit = suffix.map { c =>
-      val adds = c.actions.filter(_.kind == "add").map(_.path)
-      val removes = c.actions.filter(_.kind == "remove").map(_.path)
-      val dvActs = c.actions.filter(_.kind == "dv")
-      opened += adds.size + removes.size
-      def tag(df: DataFrame, t: String) = df
-        .withColumn("_change_type", lit(t))
-        .withColumn("_commit_version", lit(c.version))
-      // a removed segment's rows MINUS its active dv: rows the dv had
-      // already deleted must not surface as deletes twice
-      def readRemoved(): DataFrame = {
-        if (removes.forall(p => !dvState.contains(p)))
-          s.read.parquet(removes: _*) // pre-dv plan, bit-identical
-        else removes.map { p =>
-          val seg = s.read.parquet(p)
-          dvState.get(p) match {
-            case Some(dv) => opened += 1; seg.exceptAll(s.read.parquet(dv))
-            case None => seg
-          }
-        }.reduce(_ unionAll _)
-      }
-      val addRemove = (adds.nonEmpty, removes.nonEmpty) match {
-        case (true, false) => Seq(tag(s.read.parquet(adds: _*), "insert"))
-        case (false, true) => Seq(tag(readRemoved(), "delete"))
-        case (true, true) =>
-          import org.apache.spark.sql.functions.{col, when}
-          val a = s.read.parquet(adds: _*)
-          val r = readRemoved()
-          // classify each surviving diff row by identity persistence:
-          // ONE left join against the other side's distinct ids (never
-          // two passes over the diff)
-          def classify(diff: DataFrame, other: DataFrame,
-                       persists: String, alone: String): DataFrame = {
-            val ids = other.select(idCols.map(col): _*).distinct()
-              .withColumn("__m", lit(1))
-            diff.join(ids, idCols, "left")
-              .withColumn("_change_type",
-                when(col("__m").isNull, lit(alone)).otherwise(lit(persists)))
-              .withColumn("_commit_version", lit(c.version))
-              .select(diff.columns.map(col) :+ col("_change_type") :+
-                col("_commit_version"): _*)
-          }
-          Seq(classify(a.exceptAll(r), r, "update_post", "insert")
-            .unionAll(classify(r.exceptAll(a), a, "update_pre", "delete")))
-        case (false, false) => Seq.empty
-      }
-      // dv actions: the commit's row-level deletes are the DELTA —
-      // new sidecar minus the superseded one (each dv is cumulative)
-      val dvDeletes = dvActs.map { a =>
-        val newRows = s.read.parquet(a.path)
-        opened += 1
-        val delta = dvState.get(a.ref) match {
-          case Some(prev) =>
-            opened += 1; newRows.exceptAll(s.read.parquet(prev))
-          case None => newRows
-        }
-        dvState += (a.ref -> a.path)
-        tag(delta, "delete")
-      }
-      dvState --= removes // retired segments drop their association
-      addRemove ++ dvDeletes
+      val (dfs, nd, op) = commitChanges(s, c, dvState, idCols)
+      dvState = nd
+      opened += op
+      dfs
     }
     val nonEmpty = perCommit.flatten
     require(nonEmpty.nonEmpty, s"no data actions in ($fromV, $toV] of $table")
     (nonEmpty.reduce(_ unionAll _), opened)
+  }
+
+  /** Active dv sidecar per live segment at version `asOf` — O(log)
+    * driver-side metadata reads (checkpoint + suffix), never data. */
+  def dvStateAt(s: SparkSession, table: String,
+                asOf: Long): Map[String, String] =
+    dvStateAtFrom(s, table, logState(s, table), asOf)
+
+  private def dvStateAtFrom(s: SparkSession, table: String, st: LogState,
+                            asOf: Long): Map[String, String] = {
+    if (asOf == 0L) return Map.empty
+    val baseCs =
+      if (st.floor == 0L) commitsFrom(s, table, st, Some(asOf), 0L)
+      else latestCheckpointFrom(s, table, st.ckpts, asOf) match {
+        case Some(b) =>
+          b +: commitsFrom(s, table, st, Some(asOf), b.version)
+        case None => throw new IllegalStateException(
+          s"history floor ${st.floor} of $table has no readable checkpoint")
+      }
+    liveState(baseCs).collect { case (p, Some(dv)) => p -> dv }.toMap
+  }
+
+  /** Row-level changes of ONE commit, given the active dv state at
+    * its predecessor — the shared classification under batch
+    * [[changeFeed]] and the streaming CDF tail
+    * (streaming/Sessions.streamChangeFeedToBatch), so stream ≡ batch
+    * is structural, not coincidental. Returns (change frames, dv
+    * state after the commit, data files opened). */
+  def commitChanges(s: SparkSession, c: Commit,
+                    dvState0: Map[String, String], idCols: Seq[String])
+      : (Seq[DataFrame], Map[String, String], Int) = {
+    import org.apache.spark.sql.functions.lit
+    var dvState = dvState0
+    val adds = c.actions.filter(_.kind == "add").map(_.path)
+    val removes = c.actions.filter(_.kind == "remove").map(_.path)
+    val dvActs = c.actions.filter(_.kind == "dv")
+    var opened = adds.size + removes.size
+    def tag(df: DataFrame, t: String) = df
+      .withColumn("_change_type", lit(t))
+      .withColumn("_commit_version", lit(c.version))
+    // a removed segment's rows MINUS its active dv: rows the dv had
+    // already deleted must not surface as deletes twice
+    def readRemoved(): DataFrame = {
+      if (removes.forall(p => !dvState.contains(p)))
+        s.read.parquet(removes: _*) // pre-dv plan, bit-identical
+      else removes.map { p =>
+        val seg = s.read.parquet(p)
+        dvState.get(p) match {
+          case Some(dv) => opened += 1; seg.exceptAll(s.read.parquet(dv))
+          case None => seg
+        }
+      }.reduce(_ unionAll _)
+    }
+    val addRemove = (adds.nonEmpty, removes.nonEmpty) match {
+      case (true, false) => Seq(tag(s.read.parquet(adds: _*), "insert"))
+      case (false, true) => Seq(tag(readRemoved(), "delete"))
+      case (true, true) =>
+        import org.apache.spark.sql.functions.{col, when}
+        val a = s.read.parquet(adds: _*)
+        val r = readRemoved()
+        // classify each surviving diff row by identity persistence:
+        // ONE left join against the other side's distinct ids (never
+        // two passes over the diff)
+        def classify(diff: DataFrame, other: DataFrame,
+                     persists: String, alone: String): DataFrame = {
+          val ids = other.select(idCols.map(col): _*).distinct()
+            .withColumn("__m", lit(1))
+          diff.join(ids, idCols, "left")
+            .withColumn("_change_type",
+              when(col("__m").isNull, lit(alone)).otherwise(lit(persists)))
+            .withColumn("_commit_version", lit(c.version))
+            .select(diff.columns.map(col) :+ col("_change_type") :+
+              col("_commit_version"): _*)
+        }
+        Seq(classify(a.exceptAll(r), r, "update_post", "insert")
+          .unionAll(classify(r.exceptAll(a), a, "update_pre", "delete")))
+      case (false, false) => Seq.empty
+    }
+    // dv actions: the commit's row-level deletes are the DELTA —
+    // new sidecar minus the superseded one (each dv is cumulative)
+    val dvDeletes = dvActs.map { a =>
+      val newRows = s.read.parquet(a.path)
+      opened += 1
+      val delta = dvState.get(a.ref) match {
+        case Some(prev) =>
+          opened += 1; newRows.exceptAll(s.read.parquet(prev))
+        case None => newRows
+      }
+      dvState += (a.ref -> a.path)
+      tag(delta, "delete")
+    }
+    dvState --= removes // retired segments drop their association
+    (addRemove ++ dvDeletes, dvState, opened)
   }
 
   /** Optimistic-concurrency commit loop: try the current head + 1; on

@@ -258,6 +258,60 @@ object QueriesRound12 {
         |  CAST(0 AS INTEGER) AS n_mor_rewritten,
         |  CAST(1 AS INTEGER) AS n_dv_sidecars,
         |  CAST(1 AS INTEGER) AS dv_on_hit_segment,
-        |  CAST(3 AS INTEGER) AS n_mor_input_files""".stripMargin))
+        |  CAST(3 AS INTEGER) AS n_mor_input_files""".stripMargin)),
+
+    // ---- q587: STREAMING change-data-feed (lane #36) ----------------------------------
+    // The consumer-facing twin of q578's manifest tail: q578 streams
+    // the live-set FOLD; this lane streams the CHANGES — a readStream
+    // over the commit manifest emits q571's row-level feed
+    // incrementally as commits land (one micro-batch per commit file,
+    // contiguity-buffered so version order survives mod-time arrival
+    // order, dv state threaded across micro-batches). The history
+    // exercises every commit shape the feed classifies: two appends, a
+    // compaction (must net to ZERO streamed changes), and a
+    // merge-on-read delete (the dv DELTA, q586's write path). Pinned
+    // against the batch changeFeed over the same range — the in-frame
+    // symmetric difference is an oracle column, and the per-shape
+    // counts are synthesis arithmetic.
+    QueryDef("q587_streaming_cdf",
+      (s, d) => {
+        val root = Scratch.dir(s, d) + "/txn_q587"
+        val (_, _, _, dd) = QueriesRound10.buildHistory(s, d, root)
+        // v5: MoR delete of keys ≡ 2 (mod 8) — hits seg_d only
+        require(TxnLog.deleteWhereMoR(s, root, "deleter",
+          col("o_orderkey") % 8 === 2).exists(_.version == 5L))
+        require(dd.nonEmpty) // seg_d exists (the dv's base segment)
+        val sink = s"$root/_cdf_sink"
+        val streamed = graft.streaming.Sessions.streamChangeFeedToBatch(
+          s, root, fromV = 1L, idCols = Seq("o_orderkey"), outDir = sink)
+        val (batch, _) = TxnLog.changeFeed(s, root, 1L, 5L,
+          Seq("o_orderkey"))
+        val mismatch = streamed.exceptAll(batch)
+          .unionAll(batch.exceptAll(streamed))
+          .agg(count(lit(1)).as("n_stream_batch_mismatch"))
+        streamed.agg(
+            sum((col("_change_type") === "insert").cast("long"))
+              .as("n_inserts"),
+            sum((col("_change_type") === "delete").cast("long"))
+              .as("n_deletes"),
+            sum(when(col("_change_type") === "delete", col("cents")))
+              .as("deleted_cents"),
+            countDistinct(col("_commit_version"))
+              .as("n_commits_with_changes"))
+          .crossJoin(mismatch)
+      },
+      // v2 inserts keys ≡ 1 (mod 4); v3 compaction nets zero; v4
+      // inserts ≡ 2 (mod 4); v5 dv-deletes ≡ 2 (mod 8) → commits with
+      // changes = {2, 4, 5}
+      Some("""SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |     WHERE o_orderkey % 4 IN (1, 2)) AS n_inserts,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |     WHERE o_orderkey % 8 = 2) AS n_deletes,
+        |  (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |       AS BIGINT) FROM orders WHERE o_orderkey % 8 = 2)
+        |    AS deleted_cents,
+        |  CAST(3 AS BIGINT) AS n_commits_with_changes,
+        |  CAST(0 AS BIGINT) AS n_stream_batch_mismatch""".stripMargin))
   )
 }

@@ -175,6 +175,71 @@ object Sessions {
       reader.text(sourceDir)
     }, transform, outputMode, shufflePartitions)
 
+  /** STREAMING change-data-feed (lane #36) — the consumer-facing twin
+    * of the q578 manifest tail: instead of the live-set FOLD, emit the
+    * table's ROW-LEVEL changes incrementally as commits land. The
+    * text stream over `_txnlog` is the notification plane (tiny
+    * manifest lines, one micro-batch per commit file via
+    * maxFilesPerTrigger=1); foreachBatch parses the streamed lines
+    * into commits with [[graft.ops.TxnLog.parseActionLine]] — the same
+    * parser the batch reader uses — holds them in a CONTIGUITY buffer
+    * (a commit's changes apply only once every predecessor's have:
+    * file-stream arrival order is mod-time, not version, and dv/remove
+    * classification is order-dependent), threads the active dv state
+    * across micro-batches, and appends each commit's change rows
+    * (the shared [[graft.ops.TxnLog.commitChanges]] classification,
+    * so stream ≡ batch is structural) to the sink directory. The
+    * driver-held (nextVersion, dvState) pair is this runner's demo
+    * bound: a production restart rebuilds both from the sink's
+    * high-water `_commit_version` plus the log — the standard
+    * streaming-checkpoint recovery argument. Returns the accumulated
+    * feed as a batch frame. */
+  def streamChangeFeedToBatch(spark: org.apache.spark.sql.SparkSession,
+                              table: String, fromV: Long,
+                              idCols: Seq[String],
+                              outDir: String): DataFrame = {
+    import graft.ops.TxnLog
+    var dvState = TxnLog.dvStateAt(spark, table, fromV)
+    var nextV = fromV + 1
+    val pending = scala.collection.mutable.Map.empty[Long, TxnLog.Commit]
+    val q = spark.readStream
+      .option("pathGlobFilter", "*.txn")
+      .option("maxFilesPerTrigger", "1")
+      .text(s"$table/_txnlog")
+      .withColumn("version", regexp_extract(input_file_name(),
+        "(\\d{20})\\.txn", 1).cast("long"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // manifest lines are tiny — the collect is O(actions in this
+        // micro-batch), never data
+        val lines = batch.collect()
+          .map(r => (r.getAs[Long]("version"), r.getAs[String]("value")))
+        lines.groupBy(_._1).foreach { case (v, ls) =>
+          if (v > fromV) {
+            val body = ls.map(_._2).filter(_.nonEmpty)
+            val head = body.find(_.startsWith("commit\t")).getOrElse(
+              throw new IllegalStateException(
+                s"streamed commit $v has no header line"))
+            pending(v) = TxnLog.Commit(v, head.split("\t")(2),
+              body.filterNot(_.startsWith("commit\t"))
+                .map(TxnLog.parseActionLine).toSeq)
+          }
+        }
+        while (pending.contains(nextV)) {
+          val c = pending.remove(nextV).get
+          val (dfs, nd, _) = TxnLog.commitChanges(spark, c, dvState, idCols)
+          dvState = nd
+          dfs.foreach(_.write.mode("append").parquet(outDir))
+          nextV += 1
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    spark.read.parquet(outDir)
+  }
+
   /** [[runStreamToBatch]] for a CUSTOM DataSourceV2 streaming source
     * (by format name + options) instead of a file source — the runner
     * behind the q425 device-capture lane. Same contract: the
