@@ -749,6 +749,31 @@ object TxnLog {
     }
   }
 
+  /** Execute ONE [[compactionPlan]] bin MERGE-ON-READ-aware: the
+    * merged segment carries each member's VISIBLE rows — a raw member
+    * read would RESURRECT every MoR-deleted row still sitting in the
+    * member's dv sidecar (the compaction-after-delete hazard q588
+    * pins; this is also how OPTIMIZE retires the MoR read tax: the
+    * sidecar subtraction is materialized once and the sidecar becomes
+    * vacuum food via the segment-removed rule). Commits
+    * remove(members) + add(merged) through OCC, so a concurrent
+    * writer touching a member — including a NEW dv on it, refs join
+    * the conflict set — aborts the compaction instead of losing its
+    * delete. */
+  def compactBin(s: SparkSession, table: String, writer: String,
+                 bin: Seq[String], mergedPath: String): CommitResult = {
+    require(bin.nonEmpty, "empty compaction bin")
+    val dvState = dvStateAt(s, table, currentVersion(s, table))
+    val merged = bin.map { p =>
+      val seg = s.read.parquet(p)
+      dvState.get(p)
+        .map(dv => seg.exceptAll(s.read.parquet(dv))).getOrElse(seg)
+    }.reduce(_ unionAll _)
+    merged.coalesce(1).write.parquet(mergedPath)
+    commitWithRetry(s, table, writer,
+      bin.map(Action("remove", _)) :+ Action("add", mergedPath))
+  }
+
   case class TruncateResult(floor: Long, deletedCommits: Int)
 
   /** Log RETENTION: physically delete the commit bodies a checkpoint

@@ -312,6 +312,94 @@ object QueriesRound12 {
         |       AS BIGINT) FROM orders WHERE o_orderkey % 8 = 2)
         |    AS deleted_cents,
         |  CAST(3 AS BIGINT) AS n_commits_with_changes,
-        |  CAST(0 AS BIGINT) AS n_stream_batch_mismatch""".stripMargin))
+        |  CAST(0 AS BIGINT) AS n_stream_batch_mismatch""".stripMargin)),
+
+    // ---- q588: OPTIMIZE a merge-on-read table — dv-aware compaction ------------------
+    // The q577 × q586 interaction: compacting a DV'd segment from its
+    // RAW bytes would resurrect every MoR-deleted row (the sidecar
+    // subtraction lives at read time, and a rewrite that forgets it
+    // bakes the zombies in). TxnLog.compactBin reads each member's
+    // VISIBLE rows; the lane pins the whole contract — the snapshot is
+    // bit-identical across the rewrite (rows + cents), the compaction
+    // commit nets to ZERO CDF changes (the q577 invisibility proof,
+    // now over a dv'd member: a raw-read rewrite would surface the
+    // deleted rows as phantom deletes), the merged table drops to 2
+    // segments with NO active sidecar (the MoR read tax retired), and
+    // vacuum afterwards reaps the dead sidecar with its segment.
+    QueryDef("q588_txn_optimize_mor",
+      (s, d) => {
+        val root = Scratch.dir(s, d) + "/txn_q588"
+        reset(s, root)
+        val base = orders(s, d).select(col("o_orderkey"),
+          col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        val big = s"$root/seg_big"
+        base.where(col("o_orderkey") % 32 >= 4)
+          .coalesce(1).write.parquet(big)
+        require(TxnLog.tryCommit(s, root, 1L, "ingest",
+          Seq(Action("add", big))))
+        (0 to 3).foreach { i =>
+          val p = s"$root/seg_small$i"
+          base.where(col("o_orderkey") % 32 === i)
+            .coalesce(1).write.parquet(p)
+          require(TxnLog.tryCommit(s, root, i + 2L, "ingest",
+            Seq(Action("add", p))))
+        }
+        // MoR delete hits ONE small segment (keys ≡ 2 mod 32, ≡ 0 mod 3)
+        require(TxnLog.deleteWhereMoR(s, root, "deleter",
+          col("o_orderkey") % 32 === 2 && col("o_orderkey") % 3 === 0)
+          .exists(_.version == 6L))
+        val dvPath = TxnLog.liveState(TxnLog.commits(s, root))
+          .collectFirst { case (_, Some(dv)) => dv }.get
+        val preHead = TxnLog.currentVersion(s, root)
+        val (preSnap, _, _) = TxnLog.snapshot(s, root)
+        // materialize NOW: the compaction + vacuum below delete the
+        // member files this lazy plan would otherwise scan at the end
+        val pre = preSnap.agg(count(lit(1)).as("rows_live"),
+          sum("cents").as("sum_cents")).localCheckpoint()
+        val plan = TxnLog.compactionPlan(s, root)
+        plan.zipWithIndex.foreach { case (bin, k) =>
+          TxnLog.compactBin(s, root, "optimizer", bin, s"$root/seg_merged$k")
+        }
+        val head = TxnLog.currentVersion(s, root)
+        val (chg, _) = TxnLog.changeFeed(s, root, preHead, head,
+          Seq("o_orderkey"))
+        // materialize the CDF verdict NOW too: the feed's plan reads
+        // the removed members the vacuum below physically deletes
+        val cdfCount = chg.agg(count(lit(1)).as("n_cdf_changes"))
+          .localCheckpoint()
+        val state = TxnLog.liveState(TxnLog.commits(s, root))
+        val vac = TxnLog.vacuum(s, root, horizon = head)
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val (postSnap, _, _) = TxnLog.snapshot(s, root)
+        postSnap.agg(count(lit(1)).as("rows_live"),
+            sum("cents").as("sum_cents"))
+          .unionAll(pre).distinct() // pre ≡ post collapses to ONE row
+          .crossJoin(cdfCount)
+          .select(col("rows_live"), col("sum_cents"), col("n_cdf_changes"),
+            lit(plan.size).as("n_bins"),
+            lit(state.size).as("n_live_segments"),
+            lit(state.count(_._2.nonEmpty)).as("n_active_sidecars"),
+            lit(vac.removed.contains(dvPath)).cast("int")
+              .as("dv_vacuumed"),
+            lit(!fs.exists(new org.apache.hadoop.fs.Path(dvPath)))
+              .cast("int").as("dv_gone"))
+      },
+      // live = all keys except the MoR-deleted (≡2 mod 32 AND ≡0 mod 3)
+      Some("""SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |     WHERE NOT (o_orderkey % 32 = 2 AND o_orderkey % 3 = 0))
+        |    AS rows_live,
+        |  (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |       AS BIGINT) FROM orders
+        |     WHERE NOT (o_orderkey % 32 = 2 AND o_orderkey % 3 = 0))
+        |    AS sum_cents,
+        |  CAST(0 AS BIGINT) AS n_cdf_changes,
+        |  CAST(1 AS INTEGER) AS n_bins,
+        |  CAST(2 AS INTEGER) AS n_live_segments,
+        |  CAST(0 AS INTEGER) AS n_active_sidecars,
+        |  CAST(1 AS INTEGER) AS dv_vacuumed,
+        |  CAST(1 AS INTEGER) AS dv_gone""".stripMargin))
   )
 }
