@@ -67,7 +67,17 @@ object TxnLog {
                     stats: Map[String, (Long, Long)] = Map.empty,
                     ref: String = "")
 
-  case class Commit(version: Long, writer: String, actions: Seq[Action])
+  /** `ts`: the writer's IN-COMMIT timestamp (epoch millis; -1 = not
+    * recorded). Recording the clock inside the commit body — not
+    * trusting file modification times — is the public in-commit-
+    * timestamp design: modtimes change under log copy/restore and are
+    * assigned by the STORE's clock, while `ts` is the writer's claim,
+    * frozen at publish. Timestamp time travel ([[versionAt]]) resolves
+    * against these, falling back to the commit file's modtime for
+    * unstamped commits, with the standard monotonicity adjustment
+    * (clock skew between writers must not make history non-causal). */
+  case class Commit(version: Long, writer: String, actions: Seq[Action],
+                    ts: Long = -1L)
 
   /** Outcome of [[commitWithRetry]]: the version finally owned plus
     * how many publish attempts it took (1 = no contention). */
@@ -99,7 +109,8 @@ object TxnLog {
     * iff this writer won the version. Never throws on contention —
     * losing the rename race is a normal protocol outcome. */
   def tryCommit(s: SparkSession, table: String, version: Long,
-                writer: String, actions: Seq[Action]): Boolean = {
+                writer: String, actions: Seq[Action],
+                ts: Long = -1L): Boolean = {
     require(version >= 1, s"versions start at 1, got $version")
     // the commit-file format is delimiter-framed (\t between fields,
     // \n between actions, ,/: inside the stats blob) with NO escaping
@@ -137,7 +148,12 @@ object TxnLog {
       s"_tmp_${writer}_${version}_${stagingSeq.incrementAndGet()}.txn")
     val out = fs.create(tmp, true)
     try {
-      val body = (s"commit\t$version\t$writer" +:
+      // header field 4 is the optional in-commit timestamp — absent
+      // (3-field header) for unstamped commits, so pre-ts logs and
+      // new ones parse through the same reader
+      val hdr = s"commit\t$version\t$writer" +
+        (if (ts >= 0L) s"\t$ts" else "")
+      val body = (hdr +:
         actions.map { a =>
           val st =
             if (a.stats.isEmpty) ""
@@ -327,7 +343,8 @@ object TxnLog {
       val head = lines.head.split("\t")
       require(head(0) == "commit" && head(1).toLong == v,
         s"malformed commit file ${p.getName}")
-      Commit(v, head(2), lines.tail.map(parseActionLine))
+      Commit(v, head(2), lines.tail.map(parseActionLine),
+        ts = if (head.length > 3) head(3).toLong else -1L)
     }.toSeq
   }
 
@@ -361,6 +378,7 @@ object TxnLog {
           require(live.containsKey(a.ref),
             s"dv sidecar ${a.path} references non-live segment ${a.ref}")
           live.put(a.ref, Some(a.path)) // keeps insertion order
+        case "meta" => () // table metadata, not a file — see columnMapping
         case k => throw new IllegalArgumentException(s"unknown action $k")
       }
     })
@@ -378,17 +396,47 @@ object TxnLog {
     * segment subtracts its sidecar with a multiset exceptAll (the
     * merge-on-READ: no segment is ever rewritten) and unions in. */
   private def readLive(s: SparkSession,
-                       state: Seq[(String, Option[String])]): DataFrame = {
-    if (state.forall(_._2.isEmpty)) s.read.parquet(state.map(_._1): _*)
+                       state: Seq[(String, Option[String])],
+                       evolved: Boolean = false): DataFrame = {
+    // `evolved` = a column mapping is active, so segments written
+    // under different schema versions may carry DIFFERENT physical
+    // column sets: the multi-path relation must union schemas
+    // (mergeSchema) and parts align by NAME with null-fill. Tables
+    // with no mapping keep the original plan bit-for-bit — evolution
+    // never taxes the common path.
+    def rd(paths: String*): DataFrame =
+      if (evolved) s.read.option("mergeSchema", "true").parquet(paths: _*)
+      else s.read.parquet(paths: _*)
+    if (state.forall(_._2.isEmpty)) rd(state.map(_._1): _*)
     else {
       val plain = state.collect { case (p, None) => p }
       val parts =
-        (if (plain.nonEmpty) Seq(s.read.parquet(plain: _*)) else Seq.empty) ++
+        (if (plain.nonEmpty) Seq(rd(plain: _*)) else Seq.empty) ++
           state.collect { case (p, Some(dv)) =>
-            s.read.parquet(p).exceptAll(s.read.parquet(dv))
+            // a dv sidecar freezes the segment's schema at delete
+            // time == the segment file's own schema, so the per-
+            // segment subtraction needs no alignment even when the
+            // TABLE schema has since evolved
+            rd(p).exceptAll(s.read.parquet(dv))
           }
-      parts.reduce(_ unionAll _)
+      if (evolved) parts.reduce(_.unionByName(_, allowMissingColumns = true))
+      else parts.reduce(_ unionAll _)
     }
+  }
+
+  /** Apply a column mapping to a physically-read frame: each logical
+    * name selects its physical column; a physical name present in NO
+    * live segment yet (mapped-then-never-written) reads as nulls —
+    * the same answer a null-filled segment would give. */
+  private def applyMapping(df: DataFrame,
+                           mapping: Option[Seq[(String, String)]])
+      : DataFrame = mapping match {
+    case None => df
+    case Some(m) =>
+      import org.apache.spark.sql.functions.{col, lit}
+      df.select(m.map { case (l, p) =>
+        (if (df.columns.contains(p)) col(p) else lit(null)).as(l)
+      }: _*)
   }
 
   /** Write-time segment zone maps: (min, max) of each stats column per
@@ -426,12 +474,118 @@ object TxnLog {
           // stats remain valid pruning bounds under merge-on-read
           require(live.containsKey(a.ref),
             s"dv sidecar ${a.path} references non-live segment ${a.ref}")
+        case "meta" => () // table metadata, not a file
         case k => throw new IllegalArgumentException(s"unknown action $k")
       }
     })
     import scala.jdk.CollectionConverters._
     live.values.asScala.toSeq
   }
+
+  // ---- column mapping (rename / drop without rewrite) -----------------
+
+  /** Build a `meta` action carrying the table's column mapping:
+    * logical (reader-visible) name → physical (parquet file) name.
+    * The mapping is the ID-BASED schema-evolution design every public
+    * table format uses: data files keep their physical column names
+    * forever; RENAME is a metadata-only commit that re-points a
+    * logical name (zero files touched at any table size), and DROP
+    * removes the logical entry while the physical bytes stay (invisible
+    * to readers, reclaimed by rewrite). Re-adding a dropped logical
+    * name binds it to a FRESH physical name, so old values can never
+    * resurrect — the exact hazard name-based evolution suffers.
+    * An EMPTY mapping resets the table to physical-identity reads. */
+  def columnMappingAction(mapping: Seq[(String, String)]): Action = {
+    mapping.foreach { case (l, p) =>
+      require(!(l + p).exists(c => ":,\t\n\r".contains(c)),
+        s"column-mapping names carry a log delimiter: '$l' -> '$p'")
+      require(l.nonEmpty && p.nonEmpty, "empty column-mapping name")
+    }
+    require(mapping.map(_._1).distinct.size == mapping.size,
+      "duplicate logical name in column mapping")
+    Action("meta",
+      "colmap=" + mapping.map { case (l, p) => s"$l:$p" }.mkString(","))
+  }
+
+  /** Latest column mapping after folding `cs` (last meta wins), or
+    * None when the table reads physically (no meta action ever, or an
+    * empty-mapping reset). */
+  def columnMapping(cs: Seq[Commit]): Option[Seq[(String, String)]] = {
+    val metas = cs.flatMap(_.actions.filter(_.kind == "meta"))
+    metas.lastOption.flatMap { a =>
+      require(a.path.startsWith("colmap="),
+        s"unknown meta payload '${a.path}'")
+      val body = a.path.stripPrefix("colmap=")
+      if (body.isEmpty) None
+      else Some(body.split(",").toSeq.map { f =>
+        val p = f.split(":"); (p(0), p(1))
+      })
+    }
+  }
+
+  // ---- timestamp time travel -------------------------------------------
+
+  /** Timestamp probe before the table's first (readable) commit: the
+    * named failure mode of [[versionAt]] — "no version existed yet"
+    * is a different answer from "version 0", and on a truncated log
+    * it means the answer was retention-deleted, not never-existed. */
+  class TimestampBeforeTableException(table: String, requested: Long,
+                                      first: Long)
+    extends RuntimeException(
+      s"timestamp $requested precedes $table's first readable commit " +
+        s"(effective timestamp $first) — no snapshot existed yet")
+
+  /** Per-commit (version, rawTs, effectiveTs) over the readable log.
+    * rawTs = the writer's in-commit timestamp, or the commit FILE's
+    * modification time for unstamped commits (the public fallback).
+    * effectiveTs applies the standard monotonicity adjustment:
+    * eff(v) = max(raw(v), eff(v−1) + 1) — writers' clocks may skew
+    * (a lagging writer can publish version N+1 with a timestamp
+    * BEFORE version N's), but timestamp resolution must still be a
+    * total order consistent with version order, or `AS OF ts` could
+    * resolve to a snapshot that un-happens a later probe. O(suffix)
+    * body reads on a truncated log (bodies below the floor are gone —
+    * which also bounds how far back timestamp travel reaches, exactly
+    * the public retention trade). */
+  def commitTimestamps(s: SparkSession, table: String)
+      : Seq[(Long, Long, Long)] = {
+    val st = logState(s, table)
+    val cs = commitsFrom(s, table, st, None, fromVersion = st.floor)
+    require(cs.nonEmpty, s"no readable commits in $table")
+    val pathByV = st.txns.toMap
+    val fs = hfs(s, logDir(table))
+    var eff = Long.MinValue
+    cs.map { c =>
+      val raw =
+        if (c.ts >= 0L) c.ts
+        else fs.getFileStatus(pathByV(c.version)).getModificationTime
+      eff = if (eff == Long.MinValue) raw else math.max(raw, eff + 1L)
+      (c.version, raw, eff)
+    }
+  }
+
+  /** Greatest version whose effective timestamp is <= `ts` — the
+    * `AS OF TIMESTAMP` resolution. Named errors: before-first-commit
+    * ([[TimestampBeforeTableException]]) and, on a truncated log, the
+    * floor error (the true answer MIGHT have been a retention-deleted
+    * version — claiming the floor instead would silently time-travel
+    * to the wrong snapshot). */
+  def versionAt(s: SparkSession, table: String, ts: Long): Long = {
+    val effs = commitTimestamps(s, table)
+    if (ts < effs.head._3) {
+      val floor = logFloor(s, table)
+      if (floor > 0L) throw new LogTruncatedException(table, 0L, floor)
+      throw new TimestampBeforeTableException(table, ts, effs.head._3)
+    }
+    effs.takeWhile(_._3 <= ts).last._1
+  }
+
+  /** Snapshot read `AS OF TIMESTAMP` — resolve then read; all the
+    * version-read guarantees (vacuum horizon, truncation floor,
+    * column mapping at that version) apply unchanged. */
+  def snapshotAt(s: SparkSession, table: String, ts: Long)
+      : (DataFrame, Long, Int) =
+    snapshot(s, table, Some(versionAt(s, table, ts)))
 
   /** Highest committed contiguous version (0 = empty table).
     * Listing-only: the version is a property of the file NAMES, so no
@@ -466,7 +620,9 @@ object TxnLog {
     if (v < st.vacHorizon)
       throw new VersionVacuumedException(table, v, st.vacHorizon)
     val state = liveState(cs)
-    (readLive(s, state), v, state.size)
+    val mapping = columnMapping(cs) // versioned: the mapping AT v
+    (applyMapping(readLive(s, state, mapping.isDefined), mapping),
+      v, state.size)
   }
 
   /** Write a log CHECKPOINT at `upTo`: the resolved live-segment set
@@ -486,21 +642,27 @@ object TxnLog {
     // is the property TxnLogConcurrencySpec pins at every version.
     val floor = logFloor(s, table)
     if (upTo < floor) throw new LogTruncatedException(table, upTo, floor)
-    val live = latestCheckpoint(s, table, upTo) match {
+    val folded = latestCheckpoint(s, table, upTo) match {
       case Some(base) =>
         val suffix = commits(s, table, Some(upTo), fromVersion = base.version)
         require(suffix.lastOption.map(_.version).getOrElse(base.version) == upTo,
           s"cannot checkpoint at $upTo: log only reaches " +
             s"${suffix.lastOption.map(_.version).getOrElse(base.version)}")
-        liveState(base +: suffix)
+        base +: suffix
       case None =>
         if (floor > 0L) throw new IllegalStateException(
           s"history floor $floor of $table has no readable checkpoint")
         val cs = commits(s, table, Some(upTo))
         require(cs.nonEmpty && cs.last.version == upTo,
           s"cannot checkpoint at $upTo: log only reaches ${cs.lastOption.map(_.version)}")
-        liveState(cs)
+        cs
     }
+    val live = liveState(folded)
+    // the column mapping is part of the table state a checkpoint must
+    // carry: log truncation deletes the commit that declared it, and a
+    // mapping silently lost would resurface every dropped column
+    val mappingLine = folded.flatMap(_.actions.filter(_.kind == "meta"))
+      .lastOption.map(a => s"meta\t${a.path}").toSeq
     val dir = logDir(table)
     val fs = hfs(s, dir)
     val out = fs.create(new Path(dir, f"$upTo%020d.ckpt"), true)
@@ -508,7 +670,7 @@ object TxnLog {
       // each live segment line, immediately followed by its active dv
       // association (fold order matters: the dv line requires its
       // segment already live in the synthetic replay)
-      val lines = live.flatMap { case (p, dvo) =>
+      val lines = mappingLine ++ live.flatMap { case (p, dvo) =>
         s"live\t$p" +: dvo.map(dv => s"dv\t$p\t$dv").toSeq
       }
       val body = (s"ckpt\t$upTo" +: lines :+ "end")
@@ -555,6 +717,7 @@ object TxnLog {
               f(0) match {
                 case "live" => Action("add", f(1))
                 case "dv" => Action("dv", f(2), ref = f(1))
+                case "meta" => Action("meta", f(1))
                 case k => throw new IllegalArgumentException(
                   s"unknown checkpoint line kind '$k' in $p")
               }
@@ -590,7 +753,9 @@ object TxnLog {
         if (v < st.vacHorizon)
           throw new VersionVacuumedException(table, v, st.vacHorizon)
         val state = liveState(cs)
-        (readLive(s, state), v, state.size, 0L)
+        val mapping = columnMapping(cs)
+        (applyMapping(readLive(s, state, mapping.isDefined), mapping),
+          v, state.size, 0L)
       case Some(base) =>
         // fromVersion = the checkpoint: bodies at or below it are never
         // opened — this path reads O(suffix) commit files, full stop
@@ -600,7 +765,9 @@ object TxnLog {
         val v = suffix.lastOption.map(_.version).getOrElse(base.version)
         if (v < st.vacHorizon)
           throw new VersionVacuumedException(table, v, st.vacHorizon)
-        (readLive(s, state), v, state.size, base.version)
+        val mapping = columnMapping(base +: suffix)
+        (applyMapping(readLive(s, state, mapping.isDefined), mapping),
+          v, state.size, base.version)
     }
   }
 
@@ -644,7 +811,8 @@ object TxnLog {
           dvsBySeg.put(a.ref, buf)
         }
         buf += ((a.path, c.version))
-      } else latest.put(a.path, (a.kind, c.version))
+      } else if (a.kind != "meta") // metadata names no file — nothing
+        latest.put(a.path, (a.kind, c.version)) // for vacuum to weigh
     })
     import scala.jdk.CollectionConverters._
     val segs = latest.asScala.collect {
@@ -764,11 +932,20 @@ object TxnLog {
                  bin: Seq[String], mergedPath: String): CommitResult = {
     require(bin.nonEmpty, "empty compaction bin")
     val dvState = dvStateAt(s, table, currentVersion(s, table))
-    val merged = bin.map { p =>
+    val parts = bin.map { p =>
       val seg = s.read.parquet(p)
       dvState.get(p)
         .map(dv => seg.exceptAll(s.read.parquet(dv))).getOrElse(seg)
-    }.reduce(_ unionAll _)
+    }
+    // members written under different schema versions (column mapping
+    // evolved between their ingests) carry different physical column
+    // sets — a positional unionAll would mis-align or drop columns and
+    // bake the corruption into the merged segment forever. Align by
+    // NAME with null-fill in that case; identical schemas (the common
+    // case) keep the plain union plan.
+    val merged =
+      if (parts.map(_.schema).distinct.size == 1) parts.reduce(_ unionAll _)
+      else parts.reduce(_.unionByName(_, allowMissingColumns = true))
     merged.coalesce(1).write.parquet(mergedPath)
     commitWithRetry(s, table, writer,
       bin.map(Action("remove", _)) :+ Action("add", mergedPath))
@@ -894,18 +1071,30 @@ object TxnLog {
     val suffix = commitsFrom(s, table, st, Some(toV), fromVersion = fromV)
     require(suffix.nonEmpty && suffix.last.version == toV,
       s"log does not reach $toV past $fromV in $table")
-    // merge-on-read awareness: removes and dv deltas need the ACTIVE
-    // dv per segment AT fromV — resolved from the log (checkpoint +
-    // suffix, O(commits) driver-side metadata, never data) and ONLY
-    // when the range contains a remove or dv action; a pure-append
-    // tail (the streaming-ingest common case) pays zero extra reads
-    var dvState: Map[String, String] =
-      if (!suffix.exists(_.actions.exists(a =>
-          a.kind == "remove" || a.kind == "dv"))) Map.empty
-      else dvStateAtFrom(s, table, st, fromV)
+    // merge-on-read + schema-evolution awareness: removes and dv
+    // deltas need the ACTIVE dv per segment at fromV, and EVERY
+    // emitted row needs the column mapping active at its commit (a
+    // feed that leaked physical names after a rename would not join
+    // against the snapshot surface). One checkpoint-bounded metadata
+    // fold at fromV resolves both — O(commits since checkpoint)
+    // driver-side manifest reads, never data.
+    var (dvState, mapping) = readStateAt(s, table, st, fromV)
     var opened = 0
     val perCommit = suffix.map { c =>
-      val (dfs, nd, op) = commitChanges(s, c, dvState, idCols)
+      // the commit is atomic: rows it adds/removes classify under the
+      // mapping it DECLARES (if any), not its predecessor's. A mapping
+      // CHANGE mid-range means the feed has no single schema — rows
+      // before the change carry different logical columns than rows
+      // after, and a positional union would silently misalign them.
+      // The first commit of the range may declare one (its rows and
+      // everything after share it); any later change is the named
+      // split-your-range error, the same contract public CDF readers
+      // enforce across incompatible schema changes.
+      val m1 = mappingAfter(c, mapping)
+      if (m1 != mapping && c.version != fromV + 1L)
+        throw new CdfSchemaChangeException(table, c.version)
+      mapping = m1
+      val (dfs, nd, op) = commitChanges(s, c, dvState, idCols, mapping)
       dvState = nd
       opened += op
       dfs
@@ -915,15 +1104,42 @@ object TxnLog {
     (nonEmpty.reduce(_ unionAll _), opened)
   }
 
+  /** A change-feed range crossing a column-mapping change: the rows
+    * before and after the change have DIFFERENT logical schemas, so
+    * one feed frame cannot carry both — split the range at this
+    * version (read (from, v-1] and [v-1, to] separately). */
+  class CdfSchemaChangeException(table: String, val version: Long)
+    extends RuntimeException(
+      s"change feed of $table crosses a column-mapping change at " +
+        s"version $version — split the range there")
+
   /** Active dv sidecar per live segment at version `asOf` — O(log)
     * driver-side metadata reads (checkpoint + suffix), never data. */
   def dvStateAt(s: SparkSession, table: String,
                 asOf: Long): Map[String, String] =
-    dvStateAtFrom(s, table, logState(s, table), asOf)
+    readStateAt(s, table, logState(s, table), asOf)._1
 
-  private def dvStateAtFrom(s: SparkSession, table: String, st: LogState,
-                            asOf: Long): Map[String, String] = {
-    if (asOf == 0L) return Map.empty
+  /** Column mapping active at version `asOf` (None = physical reads) —
+    * same O(log) metadata resolution class as [[dvStateAt]]. */
+  def mappingAt(s: SparkSession, table: String,
+                asOf: Long): Option[Seq[(String, String)]] =
+    readStateAt(s, table, logState(s, table), asOf)._2
+
+  /** The column mapping after folding commit `c` onto `prev` — the
+    * incremental step a change-feed consumer applies per commit (a
+    * commit with no meta action keeps `prev`; an empty-payload meta
+    * resets to physical reads). */
+  def mappingAfter(c: Commit, prev: Option[Seq[(String, String)]])
+      : Option[Seq[(String, String)]] =
+    if (c.actions.exists(_.kind == "meta")) columnMapping(Seq(c)) else prev
+
+  /** (active dv per segment, column mapping) at version `asOf` — ONE
+    * checkpoint-bounded metadata fold for both (the change feed needs
+    * them together and must not read the log twice). */
+  private def readStateAt(s: SparkSession, table: String, st: LogState,
+                          asOf: Long)
+      : (Map[String, String], Option[Seq[(String, String)]]) = {
+    if (asOf == 0L) return (Map.empty, None)
     val baseCs =
       if (st.floor == 0L) commitsFrom(s, table, st, Some(asOf), 0L)
       else latestCheckpointFrom(s, table, st.ckpts, asOf) match {
@@ -932,7 +1148,8 @@ object TxnLog {
         case None => throw new IllegalStateException(
           s"history floor ${st.floor} of $table has no readable checkpoint")
       }
-    liveState(baseCs).collect { case (p, Some(dv)) => p -> dv }.toMap
+    (liveState(baseCs).collect { case (p, Some(dv)) => p -> dv }.toMap,
+      columnMapping(baseCs))
   }
 
   /** Row-level changes of ONE commit, given the active dv state at
@@ -942,7 +1159,8 @@ object TxnLog {
     * is structural, not coincidental. Returns (change frames, dv
     * state after the commit, data files opened). */
   def commitChanges(s: SparkSession, c: Commit,
-                    dvState0: Map[String, String], idCols: Seq[String])
+                    dvState0: Map[String, String], idCols: Seq[String],
+                    mapping: Option[Seq[(String, String)]] = None)
       : (Seq[DataFrame], Map[String, String], Int) = {
     import org.apache.spark.sql.functions.lit
     var dvState = dvState0
@@ -953,26 +1171,56 @@ object TxnLog {
     def tag(df: DataFrame, t: String) = df
       .withColumn("_change_type", lit(t))
       .withColumn("_commit_version", lit(c.version))
+    // under an active column mapping, segments may carry different
+    // physical column sets (written before/after an evolution), so
+    // multi-path reads must union schemas and every emitted frame
+    // projects to LOGICAL names — unmapped tables keep the original
+    // plans bit-for-bit
+    def rdm(paths: Seq[String]): DataFrame =
+      if (mapping.isDefined)
+        s.read.option("mergeSchema", "true").parquet(paths: _*)
+      else s.read.parquet(paths: _*)
+    def logical(df: DataFrame): DataFrame = applyMapping(df, mapping)
     // a removed segment's rows MINUS its active dv: rows the dv had
     // already deleted must not surface as deletes twice
     def readRemoved(): DataFrame = {
       if (removes.forall(p => !dvState.contains(p)))
-        s.read.parquet(removes: _*) // pre-dv plan, bit-identical
-      else removes.map { p =>
-        val seg = s.read.parquet(p)
-        dvState.get(p) match {
-          case Some(dv) => opened += 1; seg.exceptAll(s.read.parquet(dv))
-          case None => seg
+        rdm(removes) // pre-dv plan, bit-identical
+      else {
+        val parts = removes.map { p =>
+          val seg = s.read.parquet(p)
+          dvState.get(p) match {
+            case Some(dv) => opened += 1; seg.exceptAll(s.read.parquet(dv))
+            case None => seg
+          }
         }
-      }.reduce(_ unionAll _)
+        if (mapping.isDefined)
+          parts.reduce(_.unionByName(_, allowMissingColumns = true))
+        else parts.reduce(_ unionAll _)
+      }
     }
+    // a logical column may read as untyped nulls on one side of a
+    // rewrite (no file on that side carries its physical column yet) —
+    // borrow the other side's concrete type so the diff can align
+    def alignTo(x: DataFrame, y: DataFrame): DataFrame =
+      if (mapping.isEmpty) x
+      else x.select(x.schema.fields.map { f =>
+        val other = y.schema.fields.find(_.name == f.name)
+        if (f.dataType == org.apache.spark.sql.types.NullType &&
+            other.exists(_.dataType != org.apache.spark.sql.types.NullType))
+          org.apache.spark.sql.functions.col(f.name)
+            .cast(other.get.dataType).as(f.name)
+        else org.apache.spark.sql.functions.col(f.name)
+      }.toSeq: _*)
     val addRemove = (adds.nonEmpty, removes.nonEmpty) match {
-      case (true, false) => Seq(tag(s.read.parquet(adds: _*), "insert"))
-      case (false, true) => Seq(tag(readRemoved(), "delete"))
+      case (true, false) => Seq(tag(logical(rdm(adds)), "insert"))
+      case (false, true) => Seq(tag(logical(readRemoved()), "delete"))
       case (true, true) =>
         import org.apache.spark.sql.functions.{col, when}
-        val a = s.read.parquet(adds: _*)
-        val r = readRemoved()
+        val a0 = logical(rdm(adds))
+        val r0 = logical(readRemoved())
+        val a = alignTo(a0, r0)
+        val r = alignTo(r0, a0)
         // classify each surviving diff row by identity persistence:
         // ONE left join against the other side's distinct ids (never
         // two passes over the diff)
@@ -1002,7 +1250,9 @@ object TxnLog {
         case None => newRows
       }
       dvState += (a.ref -> a.path)
-      tag(delta, "delete")
+      // dv sidecars share their base segment's physical schema, so the
+      // delta computes physically and maps to logical names at the end
+      tag(logical(delta), "delete")
     }
     dvState --= removes // retired segments drop their association
     (addRemove ++ dvDeletes, dvState, opened)
@@ -1018,7 +1268,8 @@ object TxnLog {
   def commitWithRetry(s: SparkSession, table: String, writer: String,
                       actions: Seq[Action],
                       maxAttempts: Int = 10,
-                      baseVersion: Option[Long] = None): CommitResult = {
+                      baseVersion: Option[Long] = None,
+                      ts: Long = -1L): CommitResult = {
     // a dv action touches its BASE segment too: a merge-on-read delete
     // must conflict with a compaction or CoW rewrite of that segment
     // (file-level OCC — they do not commute), so refs join the set
@@ -1033,7 +1284,7 @@ object TxnLog {
     while (attempt < maxAttempts) {
       attempt += 1
       val v = base + 1
-      if (tryCommit(s, table, v, writer, actions))
+      if (tryCommit(s, table, v, writer, actions, ts))
         return CommitResult(v, attempt)
       // lost: somebody owns v (and possibly more). Conflict-check
       // every commit that landed since our base before rebasing —
@@ -1113,5 +1364,93 @@ object TxnLog {
     if (actions.isEmpty) None
     else Some(commitWithRetry(s, table, writer, actions,
       baseVersion = Some(head)))
+  }
+
+  // ---- RESTORE (rollback as a forward commit) ---------------------------
+
+  /** A restore needs a segment or dv sidecar whose FILE vacuum already
+    * reaped — the named failure mode: the rollback is impossible, not
+    * "succeeds then dies in the scan as parquet FileNotFound". */
+  class RestoreVacuumedException(table: String, missing: Seq[String])
+    extends RuntimeException(
+      s"cannot restore $table: ${missing.size} required file(s) were " +
+        s"vacuumed — ${missing.mkString(", ")}")
+
+  /** RESTORE the table to the state it had at `toVersion` — as ONE
+    * new commit, never by erasing history (the public design: a
+    * rollback is a forward write, so the bad versions stay readable
+    * for forensics and concurrent readers never see the log shrink).
+    * The commit is pure metadata — O(live segments) actions, zero
+    * data rewritten at any table size:
+    *  - segments live at head but not at `toVersion` → `remove`;
+    *  - segments live at `toVersion` but not at head → re-`add`,
+    *    carrying the ORIGINAL zone-map stats (still exact — segment
+    *    files are immutable), plus the dv association of `toVersion`;
+    *  - segments live in both but whose ACTIVE dv differs → `remove`
+    *    + re-`add` + the target dv if any (a remove retires the head
+    *    dv association; there is no "drop dv" action, and inventing
+    *    one for this path alone would fork the fold);
+    *  - a column mapping differing from head's → the target's `meta`.
+    * Fails with [[RestoreVacuumedException]] if any required file is
+    * gone, and with the truncation error below the log floor (the
+    * action-level state of a retention-deleted version is
+    * unreconstructible). Concurrency: commits through the OCC loop
+    * touching every moved segment, so a racing writer conflicts
+    * instead of silently interleaving. */
+  def restore(s: SparkSession, table: String, writer: String,
+              toVersion: Long, ts: Long = -1L): CommitResult = {
+    val st = logState(s, table)
+    // the floor version itself IS restorable (its state survives as
+    // the floor checkpoint); anything below it is not
+    if (toVersion < st.floor)
+      throw new LogTruncatedException(table, toVersion, st.floor)
+    val (baseCs, headV) =
+      if (st.floor == 0L) {
+        val cs = commitsFrom(s, table, st, None, 0L)
+        require(cs.nonEmpty, s"cannot restore empty table $table")
+        (cs, cs.last.version)
+      } else {
+        val base = latestCheckpointFrom(s, table, st.ckpts, st.floor)
+          .getOrElse(throw new IllegalStateException(
+            s"history floor ${st.floor} of $table has no readable checkpoint"))
+        val suf = commitsFrom(s, table, st, None, st.floor)
+        (base +: suf, suf.lastOption.map(_.version).getOrElse(st.floor))
+      }
+    require(toVersion >= 1L && toVersion <= headV,
+      s"restore target $toVersion outside [1, $headV] of $table")
+    val csTo = baseCs.filter(_.version <= toVersion)
+    val targetState = liveState(csTo)
+    val headState = liveState(baseCs)
+    val targetAdds = liveActions(csTo).map(a => a.path -> a).toMap
+    val targetMap = targetState.toMap
+    val headMap = headState.toMap
+    val removes = headState.collect {
+      case (p, _) if !targetMap.contains(p) => Action("remove", p)
+    }
+    val readds = targetState.flatMap { case (p, dvo) =>
+      headMap.get(p) match {
+        case None => // not live at head: bring it back as it was
+          targetAdds(p) +: dvo.map(dv => Action("dv", dv, ref = p)).toSeq
+        case Some(headDv) if headDv != dvo => // dv association differs
+          Seq(Action("remove", p), targetAdds(p)) ++
+            dvo.map(dv => Action("dv", dv, ref = p))
+        case _ => Seq.empty
+      }
+    }
+    val metaA =
+      if (columnMapping(csTo) != columnMapping(baseCs))
+        Seq(columnMappingAction(
+          columnMapping(csTo).getOrElse(Seq.empty)))
+      else Seq.empty
+    val actions = removes ++ readds ++ metaA
+    if (actions.isEmpty) return CommitResult(headV, 0) // already there
+    val fs = hfs(s, new Path(table))
+    val missing = readds.collect {
+      case a if a.kind == "add" || a.kind == "dv" => a.path
+    }.filterNot(p => fs.exists(new Path(p)))
+    if (missing.nonEmpty)
+      throw new RestoreVacuumedException(table, missing)
+    commitWithRetry(s, table, writer, actions,
+      baseVersion = Some(headV), ts = ts)
   }
 }

@@ -400,6 +400,255 @@ object QueriesRound12 {
         |  CAST(2 AS INTEGER) AS n_live_segments,
         |  CAST(0 AS INTEGER) AS n_active_sidecars,
         |  CAST(1 AS INTEGER) AS dv_vacuumed,
-        |  CAST(1 AS INTEGER) AS dv_gone""".stripMargin))
+        |  CAST(1 AS INTEGER) AS dv_gone""".stripMargin)),
+
+    // ---- q589: timestamp time travel — AS OF an instant, not a version ---------------
+    // In-commit timestamps (the writer's clock, frozen in the commit
+    // body — never the store's mutable modtime) + the standard
+    // monotonicity adjustment: v3's writer has a LAGGING clock and
+    // claims t=1500 after v2 claimed t=2000, so resolution places v3
+    // effectively at 2001 (history must stay causal — `AS OF 1999`
+    // returning a snapshot that contains v3 but not v2 would order
+    // time backwards). Probes pin the full resolution ladder, the
+    // skew adjustment itself (eff_v3), the before-first-commit named
+    // error, and a snapshot read AS OF a mid-history instant. O(log)
+    // driver-side metadata, zero data reads beyond the final scan.
+    QueryDef("q589_txn_timestamp_travel",
+      (s, d) => {
+        val root = Scratch.dir(s, d) + "/txn_q589"
+        reset(s, root)
+        val base = orders(s, d).select(col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        def seg(name: String, m: Int): String = {
+          val p = s"$root/$name"
+          base.where(col("o_orderkey") % 4 === m).coalesce(1).write.parquet(p)
+          p
+        }
+        require(TxnLog.tryCommit(s, root, 1L, "w1",
+          Seq(Action("add", seg("seg_a", 0))), ts = 1000L))
+        require(TxnLog.tryCommit(s, root, 2L, "w1",
+          Seq(Action("add", seg("seg_b", 1))), ts = 2000L))
+        require(TxnLog.tryCommit(s, root, 3L, "w2",
+          Seq(Action("add", seg("seg_c", 2))), ts = 1500L)) // skewed clock
+        require(TxnLog.tryCommit(s, root, 4L, "w1",
+          Seq(Action("add", seg("seg_d", 3))), ts = 3000L))
+        val effV3 = TxnLog.commitTimestamps(s, root)
+          .find(_._1 == 3L).get._3
+        def vAt(ts: Long): Long = TxnLog.versionAt(s, root, ts)
+        val beforeErr =
+          try { vAt(999L); 0 }
+          catch { case _: TxnLog.TimestampBeforeTableException => 1 }
+        val (snap, vRead, _) = TxnLog.snapshotAt(s, root, 2400L)
+        snap.agg(count(lit(1)).as("rows_at_2400"),
+            sum("cents").as("cents_at_2400"))
+          .select(col("rows_at_2400"), col("cents_at_2400"),
+            lit(vRead).as("v_read_2400"),
+            lit(vAt(1000L)).as("v_at_1000"), lit(vAt(1999L)).as("v_at_1999"),
+            lit(vAt(2000L)).as("v_at_2000"), lit(vAt(2001L)).as("v_at_2001"),
+            lit(vAt(3000L)).as("v_at_3000"),
+            lit(vAt(Long.MaxValue)).as("v_at_max"),
+            lit(effV3).as("eff_ts_v3"),
+            lit(beforeErr).as("n_before_table_error"))
+      },
+      // AS OF 2400 resolves to v3 (eff 2001) → segments a+b+c =
+      // keys ≢ 3 (mod 4)
+      Some("""SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |     WHERE o_orderkey % 4 != 3) AS rows_at_2400,
+        |  (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |       AS BIGINT) FROM orders WHERE o_orderkey % 4 != 3)
+        |    AS cents_at_2400,
+        |  CAST(3 AS BIGINT) AS v_read_2400,
+        |  CAST(1 AS BIGINT) AS v_at_1000,
+        |  CAST(1 AS BIGINT) AS v_at_1999,
+        |  CAST(2 AS BIGINT) AS v_at_2000,
+        |  CAST(3 AS BIGINT) AS v_at_2001,
+        |  CAST(4 AS BIGINT) AS v_at_3000,
+        |  CAST(4 AS BIGINT) AS v_at_max,
+        |  CAST(2001 AS BIGINT) AS eff_ts_v3,
+        |  CAST(1 AS INTEGER) AS n_before_table_error""".stripMargin)),
+
+    // ---- q590: column mapping — rename/drop/re-add without touching a file -----------
+    // The id-based schema-evolution design: data files keep their
+    // physical column names forever; a `meta` commit re-points the
+    // logical schema. RENAME (v2) and DROP (v3) are single metadata
+    // commits — zero segments rewritten at any table size, the live
+    // path set pinned unchanged. Re-adding the dropped logical name
+    // (v4) binds it to a FRESH physical column, so the old values
+    // CANNOT resurrect — every pre-evolution row reads NULL while the
+    // bytes still sit in the file (the exact hazard name-based
+    // evolution suffers, pinned as n_status_null = all old rows).
+    // The mapping is versioned state: time travel to v2 reads the
+    // renamed column from the ORIGINAL physical bytes.
+    QueryDef("q590_txn_column_mapping",
+      (s, d) => {
+        val root = Scratch.dir(s, d) + "/txn_q590"
+        reset(s, root)
+        val segA = s"$root/seg_a"
+        orders(s, d).select(col("o_orderkey").as("k"),
+            col("o_orderstatus").as("c1"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c2"))
+          .coalesce(1).write.parquet(segA)
+        require(TxnLog.tryCommit(s, root, 1L, "ingest",
+          Seq(Action("add", segA), TxnLog.columnMappingAction(
+            Seq("k" -> "k", "status" -> "c1", "cents" -> "c2")))))
+        // v2: RENAME status -> order_status (metadata only)
+        require(TxnLog.tryCommit(s, root, 2L, "evolver",
+          Seq(TxnLog.columnMappingAction(
+            Seq("k" -> "k", "order_status" -> "c1", "cents" -> "c2")))))
+        // v3: DROP order_status (metadata only — bytes stay)
+        require(TxnLog.tryCommit(s, root, 3L, "evolver",
+          Seq(TxnLog.columnMappingAction(Seq("k" -> "k", "cents" -> "c2")))))
+        // v4: re-ADD logical order_status bound to FRESH physical c3,
+        // plus a segment that actually carries c3
+        val segB = s"$root/seg_b"
+        orders(s, d).where(col("o_orderkey") % 5 === 0)
+          .select((col("o_orderkey") + 3000000000L).as("k"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c2"),
+            lit("R").as("c3"))
+          .coalesce(1).write.parquet(segB)
+        require(TxnLog.tryCommit(s, root, 4L, "ingest",
+          Seq(Action("add", segB), TxnLog.columnMappingAction(
+            Seq("k" -> "k", "cents" -> "c2", "order_status" -> "c3")))))
+        val (head, _, nSegs) = TxnLog.snapshot(s, root)
+        val (v2, _, _) = TxnLog.snapshot(s, root, Some(2L))
+        val live = TxnLog.liveFiles(TxnLog.commits(s, root))
+        val headCols = head.columns.mkString(",")
+        val v2Cols = v2.columns.mkString(",")
+        head.agg(count(lit(1)).as("n_rows_head"),
+            sum(col("order_status").isNull.cast("long")).as("n_status_null"),
+            sum((col("order_status") === "R").cast("long")).as("n_status_r"),
+            sum("cents").as("sum_cents_head"))
+          .crossJoin(v2.agg(
+            countDistinct(col("order_status")).as("n_distinct_status_v2"),
+            count(lit(1)).as("rows_v2")))
+          .select(col("n_rows_head"), col("n_status_null"),
+            col("n_status_r"), col("sum_cents_head"),
+            col("n_distinct_status_v2"), col("rows_v2"),
+            lit(headCols).as("head_columns"), lit(v2Cols).as("v2_columns"),
+            lit(nSegs).as("n_live_segments"),
+            lit((live == Seq(segA, segB)).compare(false))
+              .as("zero_rewrites"))
+      },
+      Some("""SELECT
+        |  (SELECT CAST(count(*)
+        |       + count(*) FILTER (WHERE o_orderkey % 5 = 0)
+        |       AS BIGINT) FROM orders) AS n_rows_head,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_status_null,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |     WHERE o_orderkey % 5 = 0) AS n_status_r,
+        |  (SELECT CAST(sum(c)
+        |       + sum(c) FILTER (WHERE o_orderkey % 5 = 0)
+        |       AS BIGINT) FROM (SELECT o_orderkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |       FROM orders)) AS sum_cents_head,
+        |  (SELECT CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+        |     FROM orders) AS n_distinct_status_v2,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders) AS rows_v2,
+        |  'k,cents,order_status' AS head_columns,
+        |  'k,order_status,cents' AS v2_columns,
+        |  CAST(2 AS INTEGER) AS n_live_segments,
+        |  CAST(1 AS INTEGER) AS zero_rewrites""".stripMargin)),
+
+    // ---- q591: RESTORE — rollback as a forward commit ---------------------------------
+    // The bad-deploy recovery path: v3 MoR-deleted good rows, v4
+    // appended junk; RESTORE to v2 publishes ONE metadata commit (v5)
+    // that removes the junk segment and resets the dv association —
+    // zero bytes rewritten, the MoR-deleted rows RESURRECT, and the
+    // bad versions stay readable for forensics (rollback never erases
+    // history — concurrent readers must not see the log shrink). The
+    // sister table pins the boundary: restoring to a version whose
+    // segment vacuum reaped fails with the NAMED error, before any
+    // commit publishes. Action shape of the restore commit itself is
+    // under the hash gate (1 junk remove + dv-reset remove/add pair).
+    QueryDef("q591_txn_restore",
+      (s, d) => {
+        val root = Scratch.dir(s, d) + "/txn_q591"
+        reset(s, root)
+        val base = orders(s, d).select(col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        val segA = s"$root/seg_a"
+        base.where(col("o_orderkey") % 2 === 0).coalesce(1).write.parquet(segA)
+        require(TxnLog.tryCommit(s, root, 1L, "ingest",
+          Seq(Action("add", segA))))
+        val segB = s"$root/seg_b"
+        base.where(col("o_orderkey") % 2 === 1).coalesce(1).write.parquet(segB)
+        require(TxnLog.tryCommit(s, root, 2L, "ingest",
+          Seq(Action("add", segB))))
+        // v3: the bad MoR delete (hits only seg_b — even keys can't
+        // match); v4: the junk append
+        require(TxnLog.deleteWhereMoR(s, root, "bad-job",
+          col("o_orderkey") % 8 === 1).exists(_.version == 3L))
+        val segC = s"$root/seg_c"
+        base.where(col("o_orderkey") % 16 === 2)
+          .withColumn("o_orderkey", col("o_orderkey") + 4000000000L)
+          .coalesce(1).write.parquet(segC)
+        require(TxnLog.tryCommit(s, root, 4L, "bad-job",
+          Seq(Action("add", segC))))
+        val res = TxnLog.restore(s, root, "restorer", 2L)
+        val restoreCommit = TxnLog.commits(s, root).last
+        val kinds = restoreCommit.actions.groupBy(_.kind)
+          .map { case (k, as) => k -> as.size }
+        val (head, _, _) = TxnLog.snapshot(s, root)
+        val (v2, _, _) = TxnLog.snapshot(s, root, Some(2L))
+        val (v4, _, _) = TxnLog.snapshot(s, root, Some(4L))
+        val mismatch = head.exceptAll(v2).unionAll(v2.exceptAll(head))
+          .agg(count(lit(1)).as("n_head_v2_mismatch"))
+        // the restore moved no data: seg_a/seg_b are the only live
+        // segments and both are the ORIGINAL files
+        val live = TxnLog.liveFiles(TxnLog.commits(s, root))
+        head.agg(count(lit(1)).as("rows_head"),
+            sum("cents").as("sum_cents_head"),
+            sum((col("o_orderkey") % 8 === 1).cast("long"))
+              .as("n_resurrected"))
+          .crossJoin(v4.agg(count(lit(1)).as("rows_v4_forensic")))
+          .crossJoin(mismatch)
+          .select(col("rows_head"), col("sum_cents_head"),
+            col("n_resurrected"), col("rows_v4_forensic"),
+            col("n_head_v2_mismatch"),
+            lit(res.version).as("restore_version"),
+            lit(kinds.getOrElse("remove", 0)).as("n_removes"),
+            lit(kinds.getOrElse("add", 0)).as("n_adds"),
+            lit(kinds.getOrElse("dv", 0)).as("n_dvs"),
+            lit((live == Seq(segA, segB)).compare(false))
+              .as("original_files_live"),
+            lit {
+              // sister table: vacuum reaps v1's segment, restore fails
+              val t2 = Scratch.dir(s, d) + "/txn_q591_vac"
+              reset(s, t2)
+              val x = s"$t2/seg_x"
+              base.limit(10).coalesce(1).write.parquet(x)
+              require(TxnLog.tryCommit(s, t2, 1L, "w",
+                Seq(Action("add", x))))
+              val y = s"$t2/seg_y"
+              base.limit(5).coalesce(1).write.parquet(y)
+              require(TxnLog.tryCommit(s, t2, 2L, "w",
+                Seq(Action("remove", x), Action("add", y))))
+              require(TxnLog.vacuum(s, t2, horizon = 2L)
+                .removed.contains(x))
+              try { TxnLog.restore(s, t2, "w", 1L); 0 }
+              catch { case _: TxnLog.RestoreVacuumedException =>
+                if (TxnLog.currentVersion(s, t2) == 2L) 1 else 0 }
+            }.as("n_vacuumed_restore_error"))
+      },
+      // restored head ≡ v2 = ALL orders rows; v4 forensic read =
+      // all − MoR-deleted (≡1 mod 8) + junk (≡2 mod 16); restore
+      // commit = remove(junk) + remove/add(dv reset) = 2 removes 1 add
+      Some("""SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders) AS rows_head,
+        |  (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |       AS BIGINT) FROM orders) AS sum_cents_head,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |     WHERE o_orderkey % 8 = 1) AS n_resurrected,
+        |  (SELECT CAST(count(*) FILTER (WHERE o_orderkey % 8 != 1)
+        |       + count(*) FILTER (WHERE o_orderkey % 16 = 2) AS BIGINT)
+        |     FROM orders) AS rows_v4_forensic,
+        |  CAST(0 AS BIGINT) AS n_head_v2_mismatch,
+        |  CAST(5 AS BIGINT) AS restore_version,
+        |  CAST(2 AS INTEGER) AS n_removes,
+        |  CAST(1 AS INTEGER) AS n_adds,
+        |  CAST(0 AS INTEGER) AS n_dvs,
+        |  CAST(1 AS INTEGER) AS original_files_live,
+        |  CAST(1 AS INTEGER) AS n_vacuumed_restore_error""".stripMargin))
   )
 }

@@ -200,6 +200,10 @@ object Sessions {
                               outDir: String): DataFrame = {
     import graft.ops.TxnLog
     var dvState = TxnLog.dvStateAt(spark, table, fromV)
+    // the column mapping threads across micro-batches exactly like the
+    // dv state: a rename mid-stream must switch the emitted logical
+    // names from that commit on (stream ≡ batch stays structural)
+    var mapping = TxnLog.mappingAt(spark, table, fromV)
     var nextV = fromV + 1
     val pending = scala.collection.mutable.Map.empty[Long, TxnLog.Commit]
     val q = spark.readStream
@@ -227,7 +231,16 @@ object Sessions {
         }
         while (pending.contains(nextV)) {
           val c = pending.remove(nextV).get
-          val (dfs, nd, _) = TxnLog.commitChanges(spark, c, dvState, idCols)
+          // same split-the-range rule as the batch feed: the sink dir
+          // is one parquet schema, so a mid-stream mapping change must
+          // fail NAMED (restart a new feed from that version), never
+          // append mixed logical schemas
+          val m1 = TxnLog.mappingAfter(c, mapping)
+          if (m1 != mapping && c.version != fromV + 1L)
+            throw new TxnLog.CdfSchemaChangeException(table, c.version)
+          mapping = m1
+          val (dfs, nd, _) =
+            TxnLog.commitChanges(spark, c, dvState, idCols, mapping)
           dvState = nd
           dfs.foreach(_.write.mode("append").parquet(outDir))
           nextV += 1
