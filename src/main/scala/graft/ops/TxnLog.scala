@@ -128,6 +128,11 @@ object TxnLog {
         s"ref is only meaningful on dv actions, got '${a.kind}'")
       require(a.kind != "dv" || a.ref.nonEmpty,
         "a dv action must name its base segment via ref")
+      require(a.kind != "meta" || a.path.startsWith("colmap=") ||
+          a.path.startsWith("constraint=") ||
+          a.path.startsWith("dropconstraint="),
+        s"unknown meta payload '${a.path}' — a reader that cannot " +
+          "interpret table metadata must not silently ignore it")
       a.stats.keys.foreach(c =>
         require(!c.exists(ch => ":,\t\n\r".contains(ch)),
           s"stats column name contains a log delimiter (:,\\t): '$c'"))
@@ -507,19 +512,94 @@ object TxnLog {
       "colmap=" + mapping.map { case (l, p) => s"$l:$p" }.mkString(","))
   }
 
-  /** Latest column mapping after folding `cs` (last meta wins), or
-    * None when the table reads physically (no meta action ever, or an
-    * empty-mapping reset). */
+  /** Latest column mapping after folding `cs` (last colmap meta wins),
+    * or None when the table reads physically (no colmap meta ever, or
+    * an empty-mapping reset). */
   def columnMapping(cs: Seq[Commit]): Option[Seq[(String, String)]] = {
-    val metas = cs.flatMap(_.actions.filter(_.kind == "meta"))
+    val metas = cs.flatMap(_.actions.filter(a =>
+      a.kind == "meta" && a.path.startsWith("colmap=")))
     metas.lastOption.flatMap { a =>
-      require(a.path.startsWith("colmap="),
-        s"unknown meta payload '${a.path}'")
       val body = a.path.stripPrefix("colmap=")
       if (body.isEmpty) None
       else Some(body.split(",").toSeq.map { f =>
         val p = f.split(":"); (p(0), p(1))
       })
+    }
+  }
+
+  // ---- CHECK constraints (write-side governance) -------------------------
+
+  /** Build a `meta` action declaring a CHECK constraint: every row a
+    * writer commits from then on must satisfy `sqlExpr` (a boolean SQL
+    * expression over the table's LOGICAL column names). Standard SQL
+    * CHECK semantics: a row violates only when the expression is
+    * FALSE — NULL (unknown) passes. Constraints accumulate;
+    * [[dropConstraintAction]] retires one by name. */
+  def constraintAction(name: String, sqlExpr: String): Action = {
+    require(name.nonEmpty && !name.exists(c => "=\t\n\r".contains(c)),
+      s"constraint name carries a delimiter: '$name'")
+    require(!sqlExpr.exists(c => "\t\n\r".contains(c)),
+      "constraint expression carries a log delimiter")
+    Action("meta", s"constraint=$name=$sqlExpr")
+  }
+
+  /** Retire the named CHECK constraint (future writes stop validating
+    * it; rows already committed are untouched — dropping a constraint
+    * never re-validates history). */
+  def dropConstraintAction(name: String): Action =
+    Action("meta", s"dropconstraint=$name")
+
+  /** Active CHECK constraints after folding `cs`, in declaration
+    * order: (name, sql expression). */
+  def constraints(cs: Seq[Commit]): Seq[(String, String)] = {
+    val m = new java.util.LinkedHashMap[String, String]()
+    cs.foreach(_.actions.foreach { a =>
+      if (a.kind == "meta") {
+        if (a.path.startsWith("constraint=")) {
+          val body = a.path.stripPrefix("constraint=")
+          val i = body.indexOf('=')
+          m.put(body.substring(0, i), body.substring(i + 1))
+        } else if (a.path.startsWith("dropconstraint="))
+          m.remove(a.path.stripPrefix("dropconstraint="))
+      }
+    })
+    import scala.jdk.CollectionConverters._
+    m.asScala.toSeq
+  }
+
+  /** A write that violates an active CHECK constraint — raised BEFORE
+    * any commit publishes, with the violation count (the writer's
+    * frame never reaches the log; governance is at the write boundary,
+    * where one bad batch is cheap, not at read time, where a baked-in
+    * violation taxes every scan forever). */
+  class ConstraintViolationException(table: String, val name: String,
+                                     expr: String, val violations: Long)
+    extends RuntimeException(
+      s"write to $table violates CHECK constraint '$name' ($expr): " +
+        s"$violations row(s)")
+
+  /** Validate `df` against the table's active constraints: ONE
+    * distributed aggregation evaluates every constraint in a single
+    * pass (per-constraint full scans would read the batch N times),
+    * then throws the named error for the first violated one. Rows
+    * where an expression is NULL pass (SQL CHECK semantics). */
+  def checkConstraints(s: SparkSession, table: String,
+                       df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{expr, lit, sum, when}
+    val st = logState(s, table)
+    val baseCs =
+      if (st.floor == 0L) commitsFrom(s, table, st, None, 0L)
+      else latestCheckpointFrom(s, table, st.ckpts, st.floor).toSeq ++
+        commitsFrom(s, table, st, None, st.floor)
+    val cons = constraints(baseCs)
+    if (cons.isEmpty) return
+    val aggs = cons.zipWithIndex.map { case ((_, e), i) =>
+      sum(when(expr(e) === lit(false), 1L).otherwise(0L)).as(s"__c$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cons.zipWithIndex.foreach { case ((n, e), i) =>
+      val v = if (row.isNullAt(i)) 0L else row.getLong(i)
+      if (v > 0L) throw new ConstraintViolationException(table, n, e, v)
     }
   }
 
@@ -658,11 +738,17 @@ object TxnLog {
         cs
     }
     val live = liveState(folded)
-    // the column mapping is part of the table state a checkpoint must
-    // carry: log truncation deletes the commit that declared it, and a
-    // mapping silently lost would resurface every dropped column
-    val mappingLine = folded.flatMap(_.actions.filter(_.kind == "meta"))
+    // table METADATA is part of the state a checkpoint must carry:
+    // log truncation deletes the commits that declared it, and a
+    // mapping silently lost would resurface every dropped column, a
+    // constraint silently lost would stop validating writes. The
+    // checkpoint stores the FOLDED results (latest mapping, surviving
+    // constraints) — drops need not persist
+    val mappingLine = folded.flatMap(_.actions.filter(a =>
+        a.kind == "meta" && a.path.startsWith("colmap=")))
       .lastOption.map(a => s"meta\t${a.path}").toSeq
+    val constraintLines = constraints(folded)
+      .map { case (n, e) => s"meta\tconstraint=$n=$e" }
     val dir = logDir(table)
     val fs = hfs(s, dir)
     val out = fs.create(new Path(dir, f"$upTo%020d.ckpt"), true)
@@ -670,9 +756,10 @@ object TxnLog {
       // each live segment line, immediately followed by its active dv
       // association (fold order matters: the dv line requires its
       // segment already live in the synthetic replay)
-      val lines = mappingLine ++ live.flatMap { case (p, dvo) =>
-        s"live\t$p" +: dvo.map(dv => s"dv\t$p\t$dv").toSeq
-      }
+      val lines = mappingLine ++ constraintLines ++
+        live.flatMap { case (p, dvo) =>
+          s"live\t$p" +: dvo.map(dv => s"dv\t$p\t$dv").toSeq
+        }
       val body = (s"ckpt\t$upTo" +: lines :+ "end")
         .mkString("", "\n", "\n")
       out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -1131,7 +1218,9 @@ object TxnLog {
     * resets to physical reads). */
   def mappingAfter(c: Commit, prev: Option[Seq[(String, String)]])
       : Option[Seq[(String, String)]] =
-    if (c.actions.exists(_.kind == "meta")) columnMapping(Seq(c)) else prev
+    if (c.actions.exists(a => a.kind == "meta" &&
+        a.path.startsWith("colmap="))) columnMapping(Seq(c))
+    else prev // constraint metas and plain commits keep the mapping
 
   /** (active dv per segment, column mapping) at version `asOf` — ONE
     * checkpoint-bounded metadata fold for both (the change feed needs
@@ -1442,7 +1531,18 @@ object TxnLog {
         Seq(columnMappingAction(
           columnMapping(csTo).getOrElse(Seq.empty)))
       else Seq.empty
-    val actions = removes ++ readds ++ metaA
+    // constraints are table metadata too: drop the ones declared
+    // since the target, re-declare the ones dropped or changed since
+    val consTo = constraints(csTo)
+    val consHead = constraints(baseCs)
+    val consA =
+      if (consTo == consHead) Seq.empty
+      else consHead.collect {
+        case (n, _) if !consTo.exists(_._1 == n) => dropConstraintAction(n)
+      } ++ consTo.collect {
+        case (n, e) if !consHead.contains((n, e)) => constraintAction(n, e)
+      }
+    val actions = removes ++ readds ++ metaA ++ consA
     if (actions.isEmpty) return CommitResult(headV, 0) // already there
     val fs = hfs(s, new Path(table))
     val missing = readds.collect {

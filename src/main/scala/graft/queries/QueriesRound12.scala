@@ -649,6 +649,99 @@ object QueriesRound12 {
         |  CAST(1 AS INTEGER) AS n_adds,
         |  CAST(0 AS INTEGER) AS n_dvs,
         |  CAST(1 AS INTEGER) AS original_files_live,
-        |  CAST(1 AS INTEGER) AS n_vacuumed_restore_error""".stripMargin))
+        |  CAST(1 AS INTEGER) AS n_vacuumed_restore_error""".stripMargin)),
+
+    // ---- q592: CHECK constraints — write-side governance in the log -------------------
+    // Constraints live in the commit log as `meta` actions and gate
+    // every write BEFORE it publishes (one distributed aggregation
+    // evaluates all active constraints in a single pass over the
+    // batch — governance at the write boundary, where one bad batch
+    // is cheap, not at read time where a baked-in violation taxes
+    // every scan forever). The lane pins the whole lifecycle: a
+    // conforming batch lands; a poisoned batch fails NAMED with the
+    // exact violation count and publishes nothing; NULL passes (SQL
+    // CHECK semantics); the constraint survives checkpoint +
+    // truncation (the declaring commit's body is deleted — the
+    // checkpoint must carry the folded constraint set); DROP retires
+    // it and the same poison then commits, visible in the final sum.
+    QueryDef("q592_txn_constraints",
+      (s, d) => {
+        val root = Scratch.dir(s, d) + "/txn_q592"
+        reset(s, root)
+        val base = orders(s, d).select(col("o_orderkey"),
+          col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        def commitSeg(name: String, df: org.apache.spark.sql.DataFrame,
+                      v: Long): String = {
+          val p = s"$root/$name"
+          df.coalesce(1).write.parquet(p)
+          require(TxnLog.tryCommit(s, root, v, "ingest",
+            Seq(Action("add", p))))
+          p
+        }
+        val segA = s"$root/seg_a"
+        base.where(col("o_orderkey") % 2 === 0).coalesce(1).write.parquet(segA)
+        require(TxnLog.tryCommit(s, root, 1L, "ingest", Seq(
+          Action("add", segA),
+          TxnLog.constraintAction("cents_nonneg", "cents >= 0"),
+          TxnLog.constraintAction("status_known",
+            "status IN ('F', 'O', 'P')"))))
+        // a conforming batch validates and lands
+        val valid = base.where(col("o_orderkey") % 2 === 1)
+        TxnLog.checkConstraints(s, root, valid)
+        commitSeg("seg_b", valid, 2L)
+        // the poisoned batch: negated cents — rejected NAMED with the
+        // exact count, nothing published
+        val poison = base.where(col("o_orderkey") % 97 === 0)
+          .withColumn("cents", -col("cents") - 1L)
+        val (rejName, rejCount) =
+          try { TxnLog.checkConstraints(s, root, poison); ("", -1L) }
+          catch { case e: TxnLog.ConstraintViolationException =>
+            (e.name, e.violations) }
+        val headAfterReject = TxnLog.currentVersion(s, root)
+        // NULL passes — SQL CHECK semantics
+        val nullPasses =
+          try {
+            TxnLog.checkConstraints(s, root,
+              valid.limit(3).withColumn("cents",
+                lit(null).cast("long")))
+            1
+          } catch { case _: TxnLog.ConstraintViolationException => 0 }
+        // the constraint survives checkpoint + log truncation
+        TxnLog.writeCheckpoint(s, root, 2L)
+        TxnLog.truncateLog(s, root)
+        val survives =
+          try { TxnLog.checkConstraints(s, root, poison); 0 }
+          catch { case _: TxnLog.ConstraintViolationException => 1 }
+        // DROP retires it: the same poison now validates and commits
+        require(TxnLog.tryCommit(s, root, 3L, "admin",
+          Seq(TxnLog.dropConstraintAction("cents_nonneg"))))
+        TxnLog.checkConstraints(s, root, poison)
+        commitSeg("seg_c", poison, 4L)
+        val (snap, headV, _) = TxnLog.snapshot(s, root)
+        snap.agg(count(lit(1)).as("rows_final"),
+            sum("cents").as("sum_cents_final"))
+          .select(col("rows_final"), col("sum_cents_final"),
+            lit(rejName).as("rejected_constraint"),
+            lit(rejCount).as("n_violations"),
+            lit(headAfterReject).as("head_after_reject"),
+            lit(nullPasses).as("null_passes"),
+            lit(survives).as("survives_truncation"),
+            lit(headV).as("head_final"))
+      },
+      Some("""SELECT
+        |  (SELECT CAST(count(*) + count(*) FILTER (WHERE o_orderkey % 97 = 0)
+        |       AS BIGINT) FROM orders) AS rows_final,
+        |  (SELECT CAST(sum(c) + sum(-c - 1) FILTER (WHERE o_orderkey % 97 = 0)
+        |       AS BIGINT) FROM (SELECT o_orderkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |       FROM orders)) AS sum_cents_final,
+        |  'cents_nonneg' AS rejected_constraint,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |     WHERE o_orderkey % 97 = 0) AS n_violations,
+        |  CAST(2 AS BIGINT) AS head_after_reject,
+        |  CAST(1 AS INTEGER) AS null_passes,
+        |  CAST(1 AS INTEGER) AS survives_truncation,
+        |  CAST(4 AS BIGINT) AS head_final""".stripMargin))
   )
 }

@@ -239,6 +239,63 @@ class TxnProtocolSpec extends SparkSpec {
       "compaction across evolution must be reader-invisible")
   }
 
+  // ---- CHECK constraints ----------------------------------------------------
+
+  test("CHECK constraints gate writes, accumulate, drop, and survive truncation") {
+    val t = freshTable()
+    val a = writeSeg(t, "a", Seq(1L, 2L))
+    assert(TxnLog.tryCommit(spark, t, 1L, "w", Seq(Action("add", a),
+      TxnLog.constraintAction("id_pos", "id > 0"))))
+    // a conforming batch passes
+    TxnLog.checkConstraints(spark, t,
+      spark.createDataFrame(Seq(Tuple1(5L))).toDF("id"))
+    // a violating batch fails NAMED with the count, before any commit
+    val bad = spark.createDataFrame(Seq(Tuple1(-1L), Tuple1(3L),
+      Tuple1(-2L))).toDF("id")
+    val e = intercept[TxnLog.ConstraintViolationException] {
+      TxnLog.checkConstraints(spark, t, bad)
+    }
+    assert(e.name == "id_pos" && e.violations == 2L)
+    // NULL passes (SQL CHECK semantics)
+    TxnLog.checkConstraints(spark, t,
+      spark.createDataFrame(Seq(Tuple1(Option.empty[java.lang.Long])))
+        .toDF("id"))
+    // constraints accumulate; both evaluate in one pass
+    assert(TxnLog.tryCommit(spark, t, 2L, "w",
+      Seq(TxnLog.constraintAction("id_small", "id < 100"))))
+    val e2 = intercept[TxnLog.ConstraintViolationException] {
+      TxnLog.checkConstraints(spark, t,
+        spark.createDataFrame(Seq(Tuple1(500L))).toDF("id"))
+    }
+    assert(e2.name == "id_small")
+    // survives checkpoint + truncation (the declaring commits die)
+    TxnLog.writeCheckpoint(spark, t, 2L)
+    TxnLog.truncateLog(spark, t)
+    intercept[TxnLog.ConstraintViolationException] {
+      TxnLog.checkConstraints(spark, t,
+        spark.createDataFrame(Seq(Tuple1(-7L))).toDF("id"))
+    }
+    // drop retires it — the same batch now passes
+    val head = TxnLog.currentVersion(spark, t)
+    assert(TxnLog.tryCommit(spark, t, head + 1L, "w",
+      Seq(TxnLog.dropConstraintAction("id_pos"))))
+    TxnLog.checkConstraints(spark, t,
+      spark.createDataFrame(Seq(Tuple1(-7L))).toDF("id"))
+  }
+
+  test("restore re-points constraints to the target version's set") {
+    val t = freshTable()
+    val a = writeSeg(t, "a", Seq(1L))
+    assert(TxnLog.tryCommit(spark, t, 1L, "w", Seq(Action("add", a),
+      TxnLog.constraintAction("id_pos", "id > 0"))))
+    assert(TxnLog.tryCommit(spark, t, 2L, "w", Seq(
+      TxnLog.dropConstraintAction("id_pos"),
+      TxnLog.constraintAction("id_big", "id > 10"))))
+    TxnLog.restore(spark, t, "restorer", 1L)
+    assert(TxnLog.constraints(TxnLog.commits(spark, t)) ==
+      Seq("id_pos" -> "id > 0"))
+  }
+
   // ---- RESTORE -------------------------------------------------------------
 
   test("restore rolls back CoW + append history as one forward commit") {
