@@ -1417,7 +1417,15 @@ object TxnLog {
     * each, the same documented class as [[compactionPlan]] execution.
     *
     * Returns the commit result, or None when nothing matched (a no-op
-    * delete publishes no commit). */
+    * delete publishes no commit).
+    *
+    * Column-mapping bound: `cond` evaluates against the segment files'
+    * PHYSICAL column names (dv sidecars must hold physical rows — the
+    * reader subtracts them from the raw segment by value, before the
+    * logical projection). On an evolved table, translate logical →
+    * physical via [[mappingAt]] before building the predicate; a
+    * logical-surface DELETE API on top of that translation is the
+    * extension point. */
   def deleteWhereMoR(s: SparkSession, table: String, writer: String,
                      cond: org.apache.spark.sql.Column)
       : Option[CommitResult] = {

@@ -742,6 +742,122 @@ object QueriesRound12 {
         |  CAST(2 AS BIGINT) AS head_after_reject,
         |  CAST(1 AS INTEGER) AS null_passes,
         |  CAST(1 AS INTEGER) AS survives_truncation,
-        |  CAST(4 AS BIGINT) AS head_final""".stripMargin))
+        |  CAST(4 AS BIGINT) AS head_final""".stripMargin)),
+
+    // ---- q593: STREAMING validated ingest with a dead-letter table (lane #37) --------
+    // q552 (exactly-once streaming writer) × q592 (CHECK constraints):
+    // production ingest can neither crash the stream on one poisoned
+    // row nor silently drop it. Each micro-batch splits row-level
+    // against the constraint set read from the COMMIT LOG (the log is
+    // the source of truth — no config channel): conforming rows land
+    // as a segment + commit on the main table, violating rows land on
+    // a SECOND logged table (the dead-letter queue) tagged with the
+    // violated constraint's name and batch — BOTH channels get the
+    // version = batchId + offset exactly-once discipline, and batches
+    // with no violations publish an empty commit so the dead-letter
+    // log stays contiguous. Pins: clean table carries exactly the
+    // conforming rows (zero negatives), the dead letter exactly the
+    // violations with the right name, and both heads/segment counts.
+    QueryDef("q593_streaming_dead_letter",
+      (s, d) => {
+        val root = Scratch.dir(s, d) + "/txn_q593"
+        reset(s, root)
+        val main = s"$root/main"
+        val dead = s"$root/dead"
+        // v1 on the main table: the constraint, BEFORE any data
+        require(TxnLog.tryCommit(s, main, 1L, "admin",
+          Seq(TxnLog.constraintAction("cents_nonneg", "cents >= 0"))))
+        // quarter-split source with planted poison: every 13th event's
+        // cents negated (−c−1 is negative for every c ≥ 0)
+        val ev = events(s, d).select(col("event_id"),
+          expr("""CASE WHEN event_id % 13 = 0
+            THEN -CAST(round(value * 100) AS BIGINT) - 1
+            ELSE CAST(round(value * 100) AS BIGINT) END""").as("cents"),
+          expr("CAST(unix_micros(ts) div 3600000000 AS BIGINT) % 4")
+            .as("q"))
+        (0 until 4).foreach { i =>
+          ev.where(col("q") === i).drop("q")
+            .coalesce(1).write.parquet(s"$root/in/in_$i")
+        }
+        val sch = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cents",
+            org.apache.spark.sql.types.LongType)))
+        val stream = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1)
+          .option("pathGlobFilter", "*.parquet")
+          .option("recursiveFileLookup", "true")
+          .parquet(s"$root/in")
+        val q = stream.writeStream
+          .option("checkpointLocation", s"$root/_ckpt")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            // the split predicate comes from the LOG, per batch — a
+            // constraint added mid-stream takes effect next batch
+            val cons = TxnLog.constraints(TxnLog.commits(s, main))
+            val viol = cons.foldRight(lit(null).cast("string")) {
+              case ((n, e), acc) =>
+                when(expr(e) === lit(false), lit(n)).otherwise(acc)
+            }
+            val tagged = batch.withColumn("__viol", viol)
+              .localCheckpoint() // one source read for both channels
+            val ok = tagged.where(col("__viol").isNull).drop("__viol")
+            val seg = s"$main/seg_$id"
+            ok.coalesce(1).write.mode("overwrite").parquet(seg)
+            require(TxnLog.tryCommit(s, main, id + 2L, s"streamer_$id",
+              Seq(Action("add", seg))))
+            val bad = tagged.where(col("__viol").isNotNull)
+              .withColumnRenamed("__viol", "violated")
+              .withColumn("batch_id", lit(id))
+            val badActions =
+              if (bad.isEmpty) Seq.empty // empty commit keeps the log contiguous
+              else {
+                val p = s"$dead/dl_$id"
+                bad.coalesce(1).write.mode("overwrite").parquet(p)
+                Seq(Action("add", p))
+              }
+            require(TxnLog.tryCommit(s, dead, id + 1L, s"streamer_$id",
+              badActions))
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination()
+        finally q.stop()
+        val (clean, mainV, mainSegs) = TxnLog.snapshot(s, main)
+        val (dl, deadV, _) = TxnLog.snapshot(s, dead)
+        clean.agg(count(lit(1)).as("n_clean"),
+            sum("cents").as("sum_clean_cents"),
+            sum((col("cents") < 0).cast("long")).as("n_clean_negative"))
+          .crossJoin(dl.agg(count(lit(1)).as("n_dead"),
+            sum("cents").as("sum_dead_cents"),
+            sum((col("violated") === "cents_nonneg").cast("long"))
+              .as("n_dead_named")))
+          .select(col("n_clean"), col("sum_clean_cents"),
+            col("n_clean_negative"), col("n_dead"), col("sum_dead_cents"),
+            col("n_dead_named"),
+            lit(mainV).as("main_head"), lit(mainSegs).as("main_segments"),
+            lit(deadV).as("dead_head"))
+      },
+      Some("""WITH ev AS (SELECT event_id,
+        |    CASE WHEN event_id % 13 = 0
+        |      THEN -CAST(round(value * 100) AS BIGINT) - 1
+        |      ELSE CAST(round(value * 100) AS BIGINT) END AS cents
+        |  FROM events)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ev WHERE cents >= 0)
+        |    AS n_clean,
+        |  (SELECT CAST(sum(cents) AS BIGINT) FROM ev WHERE cents >= 0)
+        |    AS sum_clean_cents,
+        |  CAST(0 AS BIGINT) AS n_clean_negative,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ev WHERE cents < 0)
+        |    AS n_dead,
+        |  (SELECT CAST(sum(cents) AS BIGINT) FROM ev WHERE cents < 0)
+        |    AS sum_dead_cents,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ev WHERE cents < 0)
+        |    AS n_dead_named,
+        |  CAST(5 AS BIGINT) AS main_head,
+        |  CAST(4 AS INTEGER) AS main_segments,
+        |  CAST(4 AS BIGINT) AS dead_head""".stripMargin))
   )
 }

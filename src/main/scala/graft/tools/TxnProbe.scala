@@ -51,7 +51,7 @@ object TxnProbe {
       val b0 = System.nanoTime()
       (1 to n).foreach { v =>
         require(TxnLog.tryCommit(spark, t, v.toLong, "probe",
-          Seq(Action("add", seg))))
+          Seq(Action("add", seg)), ts = v * 1000L))
       }
       val buildMs = (System.nanoTime() - b0) / 1e6
       val fullMs = minOf3 {
@@ -75,6 +75,12 @@ object TxnProbe {
       val suffixMs = minOf3 {
         require(TxnLog.commits(spark, t, fromVersion = n.toLong).isEmpty)
       }
+      // timestamp resolution scales on the same axis: versionAt reads
+      // every readable commit HEADER (O(n) bodies on a full log) —
+      // truncation bounds it to O(suffix) below, the retention trade
+      val tsMs = minOf3 {
+        require(TxnLog.versionAt(spark, t, n * 500L) == n / 2L)
+      }
       def f(d: Double) = String.format(java.util.Locale.ROOT, "%.1f",
         Double.box(d))
       // log retention closes the loop: the O(N) residue in checkpoint
@@ -90,12 +96,23 @@ object TxnProbe {
       val truncHeadMs = minOf3 {
         require(TxnLog.currentVersion(spark, t) == n.toLong)
       }
+      // after truncation, land ONE more stamped commit: timestamp
+      // resolution then rides the O(suffix) path — a fully-truncated
+      // log has no timestamp info at all (checkpoints carry no ts),
+      // and mid-history timestamps get the named truncation error
+      require(TxnLog.tryCommit(spark, t, n + 1L, "probe",
+        Seq(Action("add", seg)), ts = (n + 1) * 1000L))
+      val truncTsMs = minOf3 {
+        require(TxnLog.versionAt(spark, t, (n + 1) * 1000L) == n + 1L)
+      }
       println(s"""{"probe":"txn_log_length","n_commits":$n,""" +
         s""""full_ms":${f(fullMs)},"ckpt_ms":${f(ckptMs)},""" +
         s""""head_ms":${f(headMs)},"build_ms":${f(buildMs)},""" +
         s""""log_bodies_ms":${f(bodiesMs)},"log_suffix_ms":${f(suffixMs)},""" +
         s""""trunc_ckpt_ms":${f(truncCkptMs)},""" +
-        s""""trunc_head_ms":${f(truncHeadMs)}}""")
+        s""""trunc_head_ms":${f(truncHeadMs)},""" +
+        s""""ts_resolve_ms":${f(tsMs)},""" +
+        s""""trunc_ts_resolve_ms":${f(truncTsMs)}}""")
       org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(t))
     }
     spark.stop()
