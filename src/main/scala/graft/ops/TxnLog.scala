@@ -1038,6 +1038,62 @@ object TxnLog {
       bin.map(Action("remove", _)) :+ Action("add", mergedPath))
   }
 
+  /** OPTIMIZE … CLUSTER BY: rewrite `bin`'s VISIBLE rows (dv-aware,
+    * like [[compactBin]]) into up to `nOut` key-range segments with
+    * refreshed zone maps in the commit. Ingest-order segments each
+    * span the whole key domain, so their manifest stats overlap and
+    * prune nothing; after clustering each segment owns one disjoint
+    * key range and a range predicate reads 1-2 segments from the LOG
+    * ALONE (q569's manifest pruning finally has something to bite).
+    * Range boundaries are fixed-width integer arithmetic over the
+    * bin's [min, max] — deterministic, no sampled quantiles — and
+    * empty ranges write no segment. One bounded job per output range
+    * (driver loop over nOut, the documented [[compactionPlan]] class);
+    * at scale the boundaries would come from the manifest's own zone
+    * maps, not a data scan. The rewrite commits through OCC and is
+    * CDF-invisible like any compaction. */
+  def clusterBin(s: SparkSession, table: String, writer: String,
+                 bin: Seq[String], outPrefix: String,
+                 keyCol: String, nOut: Int): CommitResult = {
+    require(bin.nonEmpty, "empty cluster bin")
+    require(nOut >= 1, s"nOut must be >= 1, got $nOut")
+    import org.apache.spark.sql.functions.{col, max, min}
+    val dvState = dvStateAt(s, table, currentVersion(s, table))
+    val parts = bin.map { p =>
+      val seg = s.read.parquet(p)
+      dvState.get(p)
+        .map(dv => seg.exceptAll(s.read.parquet(dv))).getOrElse(seg)
+    }
+    val all =
+      (if (parts.map(_.schema).distinct.size == 1) parts.reduce(_ unionAll _)
+       else parts.reduce(_.unionByName(_, allowMissingColumns = true)))
+        .localCheckpoint() // scanned once per output range below
+    val mm = all.agg(min(col(keyCol)).cast("long"),
+      max(col(keyCol)).cast("long")).head()
+    require(!mm.isNullAt(0), s"cluster bin has no rows with $keyCol")
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val span = hi - lo + 1L
+    val adds = (0 until nOut).flatMap { i =>
+      val bLo = lo + span * i / nOut
+      val bHi = if (i == nOut - 1) hi + 1L else lo + span * (i + 1) / nOut
+      if (bHi <= bLo) None
+      else {
+        val rows = all.where(col(keyCol) >= bLo && col(keyCol) < bHi)
+        val st = rows.agg(min(col(keyCol)).cast("long"),
+          max(col(keyCol)).cast("long")).head()
+        if (st.isNullAt(0)) None // empty range: no segment, no action
+        else {
+          val path = s"${outPrefix}_$i"
+          rows.coalesce(1).write.parquet(path)
+          Some(Action("add", path,
+            stats = Map(keyCol -> (st.getLong(0), st.getLong(1)))))
+        }
+      }
+    }
+    commitWithRetry(s, table, writer,
+      bin.map(Action("remove", _)) ++ adds)
+  }
+
   case class TruncateResult(floor: Long, deletedCommits: Int)
 
   /** Log RETENTION: physically delete the commit bodies a checkpoint

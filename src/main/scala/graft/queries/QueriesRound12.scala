@@ -858,6 +858,90 @@ object QueriesRound12 {
         |    AS n_dead_named,
         |  CAST(5 AS BIGINT) AS main_head,
         |  CAST(4 AS INTEGER) AS main_segments,
-        |  CAST(4 AS BIGINT) AS dead_head""".stripMargin))
+        |  CAST(4 AS BIGINT) AS dead_head""".stripMargin)),
+
+    // ---- q594: OPTIMIZE CLUSTER BY — the layout → manifest-pruning loop EXECUTED -----
+    // q291/q546 MEASURED layouts and q569 proved manifest pruning;
+    // this lane closes the loop as an OPERATION: four ingest-order
+    // segments each stripe the whole key domain (mod-4), so their
+    // zone maps all overlap and a key-band predicate must read 4/4
+    // segments from the log. TxnLog.clusterBin rewrites the visible
+    // rows into 4 DISJOINT key-range segments (deterministic
+    // fixed-width boundaries — no sampled quantiles) with refreshed
+    // stats in the commit; the same band then reads 1/4 FROM THE LOG
+    // ALONE. Both pruning counts are computed from liveActions stats
+    // (Spark) and replayed from raw arithmetic (oracle) — no
+    // constants assumed where the data decides; the rewrite is
+    // CDF-invisible and row/sum-invariant like any compaction. At
+    // 100 TB this is the difference between a point query costing a
+    // full scan and costing one segment.
+    QueryDef("q594_txn_optimize_cluster",
+      (s, d) => {
+        val root = Scratch.dir(s, d) + "/txn_q594"
+        reset(s, root)
+        val base = orders(s, d).select(col("o_orderkey").as("k"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        (0 until 4).foreach { i =>
+          val p = s"$root/stripe_$i"
+          val df = base.where(col("k") % 4 === i)
+          df.coalesce(1).write.parquet(p)
+          val mm = df.agg(min("k"), max("k")).head()
+          require(TxnLog.tryCommit(s, root, i + 1L, "ingest", Seq(
+            Action("add", p,
+              stats = Map("k" -> (mm.getLong(0), mm.getLong(1)))))))
+        }
+        // the probe band == post-cluster range 1 exactly: [b1, b2)
+        val mm = base.agg(min("k"), max("k")).head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val span = hi - lo + 1L
+        val (b1, b2) = (lo + span / 4L, lo + span * 2L / 4L)
+        def nRead(asOf: Option[Long]): Int =
+          TxnLog.liveActions(TxnLog.commits(s, root, asOf)).count { a =>
+            a.stats.get("k").exists { case (sLo, sHi) =>
+              sLo <= b2 - 1L && sHi >= b1 }
+          }
+        val readBefore = nRead(Some(4L))
+        val preHead = TxnLog.currentVersion(s, root)
+        TxnLog.clusterBin(s, root, "optimizer",
+          TxnLog.liveFiles(TxnLog.commits(s, root)), s"$root/clustered",
+          "k", 4)
+        val head = TxnLog.currentVersion(s, root)
+        val readAfter = nRead(None)
+        val nLive = TxnLog.liveActions(TxnLog.commits(s, root)).size
+        val (chg, _) = TxnLog.changeFeed(s, root, preHead, head, Seq("k"))
+        val cdf = chg.agg(count(lit(1)).as("n_cdf_changes"))
+        val (snap, _, _) = TxnLog.snapshot(s, root)
+        snap.agg(count(lit(1)).as("rows_live"),
+            sum("cents").as("sum_cents"),
+            sum(col("k").between(b1, b2 - 1L).cast("long"))
+              .as("rows_in_band"))
+          .crossJoin(cdf)
+          .select(col("rows_live"), col("sum_cents"), col("rows_in_band"),
+            col("n_cdf_changes"),
+            lit(readBefore).as("n_read_before"),
+            lit(readAfter).as("n_read_after"),
+            lit(nLive).as("n_live_after"),
+            lit(head).as("head_final"))
+      },
+      // the oracle replays the pruning arithmetic from raw data: a
+      // stripe i intersects the band iff its true [min, max] does
+      Some("""WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+        |    max(o_orderkey) - min(o_orderkey) + 1 AS span FROM orders),
+        |band AS (SELECT lo + span // 4 AS b1, lo + span * 2 // 4 AS b2
+        |  FROM b),
+        |stripes AS (SELECT o_orderkey % 4 AS i, min(o_orderkey) AS sLo,
+        |    max(o_orderkey) AS sHi FROM orders GROUP BY 1)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders) AS rows_live,
+        |  (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |       AS BIGINT) FROM orders) AS sum_cents,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders, band
+        |     WHERE o_orderkey >= b1 AND o_orderkey < b2) AS rows_in_band,
+        |  CAST(0 AS BIGINT) AS n_cdf_changes,
+        |  (SELECT CAST(count(*) AS INTEGER) FROM stripes, band
+        |     WHERE sLo <= b2 - 1 AND sHi >= b1) AS n_read_before,
+        |  CAST(1 AS INTEGER) AS n_read_after,
+        |  CAST(4 AS INTEGER) AS n_live_after,
+        |  CAST(5 AS BIGINT) AS head_final""".stripMargin))
   )
 }

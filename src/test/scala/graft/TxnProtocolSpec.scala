@@ -296,6 +296,35 @@ class TxnProtocolSpec extends SparkSpec {
       Seq("id_pos" -> "id > 0"))
   }
 
+  test("clusterBin: dv-aware, disjoint ranges, refreshed stats, empty ranges skipped") {
+    val t = freshTable()
+    val a = writeSeg(t, "a", Seq(1L, 5L, 9L, 13L))
+    val b = writeSeg(t, "b", Seq(2L, 6L, 10L, 14L))
+    assert(TxnLog.tryCommit(spark, t, 1L, "w", Seq(Action("add", a))))
+    assert(TxnLog.tryCommit(spark, t, 2L, "w", Seq(Action("add", b))))
+    assert(TxnLog.deleteWhereMoR(spark, t, "mor", col("id") === 14L)
+      .exists(_.version == 3L))
+    TxnLog.clusterBin(spark, t, "opt", Seq(a, b), s"$t/cl", "id", 2)
+    // lo=1 hi=13 span=13 → range0 [1,7): {1,2,5,6}, range1 [7,14): {9,10,13}
+    val live = TxnLog.liveActions(TxnLog.commits(spark, t))
+    assert(live.size == 2)
+    assert(live.map(_.stats("id")) == Seq((1L, 6L), (9L, 13L)),
+      s"stats not disjoint/refreshed: ${live.map(_.stats)}")
+    // the MoR-deleted row did NOT resurrect through the rewrite
+    assert(ids(TxnLog.snapshot(spark, t)._1) ==
+      Seq(1L, 2L, 5L, 6L, 9L, 10L, 13L))
+    // no active sidecar survives (its base segments were removed)
+    assert(TxnLog.liveState(TxnLog.commits(spark, t)).forall(_._2.isEmpty))
+    // degenerate: clustering a single-value bin skips empty ranges
+    val t2 = freshTable()
+    val x = writeSeg(t2, "x", Seq(7L, 7L, 7L))
+    assert(TxnLog.tryCommit(spark, t2, 1L, "w", Seq(Action("add", x))))
+    TxnLog.clusterBin(spark, t2, "opt", Seq(x), s"$t2/cl", "id", 4)
+    val live2 = TxnLog.liveActions(TxnLog.commits(spark, t2))
+    assert(live2.size == 1 && live2.head.stats("id") == ((7L, 7L)))
+    assert(ids(TxnLog.snapshot(spark, t2)._1) == Seq(7L, 7L, 7L))
+  }
+
   // ---- RESTORE -------------------------------------------------------------
 
   test("restore rolls back CoW + append history as one forward commit") {
