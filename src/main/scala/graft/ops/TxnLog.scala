@@ -130,7 +130,8 @@ object TxnLog {
         "a dv action must name its base segment via ref")
       require(a.kind != "meta" || a.path.startsWith("colmap=") ||
           a.path.startsWith("constraint=") ||
-          a.path.startsWith("dropconstraint="),
+          a.path.startsWith("dropconstraint=") ||
+          a.path.startsWith("idhwm="),
         s"unknown meta payload '${a.path}' — a reader that cannot " +
           "interpret table metadata must not silently ignore it")
       a.stats.keys.foreach(c =>
@@ -603,6 +604,71 @@ object TxnLog {
     }
   }
 
+  // ---- identity columns (exactly-once id allocation through the log) ----
+
+  /** Identity high-water mark for `idCol` after folding `cs`: the
+    * largest id any committed allocation claimed (0 = none yet). The
+    * mark is monotone BY CONSTRUCTION: every allocation commit carries
+    * an `idhwm` meta action, and two allocations of the same column
+    * conflict under OCC (the per-column sentinel in commitWithRetry's
+    * touched set), so no two writers can ever read the same mark and
+    * both land. */
+  def identityHighWater(cs: Seq[Commit], idCol: String): Long =
+    cs.flatMap(_.actions.collect {
+      case a if a.kind == "meta" &&
+          a.path.startsWith(s"idhwm=$idCol:") =>
+        a.path.stripPrefix(s"idhwm=$idCol:").toLong
+    }).maxOption.getOrElse(0L)
+
+  /** Append `df` with a freshly-allocated IDENTITY column: ids are
+    * `hwm+1 .. hwm+n`, contiguous and DETERMINISTIC (global row number
+    * by `orderCol`, a unique numeric key, via the two-level form — no
+    * single-partition window at any batch size), and the commit
+    * carries both the segment and the new high-water mark. Exactly
+    * once under contention: a racing allocation of the same column
+    * hits the OCC sentinel, this writer re-reads the mark, REASSIGNS
+    * from the new base, rewrites the segment, and retries — ids can
+    * never collide, at the price of a segment rewrite per lost race
+    * (allocation races are rare; id collisions are forever).
+    * Returns (commit, firstId, lastId). */
+  def appendWithIdentity(s: SparkSession, table: String, writer: String,
+                         df: DataFrame, segPath: String, idCol: String,
+                         orderCol: String, maxAttempts: Int = 10)
+      : (CommitResult, Long, Long) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(!df.columns.contains(idCol),
+      s"batch already carries identity column '$idCol'")
+    val n = df.count()
+    require(n > 0, "cannot allocate identity for an empty batch")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val st = logState(s, table)
+      val cs =
+        if (st.floor == 0L) commitsFrom(s, table, st, None, 0L)
+        else latestCheckpointFrom(s, table, st.ckpts, st.floor)
+          .toSeq ++ commitsFrom(s, table, st, None, st.floor)
+      val hwm = identityHighWater(cs, idCol)
+      val withIds = graft.ops.Relational.twoLevelRowNumberBy(
+          df.withColumn("__one", lit(1)), "__one", orderCol,
+          coarseWidth = 1L << 20, outCol = "__rn")
+        .withColumn(idCol, col("__rn") + hwm)
+        .drop("__one", "__rn")
+      withIds.coalesce(1).write.mode("overwrite").parquet(segPath)
+      try {
+        val res = commitWithRetry(s, table, writer, Seq(
+            Action("add", segPath),
+            Action("meta", s"idhwm=$idCol:${hwm + n}")),
+          baseVersion = Some(cs.lastOption.map(_.version).getOrElse(0L)))
+        return (res, hwm + 1L, hwm + n)
+      } catch {
+        case e: CommitConflictException if attempt < maxAttempts =>
+          () // a rival allocation landed: re-read the mark, reassign
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   // ---- timestamp time travel -------------------------------------------
 
   /** Timestamp probe before the table's first (readable) commit: the
@@ -749,6 +815,14 @@ object TxnLog {
       .lastOption.map(a => s"meta\t${a.path}").toSeq
     val constraintLines = constraints(folded)
       .map { case (n, e) => s"meta\tconstraint=$n=$e" }
+    // identity high-waters: one folded mark per column (losing one to
+    // truncation would hand already-used id ranges out again)
+    val hwmLines = folded.flatMap(_.actions.collect {
+        case a if a.kind == "meta" && a.path.startsWith("idhwm=") =>
+          a.path.stripPrefix("idhwm=").takeWhile(_ != ':')
+      }).distinct.map { c =>
+        s"meta\tidhwm=$c:${identityHighWater(folded, c)}"
+      }
     val dir = logDir(table)
     val fs = hfs(s, dir)
     val out = fs.create(new Path(dir, f"$upTo%020d.ckpt"), true)
@@ -756,7 +830,7 @@ object TxnLog {
       // each live segment line, immediately followed by its active dv
       // association (fold order matters: the dv line requires its
       // segment already live in the synthetic replay)
-      val lines = mappingLine ++ constraintLines ++
+      val lines = mappingLine ++ constraintLines ++ hwmLines ++
         live.flatMap { case (p, dvo) =>
           s"live\t$p" +: dvo.map(dv => s"dv\t$p\t$dv").toSeq
         }
@@ -1417,10 +1491,20 @@ object TxnLog {
                       ts: Long = -1L): CommitResult = {
     // a dv action touches its BASE segment too: a merge-on-read delete
     // must conflict with a compaction or CoW rewrite of that segment
-    // (file-level OCC — they do not commute), so refs join the set
+    // (file-level OCC — they do not commute), so refs join the set.
+    // An identity high-water action normalizes to a per-COLUMN
+    // sentinel: two allocations of the same column must conflict
+    // whatever values they claim (their payload strings differ, so the
+    // raw path would never collide — and both would silently hand out
+    // the same id range)
     def touched(as: Seq[Action]): Set[String] =
-      as.flatMap(a => a.path +: (if (a.ref.nonEmpty) Seq(a.ref)
-                                 else Seq.empty)).toSet
+      as.flatMap { a =>
+        val p =
+          if (a.kind == "meta" && a.path.startsWith("idhwm="))
+            "idhwm:" + a.path.stripPrefix("idhwm=").takeWhile(_ != ':')
+          else a.path
+        p +: (if (a.ref.nonEmpty) Seq(a.ref) else Seq.empty)
+      }.toSet
     val mine = touched(actions)
     var attempt = 0
     // `baseVersion` pins the snapshot the writer PREPARED against
@@ -1544,6 +1628,10 @@ object TxnLog {
     *    dv association; there is no "drop dv" action, and inventing
     *    one for this path alone would fork the fold);
     *  - a column mapping differing from head's → the target's `meta`.
+    * Identity high-waters are deliberately NOT restored: the mark
+    * only ever rises, so ids of rows the restore removed are never
+    * handed out again (re-allocating them would collide with any
+    * copy of those rows that escaped — the conservative choice).
     * Fails with [[RestoreVacuumedException]] if any required file is
     * gone, and with the truncation error below the log floor (the
     * action-level state of a retention-deleted version is

@@ -942,6 +942,65 @@ object QueriesRound12 {
         |     WHERE sLo <= b2 - 1 AND sHi >= b1) AS n_read_before,
         |  CAST(1 AS INTEGER) AS n_read_after,
         |  CAST(4 AS INTEGER) AS n_live_after,
-        |  CAST(5 AS BIGINT) AS head_final""".stripMargin))
+        |  CAST(5 AS BIGINT) AS head_final""".stripMargin)),
+
+    // ---- q595: identity column — exactly-once id allocation through the log ----------
+    // Auto-assigned surrogate keys with the log as the allocator:
+    // each append claims [hwm+1, hwm+n] and commits the new
+    // high-water mark alongside the segment; ids within a batch are
+    // contiguous and DETERMINISTIC (global row number by the order
+    // key via the two-level form — no single-partition window at any
+    // batch size). Two racing allocators of the same column hit the
+    // per-column OCC sentinel and the loser reassigns from the fresh
+    // mark (the concurrent no-collision race is TxnProtocolSpec's;
+    // this lane pins the deterministic assignment row-for-row —
+    // sum(id · cents) would shift if ANY row got a different id).
+    QueryDef("q595_txn_identity",
+      (s, d) => {
+        val root = Scratch.dir(s, d) + "/txn_q595"
+        reset(s, root)
+        val base = orders(s, d).select(col("o_orderkey").as("k"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        val (r1, lo1, hi1) = TxnLog.appendWithIdentity(s, root, "w1",
+          base.where(col("k") % 2 === 0), s"$root/seg1", "row_id", "k")
+        val (r2, lo2, hi2) = TxnLog.appendWithIdentity(s, root, "w2",
+          base.where(col("k") % 2 === 1), s"$root/seg2", "row_id", "k")
+        val (snap, headV, _) = TxnLog.snapshot(s, root)
+        val hwm = TxnLog.identityHighWater(TxnLog.commits(s, root),
+          "row_id")
+        snap.agg(count(lit(1)).as("n_rows"),
+            max("row_id").as("max_id"), sum("row_id").as("sum_id"),
+            sum(col("row_id") * col("cents")).as("sum_id_cents"))
+          .select(col("n_rows"), col("max_id"), col("sum_id"),
+            col("sum_id_cents"),
+            lit(lo1).as("b1_first"), lit(hi1).as("b1_last"),
+            lit(lo2).as("b2_first"), lit(hi2).as("b2_last"),
+            lit(hwm).as("hwm_final"),
+            lit(headV).as("head_final"),
+            lit(r1.version).as("v1"), lit(r2.version).as("v2"))
+      },
+      Some("""WITH b AS (SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 0 ELSE 1 END AS grp
+        |  FROM orders),
+        |n1 AS (SELECT count(*) AS c FROM b WHERE grp = 0),
+        |ids AS (SELECT k, cents, CASE WHEN grp = 0
+        |    THEN row_number() OVER (PARTITION BY grp ORDER BY k)
+        |    ELSE (SELECT c FROM n1)
+        |      + row_number() OVER (PARTITION BY grp ORDER BY k)
+        |    END AS row_id FROM b)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(max(row_id) AS BIGINT) AS max_id,
+        |  CAST(sum(row_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(row_id * cents) AS BIGINT) AS sum_id_cents,
+        |  CAST(1 AS BIGINT) AS b1_first,
+        |  (SELECT CAST(c AS BIGINT) FROM n1) AS b1_last,
+        |  (SELECT CAST(c + 1 AS BIGINT) FROM n1) AS b2_first,
+        |  CAST(count(*) AS BIGINT) AS b2_last,
+        |  CAST(count(*) AS BIGINT) AS hwm_final,
+        |  CAST(2 AS BIGINT) AS head_final,
+        |  CAST(1 AS BIGINT) AS v1,
+        |  CAST(2 AS BIGINT) AS v2
+        |FROM ids""".stripMargin))
   )
 }

@@ -325,6 +325,62 @@ class TxnProtocolSpec extends SparkSpec {
     assert(ids(TxnLog.snapshot(spark, t2)._1) == Seq(7L, 7L, 7L))
   }
 
+  // ---- identity columns -----------------------------------------------------
+
+  test("identity allocation: contiguous, deterministic, truncation-safe") {
+    val t = freshTable()
+    val b1 = spark.createDataFrame(Seq(Tuple1(30L), Tuple1(10L),
+      Tuple1(20L))).toDF("k")
+    val (r1, lo1, hi1) = TxnLog.appendWithIdentity(spark, t, "w", b1,
+      s"$t/seg1", "row_id", "k")
+    assert(r1.version == 1L && lo1 == 1L && hi1 == 3L)
+    // deterministic: ids follow the order key, not partition layout
+    val got = TxnLog.snapshot(spark, t)._1.orderBy("k")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("row_id")))
+    assert(got.toSeq == Seq((10L, 1L), (20L, 2L), (30L, 3L)))
+    val (_, lo2, hi2) = TxnLog.appendWithIdentity(spark, t, "w",
+      spark.createDataFrame(Seq(Tuple1(5L), Tuple1(7L))).toDF("k"),
+      s"$t/seg2", "row_id", "k")
+    assert(lo2 == 4L && hi2 == 5L)
+    // the mark survives checkpoint + truncation
+    TxnLog.writeCheckpoint(spark, t, 2L)
+    TxnLog.truncateLog(spark, t)
+    val (_, lo3, _) = TxnLog.appendWithIdentity(spark, t, "w",
+      spark.createDataFrame(Seq(Tuple1(99L))).toDF("k"),
+      s"$t/seg3", "row_id", "k")
+    assert(lo3 == 6L, "high-water lost across truncation")
+  }
+
+  test("concurrent identity allocations never collide (OCC sentinel)") {
+    val t = freshTable()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futures = (0 until 4).map { i =>
+      scala.concurrent.Future {
+        TxnLog.appendWithIdentity(spark, t, s"w$i",
+          spark.createDataFrame(
+            Seq(Tuple1(i * 10L + 1L), Tuple1(i * 10L + 2L))).toDF("k"),
+          s"$t/alloc_$i", "row_id", "k")
+      }
+    }
+    val results = futures.map(f =>
+      scala.concurrent.Await.result(f, scala.concurrent.duration
+        .Duration(120, "s")))
+    pool.shutdown()
+    // every writer landed; the 8 ids are exactly 1..8, no collisions
+    val ranges = results.map { case (_, lo, hi) => (lo, hi) }
+    assert(ranges.forall { case (lo, hi) => hi - lo == 1L })
+    val all = ranges.flatMap { case (lo, hi) => Seq(lo, hi) }.sorted
+    assert(all == Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L),
+      s"id ranges collide or gap: $ranges")
+    val ids = TxnLog.snapshot(spark, t)._1
+      .select("row_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (1L to 8L))
+    assert(TxnLog.identityHighWater(TxnLog.commits(spark, t),
+      "row_id") == 8L)
+  }
+
   // ---- RESTORE -------------------------------------------------------------
 
   test("restore rolls back CoW + append history as one forward commit") {
