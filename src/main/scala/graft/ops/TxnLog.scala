@@ -636,6 +636,8 @@ object TxnLog {
                          orderCol: String, maxAttempts: Int = 10)
       : (CommitResult, Long, Long) = {
     import org.apache.spark.sql.functions.{col, lit}
+    require(idCol.nonEmpty && !idCol.exists(c => ":=\t\n\r".contains(c)),
+      s"identity column name carries a payload delimiter: '$idCol'")
     require(!df.columns.contains(idCol),
       s"batch already carries identity column '$idCol'")
     val n = df.count()

@@ -1001,6 +1001,102 @@ object QueriesRound12 {
         |  CAST(2 AS BIGINT) AS head_final,
         |  CAST(1 AS BIGINT) AS v1,
         |  CAST(2 AS BIGINT) AS v2
-        |FROM ids""".stripMargin))
+        |FROM ids""".stripMargin)),
+
+    // ---- q596: write-audit-publish — staged branches gate production ------------------
+    // The WAP pattern on the log: a candidate batch stages on a
+    // BRANCH (a shallow clone — the branch's v1 re-references main's
+    // live segments AND its folded constraint set, zero bytes
+    // copied), the audits run against the branch snapshot (constraint
+    // gate + a duplicate-key audit the constraint system can't
+    // express), and only a PASSING candidate publishes — one
+    // metadata-only commit on main referencing the ALREADY-WRITTEN
+    // staged segment (publish moves no data). A failing candidate
+    // abandons its branch and main's head never moves: the lane
+    // stages a clean batch (passes, publishes) then re-stages the
+    // same keys (the dup audit catches it, with the dup count as
+    // data) — isolation pinned by reading main BETWEEN staging and
+    // publish.
+    QueryDef("q596_txn_write_audit_publish",
+      (s, d) => {
+        val root = Scratch.dir(s, d) + "/txn_q596"
+        reset(s, root)
+        val main = s"$root/main"
+        val base = orders(s, d).select(col("o_orderkey").as("k"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        val segA = s"$root/seg_a"
+        base.where(col("k") % 3 === 0).coalesce(1).write.parquet(segA)
+        require(TxnLog.tryCommit(s, main, 1L, "ingest", Seq(
+          Action("add", segA),
+          TxnLog.constraintAction("cents_nonneg", "cents >= 0"))))
+        // one WAP cycle: clone → stage → audit → publish-or-abandon
+        def wap(branch: String, candidate: org.apache.spark.sql.DataFrame,
+                segPath: String): (Int, Long, Boolean) = {
+          val mainCs = TxnLog.commits(s, main)
+          val cloneActions = TxnLog.liveActions(mainCs) ++
+            TxnLog.constraints(mainCs).map { case (n, e) =>
+              TxnLog.constraintAction(n, e) }
+          require(TxnLog.tryCommit(s, branch, 1L, "wap", cloneActions))
+          candidate.coalesce(1).write.parquet(segPath)
+          require(TxnLog.tryCommit(s, branch, 2L, "wap",
+            Seq(Action("add", segPath))))
+          // audit 1: the constraint gate, on the branch
+          val consOk =
+            try { TxnLog.checkConstraints(s, branch, candidate); true }
+            catch { case _: TxnLog.ConstraintViolationException => false }
+          // audit 2: duplicate keys across the WHOLE branch snapshot —
+          // the cross-batch invariant a row-local constraint can't see
+          val (br, _, _) = TxnLog.snapshot(s, branch)
+          val dups = br.groupBy("k").count().where(col("count") > 1)
+            .count()
+          val pass = consOk && dups == 0L
+          if (pass) {
+            // publish = ONE metadata commit on main; the staged
+            // segment is referenced in place, never rewritten
+            val head = TxnLog.currentVersion(s, main)
+            require(TxnLog.tryCommit(s, main, head + 1L, "wap-publish",
+              Seq(Action("add", segPath))))
+          }
+          (if (consOk) 1 else 0, dups, pass)
+        }
+        val clean = base.where(col("k") % 3 === 1)
+        // isolation probe: main's row count BEFORE the first publish
+        val rowsBefore = TxnLog.snapshot(s, main)._1.count()
+        val (cons1, dups1, pass1) = wap(s"$root/br1", clean,
+          s"$root/staged_1")
+        val rowsAfterPublish = TxnLog.snapshot(s, main)._1.count()
+        // the second candidate re-submits the SAME keys: the dup
+        // audit must catch it and main must not move
+        val (cons2, dups2, pass2) = wap(s"$root/br2", clean,
+          s"$root/staged_2")
+        val headFinal = TxnLog.currentVersion(s, main)
+        val (snap, _, _) = TxnLog.snapshot(s, main)
+        snap.agg(count(lit(1)).as("rows_final"),
+            sum("cents").as("sum_cents"))
+          .select(col("rows_final"), col("sum_cents"),
+            lit(rowsBefore).as("rows_before_publish"),
+            lit(rowsAfterPublish).as("rows_after_publish"),
+            lit(cons1 * 10 + (if (pass1) 1 else 0)).as("audit1_code"),
+            lit(dups1).as("audit1_dups"),
+            lit(cons2 * 10 + (if (pass2) 1 else 0)).as("audit2_code"),
+            lit(dups2).as("audit2_dups"),
+            lit(headFinal).as("main_head"))
+      },
+      Some("""SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |     WHERE o_orderkey % 3 IN (0, 1)) AS rows_final,
+        |  (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |       AS BIGINT) FROM orders WHERE o_orderkey % 3 IN (0, 1))
+        |    AS sum_cents,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |     WHERE o_orderkey % 3 = 0) AS rows_before_publish,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |     WHERE o_orderkey % 3 IN (0, 1)) AS rows_after_publish,
+        |  CAST(11 AS INTEGER) AS audit1_code,
+        |  CAST(0 AS BIGINT) AS audit1_dups,
+        |  CAST(10 AS INTEGER) AS audit2_code,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |     WHERE o_orderkey % 3 = 1) AS audit2_dups,
+        |  CAST(2 AS BIGINT) AS main_head""".stripMargin))
   )
 }
