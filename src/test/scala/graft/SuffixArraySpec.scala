@@ -83,6 +83,57 @@ class SuffixArraySpec extends SparkSpec {
     assert(got == brute(docs, 32))
   }
 
+  test("rank-quadrupling round == pure doubling (the r12 arity switch)") {
+    // at 64-char cap the r12 build takes ONE quad round (8→32) plus a
+    // pair round (32→64) when the base rank count allows; the
+    // forceComposite path still doubles every round — their ranks
+    // must agree bit for bit, and both must be brute-correct, on a
+    // corpus with repeats deep enough to split classes in EVERY round
+    val long1 = ("abcdefgh" * 8).take(64)
+    val long2 = ("abcdefgh" * 4) + ("abcdefgx" * 4)
+    val long3 = ("abcdefgh" * 7) + "abcdefgZ"
+    val docs = Seq(1L -> long1, 2L -> long2, 3L -> long3,
+      4L -> long1.drop(3), 5L -> "short")
+    val df = spark.createDataFrame(docs).toDF("doc_id", "text")
+    val quadPath = Dedup.suffixArrayRanks(df, "doc_id", "text", 64)
+      .orderBy("doc_id", "pos").collect().toSeq
+    val doubling = Dedup
+      .suffixArrayRanks(df, "doc_id", "text", 64, forceComposite = true)
+      .orderBy("doc_id", "pos").collect().toSeq
+    assert(quadPath == doubling,
+      s"quad round changed ranks:\n$quadPath\nvs\n$doubling")
+    val got = quadPath.map(r => ((r.getLong(0), r.getLong(1)),
+      r.getLong(2))).toMap
+    assert(got == brute(docs, 64))
+  }
+
+  test("two-level LCP fold == flat char-wise fold (the r12 block fold)") {
+    import org.apache.spark.sql.Row
+    val cases = Seq(
+      ("", ""), ("a", ""), ("a", "a"), ("ab", "ac"),
+      ("abcdefgh", "abcdefgh"),           // exactly one full block
+      ("abcdefghi", "abcdefghj"),         // full block + unequal char
+      ("abcdefgh" * 8, "abcdefgh" * 8),   // all 64 equal
+      (("abcdefgh" * 8).take(63), "abcdefgh" * 8), // prefix of other
+      ("abcdefgh" * 4 + "X" + "abcdefgh" * 3,
+        "abcdefgh" * 8),                  // mismatch mid-block 4
+      ("xbcdefgh", "ybcdefgh"))           // mismatch at char 1
+    val df = spark.createDataFrame(cases).toDF("sa", "sb")
+    val flat = expr("""aggregate(sequence(1, 64), 0,
+      |(acc, k) -> CASE WHEN acc = k - 1
+      |  AND substring(sa, k, 1) != ''
+      |  AND substring(sa, k, 1) = substring(sb, k, 1)
+      |THEN k ELSE acc END)""".stripMargin)
+    val rows = df
+      .withColumn("__b", Dedup.lcpFold("sa", "sb", 64))
+      .withColumn("two", col("__b") + Dedup.lcpWithin("sa", "sb", "__b"))
+      .withColumn("flat", flat)
+      .select("sa", "two", "flat").collect()
+    rows.foreach { case Row(sa: String, two: Int, flat: Int) =>
+      assert(two == flat, s"LCP folds diverge on '$sa': $two vs $flat")
+    }
+  }
+
   test("non-ASCII input fails loudly, never mis-ranks (single-byte gate)") {
     // a codepoint past 127 would overflow its lane in the 8-char base
     // fold and silently corrupt every rank above it — the fold must
